@@ -1,0 +1,69 @@
+"""Benchmark harness — the driver's per-round perf probe (BASELINE.md).
+
+Runs every registered graded query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+execution through the no-op sink (no collect — measures engine time,
+not driver materialization). Prints exactly ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from meepo_spark.session import get_spark
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("meepo-spark-bench")
+
+    qs = entrymod.queries()
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Warm the JVM/codegen path once so per-query numbers reflect the
+    # engine, not first-run classloading.
+    _force(qs[entrymod.FLAGSHIP](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    for name in sorted(qs):
+        best = float("inf")
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                _force(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            per_query[name] = round(best, 3)
+        except Exception as exc:  # a failing query scores, not crashes, the bench
+            per_query[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in per_query.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "graded_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Fixture catalog: load a scale-factor directory into DataFrames and
+temp views.
+
+At 100 TB these reads become partitioned table scans; expressing every
+query against the returned DataFrames (rather than collected data) is
+what lets Catalyst push filters/projections into the parquet scan and
+prune partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Read every fixture table under ``sf_dir``; optionally register
+    each as a temp view (so ``spark.sql`` and the DataFrame API share
+    one catalog)."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        dfs[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return dfs
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (no view registration)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

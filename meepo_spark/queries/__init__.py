@@ -1,0 +1,14 @@
+"""Graded query modules — importing this package registers every query.
+
+Module ↔ SURVEY.md §2 mapping:
+  core.py        P1-P2, G1-G2, G6, F1-F4, flagship Q1    (M0/M1)
+  joins.py       J1-J7                                    (M1/M2)
+  sort_set.py    O1-O4                                    (M1)
+  windows.py     W1-W3, G3-G4, G7                         (M2)
+  semistruct.py  F5-F7 (array/map/json)                   (M2)
+  llm.py         L1-L5, text-analysis suite               (M5)
+  parity.py      event-store replay/query/rebuild (A7-A10)(M3)
+  streaming_batch.py  T2-T4 batch-expressible window aggs (M4)
+"""
+
+from meepo_spark.queries import core  # noqa: F401

@@ -1,0 +1,288 @@
+"""Core relational queries: flagship pricing summary (TPC-H Q1 shape),
+projection/filter (P1-P2), hash aggregation (G1-G2, G6), scalar
+function families F1-F4.  SURVEY.md §2.B.
+
+Every query reads via ``catalog.table`` so filters/projections push
+into the parquet scan (verified by tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+           ROUND(AVG(l_discount), 2)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: scan → filter → hash-agg (partial+final) → sort.
+
+    Catalyst pushes the shipdate filter into the scan; the two-phase
+    aggregate keeps the shuffle to |groups| rows per partition — the
+    plan is shuffle-minimal at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "p1_project_compute",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                              AS brand_uc,
+           ROUND(p_retailprice * 1.1, 2)               AS price_with_tax,
+           p_size * 2                                  AS double_size
+    FROM part
+    """,
+)
+def p1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: projection with computed/aliased columns — column pruning
+    means the scan reads only 4 of part's 6 columns."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),
+        (F.col("p_size") * 2).alias("double_size"),
+    )
+
+
+@register(
+    "p2_filter_complex",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE (o_orderstatus IN ('O', 'F'))
+      AND o_totalprice BETWEEN 1000 AND 100000
+      AND o_orderpriority LIKE '1%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def p2_filter_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: conjunction / IN / BETWEEN / LIKE / IS NULL — all pushed to
+    the parquet reader as native filters."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 100000)
+        & F.col("o_orderpriority").like("1%")
+        & F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@register(
+    "g1_agg_basic",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                          AS n_orders,
+           ROUND(SUM(o_totalprice), 2)       AS sum_total,
+           ROUND(AVG(o_totalprice), 2)       AS avg_total,
+           ROUND(MIN(o_totalprice), 2)       AS min_total,
+           ROUND(MAX(o_totalprice), 2)       AS max_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def g1_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: the five base aggregates under one hash-agg."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+
+
+@register(
+    "g2_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)  AS n_supps,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def g2_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: distinct aggregates — Catalyst expands to a two-level agg
+    (expand + partial) so the distinct sets never centralize."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "g6_maxby_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           MAX_BY(c_name, c_acctbal)   AS richest_customer,
+           MIN_BY(c_name, c_acctbal)   AS poorest_customer,
+           ROUND(MAX(c_acctbal), 2)    AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def g6_maxby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: max_by/min_by (meepo's event-store 'latest event per pk'
+    lookup is exactly max_by(row, ts) — A9)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "f1_string_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           LOWER(s_name)                                   AS name_lc,
+           SUBSTRING(s_name, 1, 8)                         AS name_prefix,
+           LENGTH(s_name)                                  AS name_len,
+           CONCAT_WS('|', s_name, CAST(s_nationkey AS VARCHAR)) AS tagged,
+           TRIM(CONCAT(' ', s_name, ' '))                  AS trimmed
+    FROM supplier
+    """,
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: string function family."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lower("s_name").alias("name_lc"),
+        F.substring("s_name", 1, 8).alias("name_prefix"),
+        F.length("s_name").alias("name_len"),
+        F.concat_ws("|", F.col("s_name"), F.col("s_nationkey").cast("string")).alias("tagged"),
+        F.trim(F.concat(F.lit(" "), F.col("s_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "f2_datetime_funcs",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT)                       AS order_year,
+           CAST(MONTH(o_orderdate) AS INT)                      AS order_month,
+           COUNT(*)                                             AS n,
+           ROUND(SUM(o_totalprice), 2)                          AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: date/time extraction + group by derived time key (the batch
+    shape of a tumbling-window rollup)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "f3_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_extendedprice - 1000.0), 2)        AS abs_diff,
+           CAST(FLOOR(l_quantity) AS BIGINT)              AS qty_floor,
+           CAST(MOD(l_orderkey, 7) AS BIGINT)             AS key_mod,
+           ROUND(LN(l_extendedprice + 1), 2)              AS log_price,
+           ROUND(POW(l_discount, 2), 4)                   AS disc_sq
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 100 = 0
+    """,
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: math function family (Spark pmod == DuckDB MOD on the
+    non-negative fixture keys)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 100 == 0)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 2).alias("log_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
+    )
+
+
+@register(
+    "f4_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'high'
+                WHEN c_acctbal > 1000 THEN 'mid'
+                ELSE 'low' END                        AS bal_tier,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+           ROUND(GREATEST(c_acctbal, 0.0), 2)         AS bal_nonneg,
+           ROUND(LEAST(c_acctbal, 9999.0), 2)         AS bal_capped
+    FROM customer
+    """,
+)
+def f4_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: when/otherwise, coalesce/nullif, greatest/least."""
+    c = table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") > 1000, "mid")
+        .otherwise("low")
+    )
+    return c.select(
+        "c_custkey",
+        tier.alias("bal_tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_nonneg"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(9999.0)), 2).alias("bal_capped"),
+    )

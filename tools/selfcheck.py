@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet fixtures, then compares row count,
+column names, and order-insensitive canonicalized values. Use while
+iterating so driver-side CORRECTNESS_r{N}.json holds no surprises.
+
+Usage:  python tools/selfcheck.py [sf_dir] [query ...]
+        (default sf_dir: /root/testdata/sf0.01; default: all queries)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from meepo_spark.catalog import TABLES
+from meepo_spark.session import get_spark
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # queries already round; 9dp absorbs representation noise
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def _canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    canon = sorted("\x01".join(_canon_cell(r[i]) for i in order) for r in rows)
+    return sorted_cols, canon
+
+
+def check(sf_dir: str, names: list[str] | None = None) -> int:
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = names or sorted(qs)
+    failed: list[str] = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](None if False else spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        sc, sr = _canon_rows(scols, srows)
+        dc, dr = _canon_rows(dcols, drows)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duckdb={dc}")
+            failed.append(name)
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duckdb={len(dr)}")
+            failed.append(name)
+        elif sr != dr:
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diffs: {diffs}")
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+    print(
+        f"\n{len(names)-len(failed)}/{len(names)} passed"
+        + (f"; FAILED: {', '.join(failed)}" if failed else "")
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    rest = args[1:] if args and os.path.isdir(args[0]) else args
+    sys.exit(check(sf, rest or None))
