@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -43,7 +44,7 @@ def load_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = table(spark, sf_dir, name)
         dfs[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
@@ -51,5 +52,18 @@ def load_tables(
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (no view registration)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one fixture table (no view registration).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    rejects outright — read it as raw nanos (legacy conf) and convert
+    with exact integer division (a double roundtrip would lose
+    precision: ns-since-epoch exceeds the 53-bit mantissa).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+    return spark.read.parquet(path)

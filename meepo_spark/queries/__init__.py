@@ -12,3 +12,5 @@ Module ↔ SURVEY.md §2 mapping:
 """
 
 from meepo_spark.queries import core  # noqa: F401
+from meepo_spark.queries import joins  # noqa: F401
+from meepo_spark.queries import sort_set  # noqa: F401

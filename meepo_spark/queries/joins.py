@@ -1,0 +1,248 @@
+"""Join operator queries J1-J7 (SURVEY.md §2.B).
+
+Scale notes inline: dims broadcast explicitly, the fact side stays
+shuffle-partitioned on the join key, and the as-of join uses the
+union+window rewrite from operators/joins.py (one shuffle, no pair
+blow-up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.operators.joins import asof_join
+from meepo_spark.registry import register
+
+
+@register(
+    "j1_inner_broadcast",
+    oracle="""
+    SELECT n.n_name                                   AS nation,
+           COUNT(*)                                   AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2)              AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⋈ dim ⋈ dim. customer and nation broadcast — the only
+    shuffle left at scale is the final 25-group aggregate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey)                         AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2)  AS spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer — customers with zero orders survive with
+    n_orders=0 (COUNT of the null-extended column)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "j2b_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.nk, sn.nk)        AS nationkey,
+           COALESCE(cn.n_cust, 0)        AS n_cust,
+           COALESCE(sn.n_supp, 0)        AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def j2b_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer over pre-aggregated sides (aggregate-then-join —
+    the shuffle carries |nations| rows, not |customers|)."""
+    cn = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, "nk", "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "j3_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+    """,
+)
+def j3_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi = EXISTS. The semi join short-circuits per key —
+    no fan-out however many qualifying orders a customer has."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j4_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti = NOT EXISTS — the same plan shape that powers
+    in-doubt transaction detection in the parity layer (A10:
+    prepared ⟕̸ committed)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "j5_theta_pairs",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def j5_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: theta join — equi part (regionkey) hash-partitions, the
+    strict inequality dedupes unordered pairs. Pure cross joins are
+    reserved for broadcast-small sides only."""
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(F.col("n1.n_name").alias("nation_a"), F.col("n2.n_name").alias("nation_b"))
+
+
+@register(
+    "j6_range_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(*)                       AS n_shipped_60d,
+           ROUND(SUM(l.l_quantity), 2)    AS qty_60d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: interval join. The equi key (orderkey) carries the hash
+    join; the range predicate evaluates post-probe, so no nested-loop
+    pair blow-up at scale."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_60d"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_60d"),
+        )
+    )
+
+
+@register(
+    "j7_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (  -- dedupe equal-ts views per user so ties are deterministic
+        SELECT user_id, ts AS view_ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id,
+           STRFTIME(v.view_ts, '%Y-%m-%d %H:%M:%S')   AS matched_view_ts,
+           ROUND(v.view_value, 2)                      AS view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — each purchase matched to the user's latest
+    view at-or-before it. Uses the join-free union+window rewrite
+    (operators/joins.py); DuckDB's native ASOF JOIN is the oracle.
+    This is the event-store 'state as of t' primitive (A8/A9)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select("user_id", F.col("ts").alias("view_ts"), "view_value")
+    )
+    views2 = views.select(
+        "user_id",
+        F.col("view_ts").alias("vts"),
+        "view_value",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("matched_view_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        views2,
+        on="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        right_values=["view_value", "matched_view_ts"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "matched_view_ts",
+        F.round("view_value", 2).alias("view_value"),
+    )

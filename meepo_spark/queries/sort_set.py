@@ -1,0 +1,147 @@
+"""Sort / limit / set-operation queries O1-O4 (SURVEY.md §2.B)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "o1_global_sort_top100",
+    oracle="""
+    WITH top100 AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    )
+    SELECT o_orderkey, total,
+           CAST(ROW_NUMBER() OVER (ORDER BY total DESC, o_orderkey ASC) AS BIGINT) AS rank
+    FROM top100
+    """,
+)
+def o1_global_sort_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global sort + limit, rank materialized so the oracle's
+    order-insensitive hash still proves ordering. TakeOrderedAndProject
+    keeps this a per-partition top-k + driver merge — no global sort
+    shuffle at any scale."""
+    o = table(spark, sf_dir, "orders")
+    top = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+    w = W.orderBy(F.col("total").desc(), F.col("o_orderkey").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "o2_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS total, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: per-group top-k — window rank + filter. Spark pushes the
+    rank<=3 filter into the window sort (WindowGroupLimit), so each
+    partition keeps only 3 rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@register(
+    "o3_set_ops",
+    oracle="""
+    SELECT 'both' AS op, nk FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer
+         INTERSECT SELECT DISTINCT s_nationkey FROM supplier) t
+    UNION ALL
+    SELECT 'cust_only' AS op, nk FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer
+         EXCEPT SELECT DISTINCT s_nationkey FROM supplier) t
+    UNION ALL
+    SELECT 'either' AS op, nk FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer
+         UNION SELECT DISTINCT s_nationkey FROM supplier) t
+    """,
+)
+def o3_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: intersect / except / union over nation keys, tagged and
+    stacked into one result."""
+    cn = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = cn.intersect(sn).select(F.lit("both").alias("op"), "nk")
+    cust_only = cn.exceptAll(sn.distinct()).select(F.lit("cust_only").alias("op"), "nk")
+    either = cn.union(sn).distinct().select(F.lit("either").alias("op"), "nk")
+    return both.unionByName(cust_only).unionByName(either)
+
+
+@register(
+    "o4_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct
+    FROM lineitem
+    """,
+)
+def o4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: exact dedup via distinct() — partial-distinct runs map-side
+    so the shuffle carries unique triples only."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    ).distinct()
+
+
+@register(
+    "o4b_dedup_keep_first",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber ASC, l_extendedprice ASC, l_partkey ASC) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    """,
+)
+def o4b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: deterministic keep-first dedup (dropDuplicates picks an
+    arbitrary row — this window form pins the survivor, which is what
+    the event-store compaction job needs for latest-per-pk)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").asc(), F.col("l_extendedprice").asc(), F.col("l_partkey").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )

@@ -35,7 +35,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = " ".join(oracle.split())
+            # strip line comments BEFORE collapsing whitespace — a
+            # surviving '--' would swallow the rest of the flattened SQL
+            lines = [ln.split("--", 1)[0] for ln in oracle.splitlines()]
+            ORACLES[name] = " ".join(" ".join(lines).split())
         return fn
 
     return deco
