@@ -14,3 +14,5 @@ Module ↔ SURVEY.md §2 mapping:
 from meepo_spark.queries import core  # noqa: F401
 from meepo_spark.queries import joins  # noqa: F401
 from meepo_spark.queries import sort_set  # noqa: F401
+from meepo_spark.queries import windows  # noqa: F401
+from meepo_spark.queries import semistruct  # noqa: F401

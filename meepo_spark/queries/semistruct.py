@@ -1,0 +1,100 @@
+"""Semi-structured function families: arrays (F5), maps (F6), JSON
+(F7) — the column shapes the ChangeEvent type and the LLM-pipeline
+fixtures rely on (SURVEY.md §2.B)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "f5_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS INT)                      AS n_tokens,
+           ARRAY_TO_STRING(string_split(text, ' ')[1:3], ' ')             AS first3,
+           LIST_CONTAINS(string_split(text, ' '), 'data')                 AS has_data,
+           CAST(LEN(LIST_FILTER(string_split(text, ' '), x -> LENGTH(x) > 5)) AS INT) AS n_long,
+           CAST(LIST_AGGREGATE(LIST_TRANSFORM(string_split(text, ' '),
+                                              x -> LENGTH(x)), 'sum') AS BIGINT)      AS sum_token_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def f5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: split/size/slice/array_contains plus the three array
+    lambdas (transform / filter / aggregate) — all JVM-side
+    higher-order functions, no Python in the loop."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+    )
+
+
+@register(
+    "f6_map_funcs",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(map_keys(MAP{'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS key_list,
+           MAP{'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'][1]                      AS type_val,
+           CAST(CARDINALITY(MAP{'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS INT)       AS n_keys
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def f6_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: map construction / key enumeration / element access — the
+    access pattern for ChangeEvent's ``row MAP<STRING,STRING>`` column
+    (meepo's raw-event payload, SURVEY.md §1.3)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@register(
+    "f7_json_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                                        AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MIN(json_extract_string(props, '$.k'))                          AS min_k_str
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def f7_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: JSON string extraction + typed aggregation over the
+    events.props payload (the schemaless tail meepo events carry)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k.cast("int")).cast("long").alias("sum_k"),
+            F.min(k).alias("min_k_str"),
+        )
+    )

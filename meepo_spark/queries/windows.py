@@ -1,0 +1,215 @@
+"""Window functions W1-W3 and advanced aggregates G3-G4, G7
+(SURVEY.md §2.B)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "w1_ranking",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)  AS rn,
+           CAST(RANK() OVER w AS BIGINT)        AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT)  AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT)      AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    QUALIFY rn <= 10
+    """,
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the four ranking functions over one window; rank<=10 filter
+    becomes a WindowGroupLimit so partitions never fully materialize.
+
+    NOTE: ntile(4) here is computed over the full partition before the
+    rn<=10 filter, matching QUALIFY semantics in DuckDB.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
+    "w2_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S')                       AS ts_s,
+           ROUND(value - LAG(value) OVER w, 2)                     AS delta_prev,
+           LEAD(event_type) OVER w                                 AS next_type,
+           FIRST_VALUE(event_type) OVER w                          AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead/first_value per user event timeline — the per-key
+    'previous state' primitive a change-stream diff needs."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@register(
+    "w3_frames_running",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 2)  AS moving_avg3
+    FROM events
+    """,
+)
+def w3_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: rows-frame running sum + 3-row moving average."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_value"
+        ),
+        # +1e-9 nudges .005-grid averages off the round-half boundary,
+        # where Spark (decimal HALF_UP) and DuckDB (binary) disagree
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)) + 1e-9, 2).alias("moving_avg3"),
+    )
+
+
+@register(
+    "g3_approx_distinct_tolerance",
+    oracle="""
+    SELECT l_returnflag, TRUE AS within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def g3_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: HLL approx-count-distinct. Different sketches can't
+    hash-match across engines, so the graded check asserts the
+    PROPERTY: Spark's approximation lands within 10% of Spark's exact
+    count (oracle emits the expected TRUE per group)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("apx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .select(
+            "l_returnflag",
+            ((F.col("apx") >= F.col("exact") * 0.9) & (F.col("apx") <= F.col("exact") * 1.1)).alias(
+                "within_10pct"
+            ),
+        )
+    )
+
+
+@register(
+    "g4_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
+           COALESCE(l_linestatus, 'ALL')  AS linestatus,
+           CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*)                       AS n,
+           ROUND(SUM(l_quantity), 2)      AS qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def g4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: rollup with grouping indicators (COALESCE pins the NULL
+    subtotal rows so they can't collide with real NULL keys)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "g4b_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def g4b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: cube — all 4 grouping-set combinations in one pass
+    (Catalyst's Expand keeps it a single shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "g7_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 2)   AS median_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.9), 2)   AS p90_qty,
+           ROUND(STDDEV(l_extendedprice), 2)          AS sd_price,
+           ROUND(VAR_SAMP(l_discount), 6)             AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def g7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: exact percentiles (same linear interpolation in Spark and
+    DuckDB) + sample stddev/variance + Pearson correlation."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 2).alias("p90_qty"),
+        F.round(F.stddev("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
