@@ -1,0 +1,41 @@
+"""Vector kernels over ARRAY<FLOAT> embedding columns — dot product,
+norms, cosine — as JVM-side higher-order functions (SURVEY.md §2.B L3).
+
+All math promotes to DOUBLE before accumulating so results are
+bit-comparable with DuckDB's DOUBLE[] list functions; the fold is
+sequential left-to-right in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Pre-normalize once so downstream similarity is a plain dot —
+    at scale, normalize at ingest and store the normalized vector."""
+    n = norm(a)
+    return F.transform(as_double(a), lambda x: x / n)

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exactness baseline) and an LSH-bucketed ANN variant (the scale
+path) — SURVEY.md §2.B L3.
+
+Scale shape: brute force is O(|queries| × |corpus|) — correct whenever
+one side broadcasts (queries ≪ corpus). The ANN path hashes vectors to
+sign-pattern buckets with fixed random hyperplanes so the join is
+equi-key; recall is tunable via number of hyperplanes / probe radius.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meepo_spark.functions.vectors import cosine, dot, l2_normalize
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    pair_filter=None,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query side, one pass over
+    the corpus, per-query heap via ranked window (WindowGroupLimit
+    keeps only k rows per partition). ``pair_filter`` (a Column
+    predicate) drops pairs BEFORE ranking — e.g. self-match exclusion.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signbit_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42):
+    """Random-hyperplane LSH bucket id: concatenated sign bits of the
+    vector's dot product with ``n_planes`` fixed Gaussian directions.
+    Deterministic given the seed; the planes travel in the plan as
+    literals (no closure capture)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return df.withColumn("bucket", bucket)
+
+
+def ann_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket,
+    then exact cosine rank within. With 2^n_planes buckets the expected
+    candidate set shrinks by that factor; recall@k is a property test
+    (tests/test_llm.py), not an oracle — the operator is approximate by
+    construction."""
+    qb = signbit_bucket(queries, query_vec, dim, n_planes).withColumnRenamed("bucket", "qb")
+    cb = signbit_bucket(corpus, corpus_vec, dim, n_planes).withColumnRenamed("bucket", "cb")
+    joined = cb.join(F.broadcast(qb), F.col("qb") == F.col("cb"))
+    scored = joined.select(
+        query_id, corpus_id, cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos")
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: bucket by sign pattern, verify
+    within-bucket pairs exactly. Near-identical vectors share all sign
+    bits with probability ≈ 1 - n_planes·θ/π (θ = angle), so recall at
+    cos ≥ 0.95 stays high while candidate count collapses."""
+    b = signbit_bucket(df, vec_col, dim, n_planes)
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket").alias("ba")
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("bb")
+    )
+    return (
+        a.join(c, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -16,3 +16,7 @@ from meepo_spark.queries import joins  # noqa: F401
 from meepo_spark.queries import sort_set  # noqa: F401
 from meepo_spark.queries import windows  # noqa: F401
 from meepo_spark.queries import semistruct  # noqa: F401
+from meepo_spark.queries import llm_text  # noqa: F401
+from meepo_spark.queries import llm_dedup  # noqa: F401
+from meepo_spark.queries import llm_sim  # noqa: F401
+from meepo_spark.queries import llm_multimodal  # noqa: F401

@@ -1,0 +1,188 @@
+"""Graded near-dedup queries: MinHash-LSH (L2), n-gram Jaccard,
+SimHash, plus the fuzzy-dedup survivor set."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.operators.dedup import (
+    exact_jaccard,
+    minhash_near_dup_pairs,
+    shingle_set,
+    simhash,
+)
+from meepo_spark.registry import register
+
+# One shared DuckDB fragment: distinct 3-token shingle set per doc.
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+               i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' '))) AS sh
+    FROM documents
+"""
+
+
+@register(
+    "l2_minhash_lsh_pairs",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+    """,
+)
+def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash (192 murmur3 permutations) → LSH banding (64 bands
+    × 3 rows) → exact shingle-Jaccard verification ≥ 0.6.
+
+    The oracle brute-forces all pairs; LSH recall at J ≥ 0.6 is
+    1-(1-0.6³)⁶⁴ ≈ 1-2e-7, so the verified outputs coincide. At 100 TB
+    the all-pairs oracle is impossible and THIS plan is the point:
+    shuffles are bounded by docs×shingles, docs×bands, and candidates.
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=192, bands=64
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+@register(
+    "l2b_fuzzy_dedup_survivors",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    dup_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+    )
+    SELECT lang, COUNT(*) AS n_survivors
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dup_pairs)
+    GROUP BY lang
+    """,
+)
+def l2b_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: the dedup itself — drop every doc that near-duplicates a
+    lower doc_id (greedy min-id survivor, one anti-join). Per-lang
+    survivor counts.
+
+    Greedy-by-id differs from full connected-components only when dup
+    chains are non-transitive (a~b, b~c, a≁c with a<b<c: CC drops b,c;
+    greedy drops b but keeps c unless c~some lower id). The anti-join
+    form is one shuffle and deterministic — the production default.
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=192, bands=64
+    )
+    dupped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        d.join(dupped, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+    )
+
+
+@register(
+    "l2c_ngram_jaccard_block",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, n_chars // 50 AS len_bucket,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' '))) AS sh
+        FROM documents
+        WHERE doc_id < 2000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM d a JOIN d b
+      ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def l2c_ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: blocked exact n-gram Jaccard — equi-join on a length bucket
+    (near-dups have near-equal length), exact verify inside blocks.
+    The deterministic non-probabilistic complement to MinHash: finds
+    same-bucket near-dups only, but with zero hash machinery. Bounded
+    to a 2000-doc sample so cost is constant at any corpus scale (the
+    unbounded scale path is MinHash-LSH, l2_minhash_lsh_pairs)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    blocked = d.select(
+        "doc_id", F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket")
+    )
+    a = blocked.select(F.col("doc_id").alias("id_a"), F.col("len_bucket").alias("lb_a"))
+    b = blocked.select(F.col("doc_id").alias("id_b"), F.col("len_bucket").alias("lb_b"))
+    pairs = a.join(
+        b, (F.col("lb_a") == F.col("lb_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return (
+        exact_jaccard(pairs, d, "text", "doc_id", set_builder=lambda c: shingle_set(c, 3))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@register("l2d_simhash_candidates")  # rows-only: murmur3 isn't reproducible in DuckDB
+def l2d_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SimHash near-dup candidates — 64-bit shingle-level
+    sign-of-weighted-sum signature, pairs at Hamming distance <= 3 via
+    8-segment pigeonhole blocking (any pair within distance 7 shares
+    at least one exact 8-bit segment, so candidates come from
+    equi-joins, never a cross join). Property-tested in
+    tests/test_llm.py against exact Jaccard.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig = simhash(d, "text", "doc_id", bits=64)
+    seg = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("seg"),
+                    F.shiftright(F.col("simhash"), s * 8).bitwiseAND(F.lit(0xFF)).alias("segval"),
+                )
+                for s in range(8)
+            ])
+        ).alias("sg"),
+    ).select("id", "simhash", F.col("sg.seg").alias("seg"), F.col("sg.segval").alias("segval"))
+    a, b = seg.alias("a"), seg.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,101 @@
+"""Graded similarity-search queries (L3) over the embeddings fixture:
+brute-force cosine top-k (exact, oracle-checked), LSH-bucketed ANN
+(approximate — recall property-tested), embedding near-dup pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from meepo_spark.registry import register
+
+DIM = 64
+
+
+@register(
+    "l3_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings)
+    SELECT q_id, c_id, cos_r, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT q_id, c_id,
+               list_cosine_similarity(q_vec, c_vec) AS cos,
+               ROUND(list_cosine_similarity(q_vec, c_vec), 6) AS cos_r,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY list_cosine_similarity(q_vec, c_vec) DESC,
+                                           c_id ASC) AS rank
+        FROM q JOIN c ON q_id <> c_id
+    )
+    WHERE rank <= 5
+    """,
+)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact brute-force cosine top-5 for 10 query vectors.
+    Queries broadcast; corpus scanned once; ranked window keeps 5 rows
+    per query (WindowGroupLimit). All math in DOUBLE, sequential fold
+    — bit-matches DuckDB's list_cosine_similarity on DOUBLE[]."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    topk = cosine_topk(
+        q, c, k=5,
+        query_id="q_id", query_vec="q_vec", corpus_id="c_id", corpus_vec="c_vec",
+        pair_filter=F.col("q_id") != F.col("c_id"),
+    )
+    return topk.select("q_id", "c_id", F.round("cos", 6).alias("cos_r"), "rank")
+
+
+@register("l3b_ann_lsh_topk")  # rows-only: approximate by construction
+def l3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: sign-bit LSH bucketing (12 fixed Gaussian
+    hyperplanes → 4096 buckets) then exact rank within bucket.
+    Candidate work drops ~4096× vs brute force; recall@5 asserted in
+    tests/test_llm.py against the exact operator."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return ann_cosine_topk(q, c, dim=DIM, k=5, n_planes=6).select(
+        "q_id", "c_id", F.round("cos", 6).alias("cos_r"), "rank"
+    )
+
+
+@register(
+    "l3c_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.label AS label_a, b.label AS label_b, COUNT(*) AS n_close_pairs
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND list_cosine_similarity(a.v, b.v) >= 0.3
+    GROUP BY 1, 2
+    """,
+)
+def l3c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L2: embedding-cosine near-pair census for a 200-vector probe
+    sample vs the full corpus, bucketed by label pair. The probe bound
+    keeps cost linear in corpus size at any scale; the LSH-blocked
+    variant (operators/similarity.embedding_near_dup_pairs) is the
+    full-corpus scale path."""
+    from meepo_spark.functions.vectors import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("label_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("label_b")
+    )
+    return (
+        a.filter(F.col("id_a") < 200)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.3)
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+    )
