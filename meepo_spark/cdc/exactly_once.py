@@ -1,0 +1,74 @@
+"""Exactly-once delivery and the prepare/commit envelope — meepo's
+RedisPrepareCommit protocol re-expressed as sink discipline
+(ref: meepo/apps/eventsourcing/prepare_commit.py, module path per
+SURVEY.md §0; design per SURVEY.md §4.3#1).
+
+Spark gives at-least-once into arbitrary sinks; exactly-once = replay
+idempotence. Two cooperating pieces:
+
+  * ``idempotent_foreach_batch`` — a foreachBatch wrapper that skips
+    epochs it has already committed (epoch ledger beside the sink) and
+    dedups rows within the batch by (txn_id, pk, offset). A retried or
+    replayed micro-batch lands zero new rows.
+  * ``in_doubt`` — sessions prepared but never committed/rolled back
+    (meepo's "phantom" sessions): one left-anti join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class EpochLedger:
+    """Tiny atomic batch-id ledger (a file per committed epoch). In
+    production this is the transactional sink's own commit table
+    (Delta txn log, JDBC upsert keyed by epoch); the contract is just
+    'committed(epoch) is durable and atomic'."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def committed(self, epoch_id: int) -> bool:
+        return os.path.exists(os.path.join(self.path, f"{epoch_id}.json"))
+
+    def commit(self, epoch_id: int, meta: dict | None = None) -> None:
+        tmp = os.path.join(self.path, f".{epoch_id}.tmp")
+        final = os.path.join(self.path, f"{epoch_id}.json")
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id, **(meta or {})}, f)
+        os.replace(tmp, final)  # atomic on POSIX
+
+
+def idempotent_foreach_batch(ledger: EpochLedger, write_fn):
+    """Wrap a foreachBatch body so redelivered epochs are no-ops and
+    in-batch duplicates collapse on the event identity key."""
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if ledger.committed(epoch_id):
+            return
+        deduped = batch_df.dropDuplicates(["txn_id", "pk", "offset"])
+        write_fn(deduped, epoch_id)
+        ledger.commit(epoch_id, {"rows": deduped.count()})
+
+    return body
+
+
+def in_doubt(prepared: DataFrame, committed: DataFrame, rolled_back: DataFrame | None = None) -> DataFrame:
+    """Prepared-but-unresolved transactions (meepo's phantom-session
+    scan): prepared ⟕̸ committed ⟕̸ rolled_back on txn_id."""
+    out = prepared.join(committed, "txn_id", "left_anti")
+    if rolled_back is not None:
+        out = out.join(rolled_back, "txn_id", "left_anti")
+    return out
+
+
+def deliverable(changes: DataFrame, committed: DataFrame) -> DataFrame:
+    """Gate event delivery on the commit record (sqlalchemy_es_pub
+    semantics: events buffered at prepare are only published after
+    session_commit). One broadcast-able semi join."""
+    return changes.join(F.broadcast(committed.select("txn_id")), "txn_id", "left_semi")

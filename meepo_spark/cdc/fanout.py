@@ -1,0 +1,71 @@
+"""Broadcast fan-out — meepo's blinker signal dispatch and replicator
+worker pools as Structured Streaming sinks (ref: meepo/signals.py,
+meepo/sub/*, meepo/apps/replicator/ — module paths per SURVEY.md §0).
+
+Each subscriber = one writeStream query with its own checkpoint, so a
+slow sink never backpressures the others (meepo got this from
+per-event worker queues; Spark gets it from independent queries).
+Callbacks register per topic (`{table}_{action}`), mirroring
+``@replicator.event("users_write")``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Fanout:
+    def __init__(self, changes: DataFrame, checkpoint_root: str):
+        self.changes = changes
+        self.checkpoint_root = checkpoint_root
+        self._handlers: dict[str, Callable[[DataFrame, int], None]] = {}
+
+    def on(self, topic: str):
+        """Register a handler for `{table}_{action}` events — the
+        replicator callback decorator."""
+
+        def deco(fn: Callable[[DataFrame, int], None]):
+            self._handlers[topic] = fn
+            return fn
+
+        return deco
+
+    def start(self, trigger_available_now: bool = True):
+        """One independent streaming query per registered topic. Each
+        filter pushes into the source scan; each checkpoint tracks its
+        own offsets (= per-subscriber resume position)."""
+        queries = []
+        for topic, fn in self._handlers.items():
+            table_name, _, action = topic.rpartition("_")
+            sub = self.changes.filter(
+                (F.col("table") == table_name) & (F.col("action") == action)
+            )
+            writer = sub.writeStream.foreachBatch(fn).option(
+                "checkpointLocation", f"{self.checkpoint_root}/{topic}"
+            )
+            if trigger_available_now:
+                writer = writer.trigger(availableNow=True)
+            queries.append(writer.start())
+        return queries
+
+
+def console_sub(changes: DataFrame, checkpoint: str):
+    """meepo's print_sub (A5): debug sink."""
+    return (
+        changes.writeStream.format("console")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def broadcast_payload(changes: DataFrame) -> DataFrame:
+    """meepo zmq_sub's wire format — '"{table}_{action}" {pk}' strings
+    (A6). In production this selects into the kafka sink's `value`."""
+    return changes.select(
+        F.concat_ws(
+            " ", F.concat_ws("_", "table", "action"), F.col("pk")
+        ).alias("value")
+    )

@@ -20,3 +20,4 @@ from meepo_spark.queries import llm_text  # noqa: F401
 from meepo_spark.queries import llm_dedup  # noqa: F401
 from meepo_spark.queries import llm_sim  # noqa: F401
 from meepo_spark.queries import llm_multimodal  # noqa: F401
+from meepo_spark.queries import parity  # noqa: F401

@@ -1,0 +1,225 @@
+"""Graded parity-layer queries (SURVEY.md §2.A) — meepo's event-store
+and prepare-commit surface exercised on the events fixture through
+the ChangeEvent adapter (cdc/events.py: pk=user_id, signup→write,
+view/click/purchase→update, error→delete, txn = event_id//10).
+
+Each oracle re-derives the same semantics from the raw events table,
+so the whole adapter+operator path is hash-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meepo_spark.cdc.events import events_as_changes, topic
+from meepo_spark.cdc.exactly_once import in_doubt
+from meepo_spark.cdc.fanout import broadcast_payload
+from meepo_spark.registry import register
+
+_TS = "STRFTIME(ts, '%Y-%m-%d %H:%M:%S')"
+
+
+@register(
+    "a7_compact_latest",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR)      AS pk,
+           event_type                    AS last_event_type,
+           ROUND(value, 2)               AS last_value,
+           {_TS}                         AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def a7_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: event-store compaction — latest row image per pk, deletes
+    dropped (RedisEventStore's ZSET dedup-by-pk as a batch job). One
+    max_by aggregate; the shuffle carries |pks| rows."""
+    ch = events_as_changes(spark, sf_dir)
+    latest = (
+        ch.groupBy("pk")
+        .agg(F.max_by(F.struct("action", "row", "ts"), F.struct("ts", "offset")).alias("last"))
+        .filter(F.col("last.action") != "delete")
+    )
+    return latest.select(
+        "pk",
+        F.col("last.row")["last_event_type"].alias("last_event_type"),
+        F.round(F.col("last.row")["value"].cast("double"), 2).alias("last_value"),
+        F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@register(
+    "a8_replay_range",
+    oracle=f"""
+    SELECT CAST(user_id AS VARCHAR) AS pk,
+           {_TS}                    AS ts_s,
+           event_id                 AS offset,
+           CAST(ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS BIGINT) AS replay_seq
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def a8_replay_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: time-range replay in event order — RedisEventStore.replay.
+    replay_seq materializes the ordering so the order-insensitive
+    oracle hash still proves it. On the partitioned store this scan
+    prunes to the date range (tests/test_cdc.py asserts pruning)."""
+    ch = events_as_changes(spark, sf_dir).filter(
+        (F.col("action") == "update")
+        & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    )
+    w = W.orderBy(F.col("ts").asc(), F.col("offset").asc())
+    return ch.select(
+        "pk",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "offset",
+        F.row_number().over(w).cast("long").alias("replay_seq"),
+    )
+
+
+@register(
+    "a9_last_change",
+    oracle=f"""
+    SELECT CAST(user_id AS VARCHAR) AS pk,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(MAX(event_id) AS BIGINT)          AS max_offset,
+           COUNT(*)                               AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a9_last_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: last-change lookup per pk (RedisEventStore.query / ZSCORE)
+    — plus event counts, i.e. the store's bookkeeping view."""
+    ch = events_as_changes(spark, sf_dir)
+    return ch.groupBy("pk").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.max("offset").alias("max_offset"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "a10_in_doubt_txns",
+    oracle="""
+    WITH txns AS (
+        SELECT event_id // 10 AS txn_seq,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_commit,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)    AS n_rollback
+        FROM events
+        GROUP BY 1
+    )
+    SELECT 'txn-' || CAST(txn_seq AS VARCHAR) AS txn_id, n_events
+    FROM txns
+    WHERE n_commit = 0 AND n_rollback = 0
+    """,
+)
+def a10_in_doubt_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: in-doubt ('phantom') session detection — transactions
+    prepared but never committed nor rolled back, via two left-anti
+    joins (RedisPrepareCommit's recovery scan). Here purchase events
+    mark commits and error events mark rollbacks."""
+    ch = events_as_changes(spark, sf_dir)
+    ev = ch.withColumn(
+        "etype", F.col("row")["last_event_type"]
+    )
+    prepared = ch.groupBy("txn_id").agg(F.count(F.lit(1)).alias("n_events"))
+    committed = (
+        ev.filter(F.col("etype") == "purchase").select("txn_id").distinct()
+    )
+    rolled = ch.filter(F.col("action") == "delete").select("txn_id").distinct()
+    return in_doubt(prepared, committed, rolled).select("txn_id", "n_events")
+
+
+@register(
+    "a6_broadcast_payloads",
+    oracle="""
+    SELECT 'users_' || CASE event_type
+               WHEN 'signup' THEN 'write'
+               WHEN 'error'  THEN 'delete'
+               ELSE 'update' END
+           || ' ' || CAST(user_id AS VARCHAR) AS value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a6_broadcast_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the zmq_sub wire format — '"{table}_{action}" {pk}' payload
+    strings (what the kafka sink's value column carries), with
+    delivery counts."""
+    ch = events_as_changes(spark, sf_dir)
+    return broadcast_payload(ch).groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a4_topic_fanout_counts",
+    oracle="""
+    SELECT 'users_' || CASE event_type
+               WHEN 'signup' THEN 'write'
+               WHEN 'error'  THEN 'delete'
+               ELSE 'update' END AS topic,
+           COUNT(*)              AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_pks
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a4_topic_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: signal fan-out routing — events per `{table}_{action}`
+    topic (each topic feeds one independent sink query in
+    cdc/fanout.py)."""
+    ch = topic(events_as_changes(spark, sf_dir))
+    return ch.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("pk").alias("n_pks"),
+    )
+
+
+@register(
+    "a11_rebuild_asof",
+    oracle=f"""
+    WITH upto AS (
+        SELECT * FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    ranked AS (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM upto
+    )
+    SELECT CAST(user_id AS VARCHAR) AS pk,
+           event_type               AS last_event_type,
+           ROUND(value, 2)          AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def a11_rebuild_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-3 lifecycle: rebuild table state as of a point in time —
+    latest image per pk over the log prefix, deletions dropped. The
+    event-sourcing 'state at t' query the whole store exists for."""
+    ch = events_as_changes(spark, sf_dir).filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    latest = (
+        ch.groupBy("pk")
+        .agg(F.max_by(F.struct("action", "row"), F.struct("ts", "offset")).alias("last"))
+        .filter(F.col("last.action") != "delete")
+    )
+    return latest.select(
+        "pk",
+        F.col("last.row")["last_event_type"].alias("last_event_type"),
+        F.round(F.col("last.row")["value"].cast("double"), 2).alias("last_value"),
+    )

@@ -1,0 +1,167 @@
+"""Parity-layer round-trips (SURVEY.md §5.2.4): event store
+add→replay→rebuild, streaming append, exactly-once redelivery,
+fan-out routing, partition pruning."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from meepo_spark.cdc.event_store import EventStore
+from meepo_spark.cdc.events import events_as_changes, filter_tables, read_change_stream, topic
+from meepo_spark.cdc.exactly_once import EpochLedger, idempotent_foreach_batch, in_doubt
+from meepo_spark.cdc.fanout import Fanout
+
+
+@pytest.fixture(scope="module")
+def changes(spark, sf_dir):
+    return events_as_changes(spark, sf_dir)
+
+
+@pytest.fixture()
+def store(spark, tmp_path, changes):
+    s = EventStore(spark, str(tmp_path / "log"))
+    s.append(changes)
+    return s
+
+
+def test_store_replay_matches_source(spark, store, changes):
+    t0, t1 = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    got = store.replay("users", "update", t0, t1).select("pk", "ts", "offset").collect()
+    want = (
+        changes.filter(
+            (F.col("action") == "update")
+            & (F.col("ts") >= F.lit(t0).cast("timestamp"))
+            & (F.col("ts") < F.lit(t1).cast("timestamp"))
+        )
+        .orderBy("ts", "offset")
+        .select("pk", "ts", "offset")
+        .collect()
+    )
+    assert got == want
+    assert [r["offset"] for r in got] == sorted(
+        [r["offset"] for r in got],
+        key=lambda o: ([w["offset"] for w in want].index(o)),
+    )
+
+
+def test_replay_prunes_partitions(store):
+    """The date filter must reach the scan as a partition filter."""
+    plan = store.replay("users", None, "2024-01-05", "2024-01-07")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_rebuild_equals_direct_snapshot(spark, store, changes):
+    """Entry-3: replaying the log reproduces state computed straight
+    from the source — and applying the stream twice changes nothing
+    (event-store add is idempotent on (pk, ts, offset) identity)."""
+    asof = "2024-01-20 00:00:00"
+    direct = (
+        changes.filter(F.col("ts") <= F.lit(asof).cast("timestamp"))
+        .groupBy("pk")
+        .agg(F.max_by(F.struct("action", "row"), F.struct("ts", "offset")).alias("l"))
+        .filter(F.col("l.action") != "delete")
+        .select("pk", F.col("l.row")["value"].alias("v"))
+    )
+    rebuilt = store.rebuild("users", asof).select("pk", F.col("row")["value"].alias("v"))
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, direct.collect()))
+    # idempotence: append the same events again, dedup by identity, same state
+    store.append(changes)
+    rebuilt2 = (
+        store.log()
+        .filter(F.col("ts") <= F.lit(asof).cast("timestamp"))
+        .dropDuplicates(["pk", "ts", "offset"])
+        .groupBy("pk")
+        .agg(F.max_by(F.struct("action", "row"), F.struct("ts", "offset")).alias("l"))
+        .filter(F.col("l.action") != "delete")
+        .select("pk", F.col("l.row")["value"].alias("v"))
+    )
+    assert sorted(map(tuple, rebuilt2.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_compact_snapshot(spark, store, changes, tmp_path):
+    snap = store.compact(str(tmp_path / "snap"))
+    latest = (
+        changes.groupBy("pk")
+        .agg(F.max_by("action", F.struct("ts", "offset")).alias("action"))
+        .filter(F.col("action") != "delete")
+    )
+    assert snap.count() == latest.count()
+    assert snap.filter(F.col("action") == "delete").count() == 0
+
+
+def test_streaming_append_resumes(spark, changes, tmp_path):
+    """Stream the change log in via availableNow; the checkpoint is
+    the binlog-position resume: a second start() with no new data
+    appends nothing."""
+    src = str(tmp_path / "src")
+    changes.write.mode("overwrite").parquet(src)
+    stream = read_change_stream(spark, src)
+    store = EventStore(spark, str(tmp_path / "slog"))
+    q = store.streaming_sink(stream, str(tmp_path / "ckpt")).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    n1 = store.log().count()
+    assert n1 == changes.count()
+    q2 = store.streaming_sink(read_change_stream(spark, src), str(tmp_path / "ckpt")).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination(120)
+    assert store.log().count() == n1, "checkpoint resume must not re-ingest"
+
+
+def test_exactly_once_redelivery(spark, changes, tmp_path):
+    """Delivering the same epoch twice lands rows once."""
+    ledger = EpochLedger(str(tmp_path / "ledger"))
+    out = str(tmp_path / "out")
+
+    def write(df, epoch):
+        df.write.mode("append").parquet(out)
+
+    body = idempotent_foreach_batch(ledger, write)
+    batch = changes.limit(100)
+    body(batch, 7)
+    body(batch, 7)  # redelivery of the same epoch — must be a no-op
+    assert spark.read.parquet(out).count() == 100
+    # in-batch duplicates collapse on identity
+    body(batch.union(batch), 8)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_in_doubt_detection(spark):
+    prepared = spark.createDataFrame(
+        [("t1",), ("t2",), ("t3",), ("t4",)], ["txn_id"]
+    )
+    committed = spark.createDataFrame([("t1",)], ["txn_id"])
+    rolled = spark.createDataFrame([("t3",)], ["txn_id"])
+    got = sorted(r["txn_id"] for r in in_doubt(prepared, committed, rolled).collect())
+    assert got == ["t2", "t4"]
+
+
+def test_fanout_routes_by_topic(spark, changes, tmp_path):
+    """Each registered topic handler sees exactly its topic's rows."""
+    src = str(tmp_path / "fsrc")
+    changes.write.mode("overwrite").parquet(src)
+    stream = read_change_stream(spark, src)
+    fan = Fanout(stream, str(tmp_path / "fckpt"))
+    seen: dict[str, int] = {}
+
+    @fan.on("users_write")
+    def _w(df, epoch):
+        seen["users_write"] = seen.get("users_write", 0) + df.count()
+
+    @fan.on("users_delete")
+    def _d(df, epoch):
+        seen["users_delete"] = seen.get("users_delete", 0) + df.count()
+
+    for q in fan.start():
+        q.awaitTermination(120)
+    want_w = changes.filter(F.col("action") == "write").count()
+    want_d = changes.filter(F.col("action") == "delete").count()
+    assert seen == {"users_write": want_w, "users_delete": want_d}
+
+
+def test_table_filter_and_topic(changes):
+    assert filter_tables(changes, ["users"]).count() == changes.count()
+    assert filter_tables(changes, ["nope"]).count() == 0
+    tops = {r["topic"] for r in topic(changes).select("topic").distinct().collect()}
+    assert tops == {"users_write", "users_update", "users_delete"}
