@@ -21,3 +21,4 @@ from meepo_spark.queries import llm_dedup  # noqa: F401
 from meepo_spark.queries import llm_sim  # noqa: F401
 from meepo_spark.queries import llm_multimodal  # noqa: F401
 from meepo_spark.queries import parity  # noqa: F401
+from meepo_spark.queries import streaming_batch  # noqa: F401

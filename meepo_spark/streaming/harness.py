@@ -1,0 +1,107 @@
+"""Batch-equivalence harness (SURVEY.md §5.2.3) — the streaming analog
+of the DuckDB oracle: replay a fixture as ordered file chunks, run the
+streaming query to completion with availableNow, and compare against
+the same computation on the batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meepo_spark.schemas import EVENTS
+
+
+FLUSH_EVENT_TYPE = "__flush__"
+FLUSH_USER_ID = -1
+
+
+def replay_as_files(
+    df: DataFrame,
+    out_dir: str,
+    n_chunks: int = 5,
+    order_col: str = "ts",
+    flush: bool = True,
+) -> str:
+    """Write ``df`` as ``n_chunks`` parquet files in event-time order —
+    a deterministic file-by-file arrival simulation.
+
+    ``flush`` appends one sentinel event 30 days past the max ts as a
+    final chunk: in append mode a window only emits once the watermark
+    passes its end, so without the sentinel the last windows would
+    stay open forever when the availableNow stream ends. Tests filter
+    the sentinel (FLUSH_EVENT_TYPE / FLUSH_USER_ID) from results.
+    """
+    chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(W.orderBy(order_col)))
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("__chunk") == i)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+    if flush:
+        flush_ts = df.agg(F.max(order_col)).first()[0] + datetime.timedelta(days=30)
+        sentinel = df.sparkSession.createDataFrame(
+            [(-1, flush_ts, FLUSH_USER_ID, FLUSH_EVENT_TYPE, 0.0, "{}")],
+            df.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+    return out_dir
+
+
+def drop_flush(df: DataFrame) -> DataFrame:
+    """Remove sentinel-derived rows from a windowed result (matches on
+    any of the columns a query may carry through)."""
+    cols = set(df.columns)
+    if "event_type" in cols:
+        df = df.filter(F.col("event_type") != FLUSH_EVENT_TYPE)
+    if "user_id" in cols:
+        df = df.filter(F.col("user_id") != FLUSH_USER_ID)
+    return df
+
+
+def run_streaming(
+    spark: SparkSession,
+    src_dir: str,
+    transform,
+    checkpoint: str,
+    schema=EVENTS,
+    output_mode: str = "append",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Run ``transform(stream_df)`` over the file source to completion
+    (availableNow, one file per micro-batch => watermark advances
+    between batches) and return the materialized result."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def assert_batch_equivalent(
+    spark: SparkSession, batch_df: DataFrame, streamed: DataFrame, keys: list[str]
+) -> None:
+    """Order-insensitive equality between the streaming result and the
+    batch computation."""
+    b = sorted(map(tuple, batch_df.select(*keys).collect()))
+    s = sorted(map(tuple, streamed.select(*keys).collect()))
+    assert b == s, f"batch {len(b)} rows vs stream {len(s)} rows;\nbatch[:3]={b[:3]}\nstream[:3]={s[:3]}"

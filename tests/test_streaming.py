@@ -1,0 +1,197 @@
+"""Streaming T1-T7 tests: batch-equivalence on chunked replays
+(SURVEY.md §5.2.3), watermark late-data semantics, streaming dedup,
+stateful per-key processing, trigger modes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from meepo_spark.catalog import table
+from meepo_spark.streaming.harness import (
+    assert_batch_equivalent,
+    drop_flush,
+    replay_as_files,
+    run_streaming,
+)
+from meepo_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def replay_dir(events, tmp_path_factory):
+    out = tmp_path_factory.mktemp("replay")
+    return replay_as_files(events, str(out / "files"), n_chunks=5)
+
+
+def test_t2_tumbling_batch_equivalence(spark, events, replay_dir, tmp_path):
+    streamed = run_streaming(
+        spark,
+        replay_dir,
+        lambda s: tumbling_agg(s, size="1 day", watermark="1 minute"),
+        str(tmp_path / "ck"),
+    )
+    batch = tumbling_agg(events, size="1 day")
+    cols = ["w_start", "w_end", "event_type", "n", "total_value"]
+    assert_batch_equivalent(spark, batch, drop_flush(streamed), cols)
+
+
+def test_t3_sliding_batch_equivalence(spark, events, replay_dir, tmp_path):
+    streamed = run_streaming(
+        spark,
+        replay_dir,
+        lambda s: sliding_agg(s, size="2 days", slide="1 day", watermark="1 minute"),
+        str(tmp_path / "ck"),
+    )
+    batch = sliding_agg(events, size="2 days", slide="1 day")
+    assert_batch_equivalent(
+        spark, batch, drop_flush(streamed), ["w_start", "w_end", "event_type", "n"]
+    )
+
+
+def test_t4_session_batch_equivalence(spark, events, replay_dir, tmp_path):
+    streamed = run_streaming(
+        spark,
+        replay_dir,
+        lambda s: session_agg(s, gap="30 minutes", watermark="1 minute"),
+        str(tmp_path / "ck"),
+    )
+    batch = session_agg(events, gap="30 minutes")
+    cols = ["user_id", "s_start", "s_end", "n_events", "session_value"]
+    assert_batch_equivalent(spark, batch, drop_flush(streamed), cols)
+
+
+def test_t1_t5_late_rows_cannot_reopen_emitted_windows(spark, tmp_path):
+    """T5 late-data policy, the guaranteed direction: once the
+    watermark has passed a window's end and the window emitted, a late
+    row for that window is dropped — the sink never sees a duplicate
+    or updated row for it. (A late row for a never-emitted window MAY
+    still be aggregated in the same batch it arrives — Spark's drop is
+    best-effort below the watermark, final-result safety is the
+    contract.)"""
+    import glob
+    import os
+    import time
+
+    import pandas as pd
+
+    from meepo_spark.schemas import EVENTS
+
+    on_time = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-02 00:10:00", "2024-01-03 00:00:00"]),
+            "user_id": [1, 1],
+            "event_type": ["view", "view"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    late = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": pd.to_datetime(["2024-01-02 00:20:00"]),  # same window as event 1
+            "user_id": [1],
+            "event_type": ["view"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    filler = pd.DataFrame(
+        {
+            "event_id": [4],
+            "ts": pd.to_datetime(["2024-01-03 00:05:00"]),
+            "user_id": [2],
+            "event_type": ["view"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    src = str(tmp_path / "late_src")
+
+    def write_chunk(pdf, age_s):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(pdf, EVENTS).coalesce(1).write.mode("append").parquet(src)
+        now = time.time()
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (now - age_s, now - age_s))
+
+    # three micro-batches in mtime order (watermark application lags a
+    # batch, so the filler batch is what actually emits the window
+    # before the late row shows up)
+    write_chunk(on_time, 7200)
+    write_chunk(filler, 3600)
+    write_chunk(late, 0)
+    streamed = run_streaming(
+        spark,
+        src,
+        lambda s: tumbling_agg(s, size="1 hour", watermark="1 minute"),
+        str(tmp_path / "ck_late"),
+    )
+    rows = [
+        (r["w_start"], r["n"]) for r in streamed.collect() if r["w_start"].startswith("2024-01-02")
+    ]
+    # exactly one final row for the 00:00 window, counting only the
+    # on-time event — the late event neither updated nor re-emitted it
+    assert rows == [("2024-01-02 00:00:00", 1)], rows
+
+
+def test_o4_streaming_dedup(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark on a source with injected dups."""
+    src = str(tmp_path / "dup_src")
+    sample = events.limit(200)
+    sample.coalesce(1).write.mode("append").parquet(src)
+    sample.coalesce(1).write.mode("append").parquet(src)  # exact dup chunk
+    streamed = run_streaming(
+        spark,
+        src,
+        lambda s: s.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(["event_id"]),
+        str(tmp_path / "ck_dup"),
+        max_files_per_trigger=2,
+    )
+    assert streamed.count() == 200
+
+
+def test_t6_stateful_session_tracker(spark, events, tmp_path):
+    """applyInPandasWithState sessionizer: the closed sessions it
+    emits must be a prefix-consistent subset of the declarative
+    session_window result (the tail session per user stays open)."""
+    from meepo_spark.streaming.stateful import session_tracker
+
+    src = str(tmp_path / "st_src")
+    one_user = events.filter(F.col("user_id") == events.select("user_id").first()[0])
+    replay_as_files(one_user, src, n_chunks=3)
+    streamed = run_streaming(
+        spark,
+        src,
+        session_tracker,
+        str(tmp_path / "ck_state"),
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["first_ts"].strftime("%Y-%m-%d %H:%M:%S"), r["n_events"])
+        for r in drop_flush(streamed).collect()
+    }
+    batch = session_agg(one_user, gap="30 minutes")
+    want = {
+        (r["user_id"], r["s_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got, "stateful tracker emitted nothing"
+    assert got <= want, f"sessions disagree: extra={got - want}"
+
+
+def test_t7_available_now_is_deterministic(spark, events, replay_dir, tmp_path):
+    """Two independent availableNow runs over the same files produce
+    identical results (the property every graded streaming check
+    relies on)."""
+    r1 = drop_flush(run_streaming(
+        spark, replay_dir, lambda s: tumbling_agg(s, watermark="1 minute"), str(tmp_path / "c1")
+    )).collect()
+    r2 = drop_flush(run_streaming(
+        spark, replay_dir, lambda s: tumbling_agg(s, watermark="1 minute"), str(tmp_path / "c2")
+    )).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
