@@ -1,0 +1,121 @@
+"""S2: csv / json scans (SURVEY.md §2.B sources).
+
+The fixtures ship as parquet only, so each query first materializes a
+csv/json copy of the table (once per sf dir, cached under /tmp with
+Spark's own ``_SUCCESS`` marker), then reads it back with an
+**explicit schema** — inference is banned: at 100 TB a schema
+inference pass is a full extra scan, and on streaming sources it is
+impossible. The oracle reads the original parquet view, so the check
+proves the text roundtrip is lossless under the declared schema.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "meepo_spark_s2")
+
+
+def _materialize(df: DataFrame, sf_dir: str, name: str, fmt: str) -> str:
+    """Write ``df`` as csv/json once per (sf dir, name); return path."""
+    out = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), f"{name}_{fmt}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(out)
+    return out
+
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+    ]
+)
+
+ORDERS_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.DateType()),
+    ]
+)
+
+
+@register(
+    "s2_csv_scan",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*)     AS n_nations,
+           MIN(n_name)  AS first_name,
+           MAX(n_name)  AS last_name
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def s2_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2a: csv source with header + explicit schema, FAILFAST so a
+    malformed row is an error, never a silent null."""
+    path = _materialize(table(spark, sf_dir, "nation"), sf_dir, "nation", "csv")
+    nation = (
+        spark.read.schema(NATION_SCHEMA)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "s2b_json_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                  AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def s2b_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2b: json-lines source with explicit schema (doubles round-trip
+    losslessly; timestamps are written as dates to pin a portable text
+    form)."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    path = _materialize(src, sf_dir, "orders", "json")
+    orders = spark.read.schema(ORDERS_TEXT_SCHEMA).option("mode", "FAILFAST").json(path)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -195,3 +195,66 @@ def test_t7_available_now_is_deterministic(spark, events, replay_dir, tmp_path):
         spark, replay_dir, lambda s: tumbling_agg(s, watermark="1 minute"), str(tmp_path / "c2")
     )).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_j8_stream_static_join(spark, events, replay_dir, tmp_path):
+    """J8: streaming events enriched against a static dimension (each
+    user's first-seen day, computed in batch). Stream-static joins
+    need no watermark on the static side — Spark re-broadcasts the
+    dim per micro-batch; result must equal the batch join."""
+    user_dim = (
+        events.groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort_day"))
+    )
+
+    def enrich(stream):
+        return (
+            stream.join(user_dim, "user_id")
+            .select("event_id", "user_id", "cohort_day", "event_type")
+        )
+
+    streamed = drop_flush(
+        run_streaming(spark, replay_dir, enrich, str(tmp_path / "ck_j8"))
+    )
+    batch = enrich(events)
+    assert_batch_equivalent(
+        spark, batch, streamed, ["event_id", "user_id", "cohort_day", "event_type"]
+    )
+
+
+def test_j9_stream_stream_join(spark, events, replay_dir, tmp_path):
+    """J9: watermarked stream-stream join — every view followed by a
+    purchase from the same user within 24h. Both sides carry a
+    watermark and the join condition bounds event-time distance, so
+    state for either side is droppable once the watermark passes;
+    without the bound the join state would grow forever at 100 TB."""
+
+    def paired(stream):
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        buys = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("buy_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "1 hour")
+        )
+        return views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+        ).select("v_user", "view_id", "buy_id")
+
+    streamed = run_streaming(spark, replay_dir, paired, str(tmp_path / "ck_j9"))
+    batch = paired(events)  # same spec in batch (watermarks are no-ops)
+    assert_batch_equivalent(spark, batch, streamed, ["v_user", "view_id", "buy_id"])
