@@ -34,6 +34,27 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
     )
 
 
+def shingle_hash_set(text_col, k: int = 3):
+    """Column: distinct xxhash64 values of the k-token shingles.
+    Jaccard over this set equals string-shingle Jaccard up to 64-bit
+    collisions (P < 1e-9 at realistic doc sizes); comparing 8-byte
+    longs makes the pairwise verify stage several× cheaper than
+    string-set intersection."""
+    return F.transform(shingle_set(text_col, k), lambda s: F.xxhash64(s))
+
+
+def _materialize(df: DataFrame, name: str, col) -> DataFrame:
+    """Pin ``col`` as a physically-evaluated column (explode of a
+    1-element array = a Generate node Catalyst cannot collapse into the
+    downstream projection). Without the barrier, an expression
+    referenced inside a higher-order-function lambda gets inlined by
+    CollapseProject and re-evaluated once per lambda invocation — e.g.
+    shingle construction ×192 minhash seeds."""
+    return df.select("*", F.explode(F.array(col)).alias(name))
+
+
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     """(id, h0..h{n-1}): per-doc min of murmur3(shingle, seed_i) for
     each of ``num_hashes`` seeded permutations. One hash-agg — the
@@ -50,9 +71,13 @@ def lsh_candidate_pairs(
     """Band the signature (r = num_hashes/bands rows per band), bucket
     by (band_idx, band_hash), emit candidate pairs (id_a < id_b).
 
-    b=64/r=2 ⇒ P(candidate | J=0.6) ≈ 1 - (1-0.36)^64 ≈ 1-4e-13:
-    effectively total recall above the 0.6 threshold, with false
-    positives removed by exact verification downstream.
+    Default plan b=48/r=2 ⇒ P(miss | J=0.6) = (1-0.36)^48 ≈ 5e-10:
+    effectively total recall above the 0.6 threshold. r=2 admits more
+    low-J false positives than r=3, but exact verification removes
+    them, and on a corpus whose non-dup pairs sit at J ≤ 0.07 (the
+    fixture's shape, and typical of web text after exact dedup) the
+    candidate volume stays ~1e-3 of all pairs while the signature
+    compute halves vs a 192-hash plan.
     """
     r = num_hashes // bands
     assert bands * r == num_hashes, "bands must divide num_hashes"
@@ -94,7 +119,10 @@ def exact_jaccard(
     ta = toksets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a")
     tb = toksets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    # both sides are distinct sets, so |a ∪ b| = |a| + |b| − |a ∩ b|:
+    # one set build per pair instead of two (array_union is the
+    # costlier op — it materializes the combined set)
+    union = F.size("toks_a") + F.size("toks_b") - inter
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
@@ -109,8 +137,8 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     shingle_k: int = 3,
-    num_hashes: int = 128,
-    bands: int = 64,
+    num_hashes: int = 96,
+    bands: int = 48,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: pairs with exact
     token-set Jaccard >= threshold (LSH recall ≈ 1 above 0.6 with the
@@ -119,39 +147,52 @@ def minhash_near_dup_pairs(
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     # verify on the SAME set family the signatures approximate
+    # (hashed form: identical Jaccard up to 64-bit collisions)
     return exact_jaccard(
-        cand, docs, text_col, id_col, set_builder=lambda c: shingle_set(c, shingle_k)
+        cand, docs, text_col, id_col,
+        set_builder=lambda c: shingle_hash_set(c, shingle_k),
     ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """Per-doc SimHash: for each bit, sum ±1 over shingle hashes, take
-    the sign. Near-dups land at small Hamming distance. Pure agg —
-    one shuffle of |docs| rows × ``bits`` small sums. Uses 3-token
-    shingles (not unigrams): with a small vocabulary unigram sets
-    barely differ across docs, collapsing all signatures together."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_set(F.col(text_col), 3)).alias("tok"),
+    the sign. Near-dups land at small Hamming distance. Array-native
+    and row-local (zero shuffle): shingle hashes are materialized once
+    per row, then each of the ``bits`` sums is a fold over that array.
+    Uses 3-token shingles (not unigrams): with a small vocabulary
+    unigram sets barely differ across docs, collapsing all signatures
+    together."""
+    sh_h = F.transform(shingle_set(F.col(text_col), 3), lambda s: F.xxhash64(s))
+    base = _materialize(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "sh_h", sh_h
+    ).drop(text_col)
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            F.col("sh_h"),
+            F.lit(0),
+            # call_function: the F.shiftright wrapper only takes a
+            # Python-int bit count, but here the count is a lambda var
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
     )
-    h = F.xxhash64("tok")
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    summed = toks.groupBy("id").agg(*bit_aggs)
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        # shiftleft stays in JVM long arithmetic (bit 63 would overflow
-        # a Python int literal's signed-long range)
-        sim = sim.bitwiseOR(
+    with_sums = _materialize(base, "bsum", bit_sums)
+    # fold the sign bits into one long; shiftleft stays in JVM long
+    # arithmetic (bit 63 would overflow a Python int literal)
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc.bitwiseOR(
             F.when(
-                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                F.element_at(F.col("bsum"), i + 1) > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), i),
             ).otherwise(F.lit(0).cast("long"))
-        )
-    return summed.select("id", sim.alias("simhash"))
+        ),
+    )
+    return with_sums.select("id", sim.alias("simhash"))
 
 
 def hamming64(a, b):

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from meepo_spark.functions.vectors import cosine, dot, l2_normalize
+from meepo_spark.functions.vectors import cosine_with_norms, dot, norm
 
 
 def cosine_topk(
@@ -33,13 +33,18 @@ def cosine_topk(
     keeps only k rows per partition). ``pair_filter`` (a Column
     predicate) drops pairs BEFORE ranking — e.g. self-match exclusion.
     """
-    joined = corpus.crossJoin(F.broadcast(queries))
+    # norms fold once per row, not per pair (cosine_with_norms)
+    q = queries.withColumn("__qn", norm(F.col(query_vec)))
+    c = corpus.withColumn("__cn", norm(F.col(corpus_vec)))
+    joined = c.crossJoin(F.broadcast(q))
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
     scored = joined.select(
         query_id,
         corpus_id,
-        cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos"),
+        cosine_with_norms(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ).alias("cos"),
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id).asc())
     return (
@@ -83,11 +88,23 @@ def ann_cosine_topk(
     candidate set shrinks by that factor; recall@k is a property test
     (tests/test_llm.py), not an oracle — the operator is approximate by
     construction."""
-    qb = signbit_bucket(queries, query_vec, dim, n_planes).withColumnRenamed("bucket", "qb")
-    cb = signbit_bucket(corpus, corpus_vec, dim, n_planes).withColumnRenamed("bucket", "cb")
+    qb = (
+        signbit_bucket(queries, query_vec, dim, n_planes)
+        .withColumnRenamed("bucket", "qb")
+        .withColumn("__qn", norm(F.col(query_vec)))
+    )
+    cb = (
+        signbit_bucket(corpus, corpus_vec, dim, n_planes)
+        .withColumnRenamed("bucket", "cb")
+        .withColumn("__cn", norm(F.col(corpus_vec)))
+    )
     joined = cb.join(F.broadcast(qb), F.col("qb") == F.col("cb"))
     scored = joined.select(
-        query_id, corpus_id, cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos")
+        query_id,
+        corpus_id,
+        cosine_with_norms(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ).alias("cos"),
     )
     w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id).asc())
     return (
@@ -109,16 +126,23 @@ def embedding_near_dup_pairs(
     within-bucket pairs exactly. Near-identical vectors share all sign
     bits with probability ≈ 1 - n_planes·θ/π (θ = angle), so recall at
     cos ≥ 0.95 stays high while candidate count collapses."""
-    b = signbit_bucket(df, vec_col, dim, n_planes)
+    b = signbit_bucket(df, vec_col, dim, n_planes).withColumn(
+        "__n", norm(F.col(vec_col))
+    )
     a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket").alias("ba")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("bucket").alias("ba"), F.col("__n").alias("na"),
     )
     c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("bb")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bb"), F.col("__n").alias("nb"),
     )
     return (
         a.join(c, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

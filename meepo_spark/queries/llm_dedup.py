@@ -10,7 +10,7 @@ from meepo_spark.catalog import table
 from meepo_spark.operators.dedup import (
     exact_jaccard,
     minhash_near_dup_pairs,
-    shingle_set,
+    shingle_hash_set,
     simhash,
 )
 from meepo_spark.registry import register
@@ -38,17 +38,17 @@ _SHINGLES_SQL = """
     """,
 )
 def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash (192 murmur3 permutations) → LSH banding (64 bands
-    × 3 rows) → exact shingle-Jaccard verification ≥ 0.6.
+    """L2: MinHash (96 murmur3 permutations) → LSH banding (48 bands
+    × 2 rows) → exact shingle-Jaccard verification ≥ 0.6.
 
     The oracle brute-forces all pairs; LSH recall at J ≥ 0.6 is
-    1-(1-0.6³)⁶⁴ ≈ 1-2e-7, so the verified outputs coincide. At 100 TB
+    1-(1-0.6²)⁴⁸ ≈ 1-5e-10, so the verified outputs coincide. At 100 TB
     the all-pairs oracle is impossible and THIS plan is the point:
     shuffles are bounded by docs×shingles, docs×bands, and candidates.
     """
     d = table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
-        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=192, bands=64
+        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=96, bands=48
     )
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -85,7 +85,7 @@ def l2b_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
-        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=192, bands=64
+        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=96, bands=48
     )
     dupped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return (
@@ -132,7 +132,7 @@ def l2c_ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("lb_a") == F.col("lb_b")) & (F.col("id_a") < F.col("id_b"))
     ).select("id_a", "id_b")
     return (
-        exact_jaccard(pairs, d, "text", "doc_id", set_builder=lambda c: shingle_set(c, 3))
+        exact_jaccard(pairs, d, "text", "doc_id", set_builder=lambda c: shingle_hash_set(c, 3))
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -83,19 +83,19 @@ def l3c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps cost linear in corpus size at any scale; the LSH-blocked
     variant (operators/similarity.embedding_near_dup_pairs) is the
     full-corpus scale path."""
-    from meepo_spark.functions.vectors import cosine
+    from meepo_spark.functions.vectors import cosine_with_norms, norm
 
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("label_a")
-    )
+    ).withColumn("na", norm(F.col("va")))
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("label_b")
-    )
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         a.filter(F.col("id_a") < 200)
         .join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.3)
+        .filter(cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= 0.3)
         .groupBy("label_a", "label_b")
         .agg(F.count(F.lit(1)).alias("n_close_pairs"))
     )
