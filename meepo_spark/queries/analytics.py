@@ -1,0 +1,192 @@
+"""Composite analytics queries — TPC-H-shaped multi-join pipelines
+(Q3/Q5/Q10 shapes) proving the §2.B operators compose: selective
+dimension filters, broadcast + shuffle join mixes, multi-key
+aggregation, deterministic top-N.
+
+Scale notes common to all three: the fact table (lineitem) is never
+shuffled more than once; dimensions (customer/supplier/nation/region
+at realistic scales) broadcast; filters sit on the scan side of every
+join so Catalyst pushes them into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment-filtered customers → orders → lineitem,
+    revenue per order, top 10. Customer filter broadcasts; only the
+    orders⋈lineitem join shuffles (both sides keyed on orderkey)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            # sum in DECIMAL: exact, order-independent — double sums
+            # round differently between engines at .005 boundaries
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: six-table star join; the customer-nation ==
+    supplier-nation condition makes it a genuine multi-way constraint,
+    not a chain. All dims broadcast; lineitem shuffles once on
+    orderkey."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            # sum in DECIMAL: exact, order-independent — double sums
+            # round differently between engines at .005 boundaries
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-lineitem revenue per customer, top 20. The
+    returnflag filter pushes into the fact scan; customer and nation
+    broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # sum in DECIMAL: exact, order-independent — double sums
+            # round differently between engines at .005 boundaries
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
