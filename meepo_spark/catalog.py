@@ -51,6 +51,20 @@ def load_tables(
     return dfs
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's shuffle parallelism before a
+    CPU-heavy kernel (hashing, vector math). Small parquet files
+    arrive as ONE scan partition (maxPartitionBytes splits by bytes,
+    not by compute cost), which would serialize the kernel on a
+    single core; the shuffle this inserts is tiny relative to the
+    kernel. The partition count is EXPLICIT so AQE's byte-based
+    coalescing cannot fold the tiny-but-CPU-heavy partitions back to
+    one. At production scale the scan already yields many partitions
+    and this becomes a cheap even-out against skew."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (no view registration).
 

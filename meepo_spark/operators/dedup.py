@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meepo_spark.catalog import spread
 from meepo_spark.functions.text import ws_tokens
 
 
@@ -93,17 +94,36 @@ def lsh_candidate_pairs(
     banded = sig.select("id", F.explode(band_cols).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # bucket-collect instead of a self-join: a self-join's two sides
+    # would each re-execute the whole signature pipeline (Spark does
+    # not reuse the exchange here), while the collect shuffles the
+    # banded rows ONCE. A B-member bucket yields B(B-1)/2 pairs under
+    # either formulation; bucket width is bounded in practice because
+    # exact dedup runs before near-dedup.
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
+    )
+
+
+def ordered_pairs(arr):
+    """Column: all (a, b) pairs with a before b in the sorted array —
+    the within-bucket pair expansion. ``arr`` must be an attribute
+    (materialized by the upstream agg), not an inline expression."""
+    sorted_arr = F.array_sort(arr)
+    n = F.size(sorted_arr)
+    return F.flatten(
+        F.transform(
+            sorted_arr,
+            lambda x, i: F.transform(
+                F.slice(sorted_arr, i + 2, n),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
 
 
@@ -115,7 +135,9 @@ def exact_jaccard(
     maps the text column to the comparison set (default: distinct
     whitespace tokens; pass ``shingle_set`` for n-gram Jaccard)."""
     sb = set_builder or (lambda c: F.array_distinct(ws_tokens(c)))
-    toksets = docs.select(F.col(id_col).alias("id"), sb(F.col(text_col)).alias("toks"))
+    toksets = spread(docs, id_col).select(
+        F.col(id_col).alias("id"), sb(F.col(text_col)).alias("toks")
+    )
     ta = toksets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a")
     tb = toksets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
@@ -143,7 +165,7 @@ def minhash_near_dup_pairs(
     """End-to-end MinHash-LSH near-dup detection: pairs with exact
     token-set Jaccard >= threshold (LSH recall ≈ 1 above 0.6 with the
     default band plan)."""
-    sh = shingles(docs, text_col, id_col, shingle_k)
+    sh = shingles(spread(docs, id_col), text_col, id_col, shingle_k)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     # verify on the SAME set family the signatures approximate
@@ -155,44 +177,35 @@ def minhash_near_dup_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """Per-doc SimHash: for each bit, sum ±1 over shingle hashes, take
-    the sign. Near-dups land at small Hamming distance. Array-native
-    and row-local (zero shuffle): shingle hashes are materialized once
-    per row, then each of the ``bits`` sums is a fold over that array.
-    Uses 3-token shingles (not unigrams): with a small vocabulary
-    unigram sets barely differ across docs, collapsing all signatures
-    together."""
-    sh_h = F.transform(shingle_set(F.col(text_col), 3), lambda s: F.xxhash64(s))
-    base = _materialize(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)), "sh_h", sh_h
-    ).drop(text_col)
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda i: F.aggregate(
-            F.col("sh_h"),
-            F.lit(0),
-            # call_function: the F.shiftright wrapper only takes a
-            # Python-int bit count, but here the count is a lambda var
-            lambda acc, h: acc
-            + F.when(
-                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        ),
+    """Per-doc SimHash: for each bit, count ones across shingle
+    hashes; the signature bit is set when ones outnumber zeros.
+    Exploded + hash-agg form on purpose: higher-order functions are
+    interpreted, while this agg runs in whole-stage codegen — at
+    sf0.1 the codegen'd agg beats the array fold ~1.5×, and map-side
+    partial aggregation keeps the shuffle at |docs| rows × ``bits``
+    small sums. Uses 3-token shingles (not unigrams): with a small
+    vocabulary unigram sets barely differ across docs, collapsing all
+    signatures together."""
+    toks = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hash_set(F.col(text_col), 3)).alias("h"),
     )
-    with_sums = _materialize(base, "bsum", bit_sums)
-    # fold the sign bits into one long; shiftleft stays in JVM long
-    # arithmetic (bit 63 would overflow a Python int literal)
-    sim = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc.bitwiseOR(
+    ones = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        # ones > n/2 ⇔ the ±1 sum is positive; shiftleft stays in JVM
+        # long arithmetic (bit 63 would overflow a Python int literal)
+        sim = sim.bitwiseOR(
             F.when(
-                F.element_at(F.col("bsum"), i + 1) > 0,
-                F.call_function("shiftleft", F.lit(1).cast("long"), i),
+                F.col(f"b{i}") * 2 > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
             ).otherwise(F.lit(0).cast("long"))
-        ),
-    )
-    return with_sums.select("id", sim.alias("simhash"))
+        )
+    return summed.select("id", sim.alias("simhash"))
 
 
 def hamming64(a, b):

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from meepo_spark.catalog import spread
 from meepo_spark.functions.vectors import cosine_with_norms, dot, norm
 
 
@@ -35,7 +36,7 @@ def cosine_topk(
     """
     # norms fold once per row, not per pair (cosine_with_norms)
     q = queries.withColumn("__qn", norm(F.col(query_vec)))
-    c = corpus.withColumn("__cn", norm(F.col(corpus_vec)))
+    c = spread(corpus, corpus_id).withColumn("__cn", norm(F.col(corpus_vec)))
     joined = c.crossJoin(F.broadcast(q))
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
@@ -94,7 +95,7 @@ def ann_cosine_topk(
         .withColumn("__qn", norm(F.col(query_vec)))
     )
     cb = (
-        signbit_bucket(corpus, corpus_vec, dim, n_planes)
+        signbit_bucket(spread(corpus, corpus_id), corpus_vec, dim, n_planes)
         .withColumnRenamed("bucket", "cb")
         .withColumn("__cn", norm(F.col(corpus_vec)))
     )
@@ -126,7 +127,7 @@ def embedding_near_dup_pairs(
     within-bucket pairs exactly. Near-identical vectors share all sign
     bits with probability ≈ 1 - n_planes·θ/π (θ = angle), so recall at
     cos ≥ 0.95 stays high while candidate count collapses."""
-    b = signbit_bucket(df, vec_col, dim, n_planes).withColumn(
+    b = signbit_bucket(spread(df, id_col), vec_col, dim, n_planes).withColumn(
         "__n", norm(F.col(vec_col))
     )
     a = b.select(

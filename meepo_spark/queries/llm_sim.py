@@ -83,9 +83,10 @@ def l3c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps cost linear in corpus size at any scale; the LSH-blocked
     variant (operators/similarity.embedding_near_dup_pairs) is the
     full-corpus scale path."""
+    from meepo_spark.catalog import spread
     from meepo_spark.functions.vectors import cosine_with_norms, norm
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("label_a")
     ).withColumn("na", norm(F.col("va")))

@@ -1,0 +1,147 @@
+"""UDF-surface queries (SURVEY.md §2.B U1/U3/U4): Arrow-vectorized
+scalar pandas UDF, grouped-agg pandas UDAF, Python UDTF.
+
+These are deliberately the ONLY graded queries with Python in the hot
+path — everything else stays JVM-side (the §4.4 discipline). They
+exist to prove the engine's extension surface: when a kernel genuinely
+can't be expressed in built-ins, this is the sanctioned shape — Arrow
+batches in, Arrow batches out, never row-at-a-time ``udf()``.
+U2 (grouped-map ``applyInPandas``) is exercised by the multimodal
+queries and the stateful streaming tests.
+
+UDFs are built lazily inside each query: ``pandas_udf``/``udtf``
+decorators parse their DDL return type against the ACTIVE session, so
+module-import-time construction would require a SparkSession before
+the registry can load.
+"""
+
+from __future__ import annotations
+
+from functools import cache
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+# Fixed deterministic scoring direction for U1 (64 dims, one-decimal
+# values so the SQL-side literal list is tiny and drift-free).
+_WEIGHTS = [round(((i * 7) % 13 - 6) / 10.0, 1) for i in range(64)]
+
+
+@cache
+def _weighted_score():
+    """U1: Arrow-batched numpy dot against a fixed weight vector —
+    the whole batch arrives as one pandas Series, the kernel is a
+    single vectorized matmul, not a per-row loop."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def weighted_score(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype("float64")  # (batch, 64)
+        return pd.Series(mat @ np.asarray(_WEIGHTS))
+
+    return weighted_score
+
+
+@register(
+    "u1_pandas_vector_score",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[],
+                 [{", ".join(str(w) for w in _WEIGHTS)}]::DOUBLE[]), 4) AS score
+    FROM embeddings
+    WHERE vec_id < 1000
+    """,
+)
+def u1_pandas_vector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: scalar pandas UDF (Arrow transfer, numpy kernel). The plan
+    must show ArrowEvalPython, never BatchEvalPython (asserted in
+    tests/test_plans.py)."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return emb.select(
+        "vec_id", F.round(_weighted_score()("embedding"), 4).alias("score")
+    )
+
+
+@cache
+def _top3_sum():
+    """U3: grouped-agg pandas UDAF — integer-exact (no float drift
+    against the oracle's list-based equivalent)."""
+
+    @F.pandas_udf("long")
+    def top3_sum(n_chars: pd.Series) -> int:
+        return int(n_chars.nlargest(3).sum())
+
+    @F.pandas_udf("long")
+    def n_rows(n_chars: pd.Series) -> int:
+        return int(len(n_chars))
+
+    return top3_sum, n_rows
+
+
+@register(
+    "u3_udaf_top3_chars",
+    oracle="""
+    SELECT lang,
+           CAST(list_sum(list_slice(list_sort(list(n_chars), 'DESC'), 1, 3)) AS BIGINT)
+               AS top3_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def u3_udaf_top3_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: custom aggregates (sum of the 3 largest doc lengths per
+    language, plus a UDAF row count — Spark disallows mixing
+    GROUPED_AGG pandas UDFs with JVM aggregates in one ``agg``).
+    Partial aggregation does NOT apply to Python UDAFs, so each
+    group's column ships to one worker: acceptable for |groups| ≫
+    |executors| and bounded group width, which is the rule for any
+    custom UDAF at 100 TB."""
+    top3_sum, n_rows = _top3_sum()
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        top3_sum("n_chars").alias("top3_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )
+
+
+@cache
+def _split_sentences():
+    """U4: Python UDTF — one input row fans out to N output rows; the
+    extension point for generators built-ins can't express (here a
+    trivial sentence splitter, deliberately matching a pure-SQL
+    oracle)."""
+
+    @F.udtf(returnType="doc_id: bigint, sentence: string, n_words: int")
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001 — signature fixed by Spark
+            for s in text.split(". "):
+                yield doc_id, s, len(s.split())
+
+    return SplitSentences
+
+
+@register(
+    "u4_udtf_sentences",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, '. ')) AS sentence,
+           CAST(len(string_split(unnest(string_split(text, '. ')), ' ')) AS INT)
+               AS n_words
+    FROM documents
+    WHERE doc_id < 500
+    """,
+)
+def u4_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: LATERAL UDTF over a bounded document sample."""
+    spark.udtf.register("split_sentences", _split_sentences())
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("u4_docs")
+    return spark.sql(
+        "SELECT s.* FROM u4_docs, LATERAL split_sentences(doc_id, text) s"
+    )
