@@ -190,3 +190,51 @@ def l2d_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "l2e_duplicate_clusters",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    dup_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM dup_pairs
+        UNION ALL
+        SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach AS (
+        WITH RECURSIVE r(id, seen) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.seen FROM edges e JOIN r ON e.b = r.id
+        )
+        SELECT id, MIN(seen) AS component FROM r GROUP BY id
+    )
+    SELECT component, COUNT(*) AS n_members
+    FROM reach
+    GROUP BY component
+    """,
+)
+def l2e_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: full duplicate CLUSTERS (not just pairs) — connected
+    components over the verified near-dup pair graph via iterative
+    min-label propagation (operators/graph.py), the transitive
+    grouping the greedy min-id survivor rule (l2b) approximates. The
+    oracle computes the same components with a recursive CTE; both
+    label every cluster by its minimum doc_id."""
+    from meepo_spark.operators.graph import component_sizes, connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=96, bands=48
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    return component_sizes(comps).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
