@@ -106,3 +106,31 @@ def range_join(
         "__bk", F.explode(F.array(F.floor(rstart / F.expr(width)), F.floor(rstart / F.expr(width)) + 1))
     )
     return lb.join(rb, (lb["__bk"] == rb["__bk"]) & condition, how).drop("__bk")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot key on the ``big`` side (one
+    key holding a large fraction of rows) funnels an ordinary shuffle
+    join into a single straggler task. Salting splits each big-side
+    key across ``salt`` sub-partitions (random per row) and replicates
+    the ``small`` side once per salt value, so the hot key's rows land
+    on ``salt`` tasks instead of one. Result set is identical to
+    ``big.join(small, on, how)``; the salt column never escapes.
+
+    AQE's skew-join split (on by default in session.py) handles most
+    skew after the fact; explicit salting is for the cases AQE can't
+    re-plan — skewed BUILD sides, or stable production jobs where the
+    skew is known ahead of time. Cost: |small| × salt replication, so
+    use with broadcast-sized or dimension-sized small sides only.
+    """
+    big_s = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(small_s, [on, "__salt"], how).drop("__salt")
