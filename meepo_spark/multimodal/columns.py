@@ -114,3 +114,82 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def attach_fake_video(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in VIDEO payloads: n_frames derived from
+    doc_id (1..16), 25 fps timing in duration_ms."""
+    n_frames = (F.pmod(F.col("doc_id"), F.lit(16)) + 1).cast("int")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/x-fake").alias("mime"),
+            F.lit(320).cast("int").alias("width"),
+            F.lit(240).cast("int").alias("height"),
+            (n_frames * 40).cast("long").alias("duration_ms"),
+            n_frames.alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def plan_frame_samples(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """One row per sampled frame index (stride ``every_n``) — the
+    fan-out PLANNING step of video frame sampling, pure JVM (explode
+    of a sequence over meta.n_frames; no decode needed to decide
+    which frames to touch). The pixel extraction for each planned
+    (doc_id, frame_idx) then runs through the decode path
+    (``decode_media``, stubbed here) — planning first means the
+    decoder touches ceil(n_frames/stride) frames, not all of them."""
+    return df.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched resize over (doc_id, payload, meta). STUB
+    semantics (codecs absent): the fake 'resampled' payload is the
+    original truncated by the area ratio — deterministic, so the
+    byte-length contract is SQL-checkable; swap the body for a real
+    PIL/av resample without touching schema, batching, or callers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target_area = float(target_w * target_h)
+        for pdf in it:
+            out_w, out_h, out_n = [], [], []
+            for raw, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                ratio = min(1.0, target_area / float(w * h))
+                out_w.append(min(int(w), target_w))
+                out_h.append(min(int(h), target_h))
+                out_n.append(int(len(raw) * ratio))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "n_bytes": out_n,
+                }
+            )
+
+    flat = df.select(
+        "doc_id", "payload", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(batches, RESIZE_SCHEMA)

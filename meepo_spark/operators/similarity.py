@@ -147,3 +147,102 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def _kmeans_centroids(
+    sample: "np.ndarray", k: int, iters: int = 12, seed: int = 42
+) -> "np.ndarray":
+    """Deterministic Lloyd's k-means on a driver-side SAMPLE (coarse
+    quantizer training — the one place a bounded collect is the right
+    call: the sample is O(k × 16) rows regardless of corpus size, and
+    every production IVF index trains its quantizer on a sample)."""
+    rng = np.random.default_rng(seed)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.clip(norms, 1e-12, None)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)  # cosine on unit vectors
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _centroid_rank_array(vec_col: str, centroids: "np.ndarray"):
+    """Column: ARRAY<STRUCT<negdot, cid>> sorted ascending — element 0
+    is the nearest centroid. Dot products are JVM-side expressions
+    with the centroid coordinates travelling as literals."""
+    entries = []
+    for cid, c in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(
+            F.struct(
+                (-dot(F.col(vec_col), plane)).alias("negdot"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 512,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    pair_filter=None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their nearest of ``n_centroids`` k-means cells; each
+    query probes its ``n_probe`` nearest cells and ranks exactly
+    within them. Candidate volume ≈ corpus × n_probe / n_centroids.
+    vs the sign-LSH path (``ann_cosine_topk``): IVF cells adapt to the
+    data distribution, so recall at equal candidate budget is higher
+    on clustered embeddings; LSH needs no training pass. Recall is
+    property-tested against the exact operator, not oracle-matched —
+    approximate by construction."""
+    sample = np.stack(
+        [r[0] for r in corpus.select(corpus_vec).limit(train_sample).collect()]
+    ).astype("float64")
+    cent = _kmeans_centroids(sample, n_centroids)
+
+    c_ranked = spread(corpus, corpus_id).withColumn(
+        "__cells", _centroid_rank_array(corpus_vec, cent)
+    )
+    c_assigned = c_ranked.withColumn(
+        "cell", F.col("__cells")[0]["cid"]
+    ).drop("__cells").withColumn("__cn", norm(F.col(corpus_vec)))
+
+    q_ranked = queries.withColumn("__cells", _centroid_rank_array(query_vec, cent))
+    q_probes = (
+        q_ranked.withColumn(
+            "cell", F.explode(F.slice(F.col("__cells"), 1, n_probe)["cid"])
+        )
+        .drop("__cells")
+        .withColumn("__qn", norm(F.col(query_vec)))
+    )
+
+    joined = c_assigned.join(F.broadcast(q_probes), "cell")
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        cosine_with_norms(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ).alias("cos"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -59,3 +59,46 @@ def l5b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_entropy", 3).alias("byte_entropy"),
         "head_hex",
     )
+
+
+@register(
+    "l5c_frame_sample_plan",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, CAST(doc_id % 16 + 1 AS INT), 4)) AS frame_idx
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def l5c_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: video frame-sampling fan-out — every 4th frame of each fake
+    video, planned JVM-side before any decode touches bytes."""
+    from meepo_spark.multimodal.columns import attach_fake_video, plan_frame_samples
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return plan_frame_samples(attach_fake_video(d), every_n=4).select(
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@register(
+    "l5d_resize_bytes",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEAST(doc_id % 64 + 32, 32) AS INT)  AS width,
+           CAST(LEAST(doc_id % 48 + 32, 32) AS INT)  AS height,
+           CAST(FLOOR(octet_length(encode(text))
+                * LEAST(1.0, 1024.0 / ((doc_id % 64 + 32) * (doc_id % 48 + 32))))
+                AS BIGINT)                            AS n_bytes
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def l5d_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: mapInPandas resize to 32×32 — the deterministic stub
+    truncates payloads by area ratio, making the byte-length contract
+    exactly SQL-checkable (same double math on both sides)."""
+    from meepo_spark.multimodal.columns import attach_fake_payload, resize_media
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return resize_media(attach_fake_payload(d), 32, 32)

@@ -156,3 +156,24 @@ def test_connected_components_chain_and_islands(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     sizes = {r["component"]: r["n_members"] for r in component_sizes(connected_components(edges)).collect()}
     assert sizes == {1: 4, 10: 3, 20: 2}
+
+
+def test_ivf_recall_at_5(spark, sf_dir):
+    """IVF top-5 must recover most of the exact top-5 (probing 8/16
+    cells — this fixture's neighbors spread near-uniformly across
+    cells, so recall tracks probed fraction; measured 0.84). Floor
+    0.75: a quantizer/assignment bug craters it far below."""
+    from meepo_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in QUERIES["l3_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in QUERIES["l3d_ivf_topk"](spark, sf_dir).collect()
+    }
+    assert exact, "exact top-k must not be empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, f"IVF recall@5 too low: {recall}"
