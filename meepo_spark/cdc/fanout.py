@@ -69,3 +69,27 @@ def broadcast_payload(changes: DataFrame) -> DataFrame:
             " ", F.concat_ws("_", "table", "action"), F.col("pk")
         ).alias("value")
     )
+
+
+def with_dlq(fn: Callable[[DataFrame, int], None], dlq_path: str):
+    """Wrap a foreachBatch handler with a dead-letter queue: a batch
+    whose handler raises is quarantined (rows + error + batch id) to
+    ``dlq_path`` and the stream keeps going. meepo's replicator
+    retried failing callbacks in the worker pool; at scale a poison
+    event must park out-of-band instead of wedging the whole
+    pipeline — transient failures are already covered by Spark task
+    retry underneath. Recovery = fix the handler, re-apply the DLQ
+    parquet through it, delete the quarantine."""
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            fn(batch_df, batch_id)
+        except Exception as e:  # noqa: BLE001 — quarantine any handler failure
+            (
+                batch_df.withColumn("dlq_error", F.lit(repr(e)[:500]))
+                .withColumn("dlq_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(dlq_path)
+            )
+
+    return wrapped

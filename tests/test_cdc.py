@@ -165,3 +165,41 @@ def test_table_filter_and_topic(changes):
     assert filter_tables(changes, ["nope"]).count() == 0
     tops = {r["topic"] for r in topic(changes).select("topic").distinct().collect()}
     assert tops == {"users_write", "users_update", "users_delete"}
+
+
+def test_dlq_quarantines_poison_batch(spark, changes, tmp_path):
+    """A11 failure handling: a handler that raises on a poison batch
+    must not kill the stream — the batch parks in the DLQ with error
+    metadata, and healthy batches still process."""
+    from meepo_spark.cdc.fanout import with_dlq
+
+    src = str(tmp_path / "dlq_src")
+    changes.where(F.col("table") == "users").limit(20).coalesce(1).write.parquet(src)
+    processed = str(tmp_path / "ok")
+    dlq = str(tmp_path / "dlq")
+
+    calls = {"n": 0}
+
+    def handler(batch_df, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:  # poison only the first batch
+            raise ValueError("poison event")
+        batch_df.write.mode("append").parquet(processed)
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(with_dlq(handler, dlq))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    quarantined = spark.read.parquet(dlq)
+    assert quarantined.count() > 0
+    assert quarantined.filter(F.col("dlq_error").contains("poison")).count() > 0
+    assert {"dlq_error", "dlq_batch_id"} <= set(quarantined.columns)
