@@ -116,7 +116,10 @@ def _split_sentences():
     trivial sentence splitter, deliberately matching a pure-SQL
     oracle)."""
 
-    @F.udtf(returnType="doc_id: bigint, sentence: string, n_words: int")
+    @F.udtf(
+        returnType="doc_id: bigint, sentence: string, n_words: int",
+        useArrow=True,
+    )
     class SplitSentences:
         def eval(self, doc_id, text):  # noqa: ANN001 — signature fixed by Spark
             for s in text.split(". "):
