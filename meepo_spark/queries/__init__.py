@@ -24,5 +24,6 @@ from meepo_spark.queries import parity  # noqa: F401
 from meepo_spark.queries import streaming_batch  # noqa: F401
 from meepo_spark.queries import sources  # noqa: F401
 from meepo_spark.queries import analytics  # noqa: F401
+from meepo_spark.queries import analytics2  # noqa: F401
 from meepo_spark.queries import udf_surface  # noqa: F401
 from meepo_spark.queries import sql_entry  # noqa: F401

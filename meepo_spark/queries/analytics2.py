@@ -1,0 +1,497 @@
+"""Composite analytics, wave 2 — the remaining classic TPC-H shapes
+(Q4/Q6/Q7/Q8/Q9/Q12/Q14/Q16/Q18/Q19/Q22) adapted to the fixture
+schema (FIXTURES.md: no partsupp, no ship/commit/receipt-date triple,
+no phone — each adaptation keeps the *plan shape* that makes the
+original query interesting).
+
+Scale notes common to all: lineitem (the fact) is filtered at the
+scan and shuffled at most once; part/supplier/customer/nation/region
+broadcast at realistic dim sizes; disjunctive predicates stay in the
+scan filter so Catalyst can push min/max row-group pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+def _dec_revenue() -> F.Column:
+    # sum in DECIMAL: exact, order-independent — double sums round
+    # differently between engines at .005 boundaries
+    return F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS against the fact table (here:
+    "shipped more than 60 days after ordering" replaces the missing
+    commit/receipt pair), counted by priority. The semi join keeps the
+    probe side to order granularity — no fact-row multiplication."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-filter-aggregate, zero joins, zero shuffles
+    past the partial agg. All three predicates push into the parquet
+    scan; at 100 TB this is the min/max row-group-pruning showcase."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY ns.n_name, nc.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume — the same dim (nation) joined
+    twice under different roles, a disjunctive cross-dim constraint,
+    and a year rollup. Both nation joins broadcast; the pair filter
+    runs after them so it never blocks pushdown on the fact scan."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(_dec_revenue(), 2).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)
+                 / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 4) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE p.p_type = 'PROMO'
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: conditional-aggregate ratio (one nation's share of a
+    region's PROMO-part volume per year). Numerator and denominator
+    are exact decimal sums, so the double division and 4dp round are
+    bit-identical across engines. Seven tables; one fact shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT ns.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                        - CAST(p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per supplier-nation per year over a LIKE-
+    filtered part subset. The missing ps_supplycost is modeled as 10%
+    of p_retailprice per unit — the plan (two dim broadcasts feeding a
+    fact-orders shuffle join, then a two-key agg) is the point."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    ) - (F.col("p_retailprice") * F.col("l_quantity") * 0.1).cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q12_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: pivoted conditional counts (urgent vs not) over a
+    cross-table date predicate ("shipped >30 days after ordering"
+    stands in for the missing shipmode/receipt columns)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END)
+                 / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promotion revenue percentage for one ship-month.
+    Part broadcasts into the month-pruned fact scan; single-row out."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-02-01")
+    )
+    p = table(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                / F.sum(vol),
+                2,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 40
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute bucket
+    with a NOT-IN exclusion subquery (negative-balance suppliers
+    replace the missing complaint-comment filter). The exclusion list
+    is an anti join; the distinct agg is the only fact shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
+        .limit(40)
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) t
+      ON o.o_orderkey = t.l_orderkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-filtered fact aggregate (orders over 300
+    units) joined back to its header tables, top-100 by price. The
+    pre-aggregation shrinks the fact side to order granularity before
+    any join — at 100 TB this agg-before-join ordering is the whole
+    game."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: three disjunctive brand/size/quantity branches over
+    the part⋈lineitem join. Catalyst extracts the common l_quantity
+    bounds (1..30) as a pushable fact-scan filter; the full
+    disjunction evaluates post-join."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(_dec_revenue(), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no recent
+    orders (nation replaces the missing phone prefix). Scalar subquery
+    for the average; anti join for the NOT EXISTS; both inputs tiny
+    after the balance filter, so everything broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    n = table(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
