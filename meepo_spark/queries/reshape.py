@@ -1,0 +1,214 @@
+"""Reshape / sampling / order-statistic surface: pivot, unpivot,
+deterministic sampling, exact percentiles, edit-distance matching,
+ordered string aggregation. Rounds out SURVEY.md §2.B shapes the
+first two waves didn't exercise.
+
+Scale notes: pivot with an explicit value list is a single hash-agg
+(no second pass to discover values — at 100 TB value discovery would
+be its own shuffle); unpivot is a zero-shuffle Expand; hash-mod
+sampling pushes into the scan and, unlike `TABLESAMPLE`, is
+deterministic and joinable (the same keys survive in every table it
+is applied to); exact percentiles shuffle once per group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "v1_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS qty_F,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS qty_O,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS qty_P
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def v1_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by returnflag × linestatus, linestatus values
+    spread to columns. The explicit value list keeps it one hash-agg
+    (Catalyst lowers pivot to conditional aggregates — exactly the
+    oracle's CASE form)."""
+    l = table(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+        F.col("P").alias("qty_P"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "v2_unpivot_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+               CAST(ROUND(AVG(o_totalprice), 2) AS DOUBLE) AS avg_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, value FROM (
+        SELECT o_orderstatus, 'n_orders'    AS metric, n_orders    AS value FROM m
+        UNION ALL
+        SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM m
+        UNION ALL
+        SELECT o_orderstatus, 'avg_price'   AS metric, avg_price   AS value FROM m
+    )
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def v2_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot: per-status order metrics melted to (status, metric,
+    value) long form — `DataFrame.unpivot`, a zero-shuffle Expand node
+    over the already-aggregated (tiny) input."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return m.unpivot(
+        "o_orderstatus",
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+@register(
+    "v3_hash_sample",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+)
+def v3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1% systematic sample by key modulus. Unlike
+    TABLESAMPLE this is reproducible across engines and runs, pushes
+    into the scan, and samples *entities* (whole orders), so sampled
+    tables stay joinable on the sampled key."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "v4_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.50) FILTER (WHERE l_discount > 0.05), 2) AS p50_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def v4_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles per group, including a
+    FILTER-ed median — the exact complement to G7's sketch-based
+    percentile_approx. Both engines use linear interpolation, so the
+    doubles agree bit-for-bit before rounding."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+            F.round(
+                F.percentile(
+                    F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")),
+                    F.lit(0.50),
+                ),
+                2,
+            ).alias("p50_discounted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "v5_edit_distance",
+    oracle="""
+    SELECT levenshtein(p_name, 'small bolt') AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           MIN(p_name) AS example
+    FROM part
+    WHERE levenshtein(p_name, 'small bolt') <= 6
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def v5_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance matching: parts within Levenshtein distance 6 of
+    a probe string, bucketed by distance. The fuzzy-string primitive
+    for entity resolution; at scale the probe side is a broadcast list
+    and the distance threshold gates a candidate join."""
+    p = table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("small bolt"))
+    return (
+        p.select(dist.alias("dist"), "p_name")
+        .filter(F.col("dist") <= 6)
+        .groupBy("dist")
+        .agg(F.count("*").alias("n_parts"), F.min("p_name").alias("example"))
+        .orderBy("dist")
+    )
+
+
+@register(
+    "v6_listagg_types",
+    oracle="""
+    SELECT p_brand,
+           string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part
+    WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def v6_listagg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): distinct part types per
+    brand, sorted then joined — collect_set + array_sort + array_join
+    keeps the result deterministic under any partitioning (an unsorted
+    listagg would be nondeterministic at any scale)."""
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("p_type")), ",").alias("types"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )

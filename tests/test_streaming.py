@@ -258,3 +258,47 @@ def test_j9_stream_stream_join(spark, events, replay_dir, tmp_path):
     streamed = run_streaming(spark, replay_dir, paired, str(tmp_path / "ck_j9"))
     batch = paired(events)  # same spec in batch (watermarks are no-ops)
     assert_batch_equivalent(spark, batch, streamed, ["v_user", "view_id", "buy_id"])
+
+
+def test_s4_rate_micro_batch_source(spark, tmp_path):
+    """S4: the rate-micro-batch source — Spark's deterministic
+    synthetic stream (exactly rowsPerBatch rows per micro-batch,
+    values 0,1,2,... in order). Three batches through a memory sink
+    must yield the contiguous prefix 0..3*rowsPerBatch-1 with the
+    (timestamp, value) schema — the load generator for soak-testing
+    sinks without fixture files."""
+    rows_per_batch = 50
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert [f.name for f in stream.schema.fields] == ["timestamp", "value"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s4_rate_smoke")
+        .option("checkpointLocation", str(tmp_path / "ck_rate"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        target = 3 * rows_per_batch
+        while time.time() < deadline:
+            if spark.table("s4_rate_smoke").count() >= target:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    got = spark.table("s4_rate_smoke")
+    n = got.count()
+    assert n >= target
+    stats = got.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.countDistinct("value").alias("d"),
+    ).collect()[0]
+    # contiguous, duplicate-free prefix: exactly-once batch delivery
+    assert stats.lo == 0 and stats.d == n and stats.hi == n - 1
