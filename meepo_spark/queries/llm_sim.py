@@ -125,3 +125,37 @@ def l3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "q_id", "c_id", F.round("cos", 6).alias("cos_r"), "rank"
     )
+
+
+@register(
+    "l3e_label_centroids",
+    oracle="""
+    SELECT e.label, CAST(t.i AS INTEGER) AS pos,
+           ROUND(CAST(SUM(CAST(e.embedding[t.i + 1] AS DECIMAL(25,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS centroid
+    FROM embeddings e, range(4) t(i)
+    GROUP BY e.label, t.i
+    ORDER BY e.label, t.i
+    """,
+)
+def l3e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: per-label embedding centroids (first 4 dims graded; the
+    operator is dimension-generic) — posexplode to (label, pos, val),
+    then an elementwise decimal-exact mean. The order-independent
+    decimal sum is what makes a distributed array-mean reproducible:
+    a double accumulation would drift with partition order. Shuffle
+    carries labels × dims partial sums (map-side combine), never the
+    vectors themselves."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("centroid")
+        )
+        .orderBy("label", "pos")
+    )

@@ -123,10 +123,11 @@ def v3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v4_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-           ROUND(quantile_cont(l_extendedprice, 0.50) FILTER (WHERE l_discount > 0.05), 2) AS p50_discounted
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) / 100.0, 2) AS p25,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.50) / 100.0, 2) AS p50,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.75) / 100.0, 2) AS p75,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.50)
+                 FILTER (WHERE l_discount > 0.05) / 100.0, 2) AS p50_discounted
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -135,22 +136,30 @@ def v3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v4_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (interpolating) percentiles per group, including a
     FILTER-ed median — the exact complement to G7's sketch-based
-    percentile_approx. Both engines use linear interpolation, so the
-    doubles agree bit-for-bit before rounding."""
+    percentile_approx. Quantiles run over integer cents: linear
+    interpolation at quarter fractions over integers is exact in IEEE
+    doubles, so both engines produce bit-identical values no matter
+    how each factors the interpolation formula (raw doubles put the
+    p50 midpoint on a .005 rounding boundary and the engines' last
+    bits diverge)."""
     l = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        l.groupBy("l_returnflag")
+        l.select("l_returnflag", cents.alias("cents"), "l_discount")
+        .groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
-            F.round(
-                F.percentile(
-                    F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")),
-                    F.lit(0.50),
-                ),
-                2,
-            ).alias("p50_discounted"),
+            # one value-map per group for all three quantiles, not three
+            F.percentile(F.col("cents"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("ps"),
+            F.percentile(
+                F.when(F.col("l_discount") > 0.05, F.col("cents")), F.lit(0.50)
+            ).alias("pd"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0] / 100.0, 2).alias("p25"),
+            F.round(F.col("ps")[1] / 100.0, 2).alias("p50"),
+            F.round(F.col("ps")[2] / 100.0, 2).alias("p75"),
+            F.round(F.col("pd") / 100.0, 2).alias("p50_discounted"),
         )
         .orderBy("l_returnflag")
     )

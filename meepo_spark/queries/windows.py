@@ -213,3 +213,50 @@ def g7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
     )
+
+
+@register(
+    "w4_distribution_funcs",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6)                          AS prank,
+           ROUND(CUME_DIST() OVER w, 6)                             AS cdist,
+           ROUND(NTH_VALUE(o_totalprice, 3) OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY PERCENT_RANK() OVER w <= 0.01
+    """,
+)
+def w4_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (cont.): distribution window functions — percent_rank,
+    cume_dist, nth_value — top 1% of orders by price within each
+    priority class. percent_rank = (rank-1)/(n-1): both engines divide
+    identical integers, so the doubles match exactly; the 6dp round is
+    cosmetic. nth_value uses the default running frame (null until the
+    3rd row arrives)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            # filter on the RAW value (as QUALIFY does) — filtering the
+            # rounded alias would flip rows whose 7th decimal straddles
+            # the 0.01 threshold
+            F.percent_rank().over(w).alias("prank_raw"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.round(F.nth_value("o_totalprice", 3).over(w), 2).alias("third_price"),
+        )
+        .filter(F.col("prank_raw") <= 0.01)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("prank_raw", 6).alias("prank"),
+            "cdist",
+            "third_price",
+        )
+    )
