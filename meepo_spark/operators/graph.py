@@ -21,15 +21,32 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; ``component`` is
-    the minimum node id reachable from ``id`` — min-label propagation
-    run to fixpoint. Raises if ``max_iter`` rounds don't converge
+    the minimum node id reachable from ``id``.
+
+    Size-adaptive, the way production CC runs: the edge list is
+    materialized once (localCheckpoint) and counted. A near-dup graph
+    is orders of magnitude smaller than the corpus that produced it
+    (LSH + verify already discarded non-duplicates — 256 edges from
+    5,000 docs at sf0.1), so when it fits in one task
+    (≤ ``local_threshold`` edges) the whole graph contracts to a
+    single ``applyInPandas`` union-find: one shuffle, zero iteration,
+    exact same labeling. Above the threshold — a graph too large for
+    one executor's memory — it falls back to iterative min-label
+    propagation, whose cost is rounds × (join + agg shuffle) and
+    whose state never leaves the cluster. The count that picks the
+    path is O(1) on the already-materialized edges.
+
+    The iterative path raises if ``max_iter`` rounds don't converge
     (diameter > max_iter means the input is not a near-dup-style
-    shallow graph and needs a different algorithm, e.g. alternating
-    large/small star)."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    shallow graph and needs alternating large/small star instead)."""
+    edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    if edges.count() <= local_threshold:
+        return _local_union_find(edges)
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()  # edges reused every round — never recompute upstream
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -63,6 +80,41 @@ def connected_components(
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _local_union_find(edges: DataFrame) -> DataFrame:
+    """Contract a one-task-sized edge list to components with
+    path-compressed union-find inside a single ``applyInPandas``
+    group. Output matches the iterative path bit-for-bit: every
+    endpoint labeled with the minimum reachable node id."""
+    import pandas as pd
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots: dict = {}
+        for node in parent:
+            r = find(node)
+            roots[r] = min(roots.get(r, node), node)
+        return pd.DataFrame(
+            {"id": list(parent), "component": [roots[find(n)] for n in parent]}
+        )
+
+    return edges.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        uf, "id long, component long"
+    )
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

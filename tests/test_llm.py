@@ -142,19 +142,22 @@ def test_decode_media_is_stubbed():
         decode_media(b"\x89PNG", "image")
 
 
-def test_connected_components_chain_and_islands(spark):
-    """CC label propagation: a 4-chain, a triangle, and a 2-island —
-    every node labeled with its component's min id; convergence needs
-    diameter rounds (3 here for the chain)."""
+@pytest.mark.parametrize("threshold", [2_000_000, 0])
+def test_connected_components_chain_and_islands(spark, threshold):
+    """CC: a 4-chain, a triangle, and a 2-island — every node labeled
+    with its component's min id. Both physical paths must agree:
+    threshold high → single-task union-find contraction; threshold 0 →
+    iterative min-label propagation (diameter rounds; 3 here)."""
     from meepo_spark.operators.graph import component_sizes, connected_components
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
         "id_a: long, id_b: long",
     )
-    comps = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    cc = connected_components(edges, local_threshold=threshold)
+    comps = {r["id"]: r["component"] for r in cc.collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
-    sizes = {r["component"]: r["n_members"] for r in component_sizes(connected_components(edges)).collect()}
+    sizes = {r["component"]: r["n_members"] for r in component_sizes(cc).collect()}
     assert sizes == {1: 4, 10: 3, 20: 2}
 
 
