@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
+
 import __spark_entry__ as entrymod
 from meepo_spark.session import get_spark
 
@@ -37,6 +39,16 @@ def main() -> None:
     # Warm the JVM/codegen path once so per-query numbers reflect the
     # engine, not first-run classloading.
     _force(qs[entrymod.FLAGSHIP](spark, sf_dir))
+    # Warm the Python worker pool the same way: the first Arrow-UDF
+    # stage otherwise pays ~1 worker spawn per core, billed to
+    # whichever pandas query sorts first rather than to the engine.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    _force(spark.range(10_000).repartition(64).select(_warm("id")))
 
     per_query: dict[str, float] = {}
     for name in sorted(qs):

@@ -11,6 +11,7 @@ equi-key; recall is tunable via number of hyperplanes / probe radius.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -170,20 +171,26 @@ def _kmeans_centroids(
     return cent
 
 
-def _centroid_rank_array(vec_col: str, centroids: "np.ndarray"):
-    """Column: ARRAY<STRUCT<negdot, cid>> sorted ascending — element 0
-    is the nearest centroid. Dot products are JVM-side expressions
-    with the centroid coordinates travelling as literals."""
-    entries = []
-    for cid, c in enumerate(centroids):
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        entries.append(
-            F.struct(
-                (-dot(F.col(vec_col), plane)).alias("negdot"),
-                F.lit(cid).alias("cid"),
-            )
-        )
-    return F.array_sort(F.array(*entries))
+def _cell_rank_udf(centroids: "np.ndarray", n: int):
+    """Arrow-batched centroid ranking: embedding column → ARRAY<INT>
+    of the ``n`` nearest cell ids by dot product (centroids are unit
+    vectors, so dot order = cosine order). One BLAS matmul per batch
+    replaces k × dim interpreted higher-order-function ops per row —
+    the difference between O(batch) and O(rows × k × dim) Python-side
+    plan interpretation. Ties break by cell id (stable argsort), same
+    as the former array_sort(struct(negdot, cid)) expression."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ct = centroids.astype("float64").T.copy()  # (dim, k)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def top_cells(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype("float64")  # (batch, dim)
+        order = np.argsort(-(m @ ct), axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype("int32")))
+
+    return top_cells
 
 
 def ivf_cosine_topk(
@@ -214,19 +221,16 @@ def ivf_cosine_topk(
     ).astype("float64")
     cent = _kmeans_centroids(sample, n_centroids)
 
-    c_ranked = spread(corpus, corpus_id).withColumn(
-        "__cells", _centroid_rank_array(corpus_vec, cent)
+    c_assigned = (
+        spread(corpus, corpus_id)
+        .withColumn("cell", _cell_rank_udf(cent, 1)(F.col(corpus_vec))[0])
+        .withColumn("__cn", norm(F.col(corpus_vec)))
     )
-    c_assigned = c_ranked.withColumn(
-        "cell", F.col("__cells")[0]["cid"]
-    ).drop("__cells").withColumn("__cn", norm(F.col(corpus_vec)))
 
-    q_ranked = queries.withColumn("__cells", _centroid_rank_array(query_vec, cent))
     q_probes = (
-        q_ranked.withColumn(
-            "cell", F.explode(F.slice(F.col("__cells"), 1, n_probe)["cid"])
+        queries.withColumn(
+            "cell", F.explode(_cell_rank_udf(cent, n_probe)(F.col(query_vec)))
         )
-        .drop("__cells")
         .withColumn("__qn", norm(F.col(query_vec)))
     )
 
