@@ -1,0 +1,378 @@
+"""Composite analytics, wave 3 — the last classic TPC-H shapes
+(Q2/Q11/Q13/Q15/Q17/Q20/Q21) adapted to the fixture schema
+(FIXTURES.md: no partsupp → lineitem is the part↔supplier link; no
+commit/receipt dates → lateness = shipped >60 days after order).
+
+Drift-safe conventions (see tools/selfcheck.py): money sums in
+DECIMAL (order-independent), correlated thresholds built only from
+exact IEEE ops (min/max/+/÷2 — never a parallel double SUM/AVG on a
+comparison boundary), dates rendered as strings, COUNT cast BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+def _dec(col: str = "l_extendedprice") -> F.Column:
+    return F.col(col).cast("decimal(18,6)")
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, n.n_name, p.p_partkey, p.p_name,
+           ROUND(s.s_acctbal, 2) AS acctbal,
+           ROUND(c.unit_cost, 4) AS unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size IN (5, 10, 15) AND p.p_type = 'SMALL'
+      AND r.r_name = 'ASIA'
+      AND c.unit_cost = (
+          SELECT MIN(c2.unit_cost)
+          FROM cost c2
+          JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: cheapest supplier per part within a region — the
+    correlated-MIN subquery decorrelated into a window min over the
+    region-filtered cost table (one pass instead of a rejoin; unit
+    cost per (part, supplier) is an exact-IEEE division so the
+    equality compare is engine-stable). The fact table aggregates to
+    (part, supplier) granularity before any dim join; every dim
+    broadcasts."""
+    from pyspark.sql import Window as W
+
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15) & (F.col("p_type") == "SMALL")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    regional = (
+        cost.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    best = regional.withColumn(
+        "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_9'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+    FROM v
+    WHERE value > (SELECT SUM(value) * CAST(0.001 AS DECIMAL(7,6)) FROM v)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose one-nation inventory value exceeds a
+    fraction of the total — a global-scalar-subquery HAVING. Both the
+    per-part sums and the grand total are DECIMAL (exact, so the
+    threshold comparison cannot drift between engines). The fact
+    aggregates once; the total reuses that aggregate, not the fact."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    v = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec()).alias("value"))
+    )
+    threshold = v.agg(
+        (F.sum("value") * F.lit("0.001").cast("decimal(7,6)")).alias("t")
+    ).collect()[0][0]
+    return (
+        v.filter(F.col("value") > threshold)
+        .select(
+            "l_partkey", F.round("value", 2).cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer order-count histogram with the filter in
+    the OUTER JOIN's ON clause (priority stands in for the comment
+    NOT-LIKE) — zero-order customers must survive with count 0, which
+    a WHERE would destroy. Two aggs: per-customer, then histogram."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the revenue 'view' built once, its MAX taken as a
+    scalar, equality-joined back — DECIMAL revenue makes the equality
+    exact on both engines. The view aggregates the date-pruned fact to
+    |suppliers| rows, so the scalar and the rejoin are near-free."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = table(spark, sf_dir, "supplier")
+    revenue = l.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+        .alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    return (
+        revenue.filter(F.col("total_revenue") == max_rev)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND l.l_quantity < (
+          SELECT (MIN(l2.l_quantity) + MAX(l2.l_quantity)) / 2
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue lost to small-quantity orders — a correlated
+    per-part aggregate threshold. The canonical AVG is a parallel
+    double sum whose last bit depends on add order, and rows sitting
+    ON the threshold would flip between engines; (min+max)/2 keeps the
+    correlated-aggregate plan shape with bit-exact IEEE semantics.
+    Decorrelated: per-part thresholds aggregate the fact once, then a
+    broadcast-joined filter — no per-row subquery execution."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        ((F.min("l_quantity") + F.max("l_quantity")) / 2).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.round(F.sum(_dec()) / 7.0, 2)).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 40)
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who moved excess volume of a part family
+    in a year — nested IN-subqueries become a semi-join chain: part
+    filter semi-joins the fact, the HAVING aggregate gates, and the
+    survivor keys semi-join supplier. Quantity sums are small-int
+    doubles (exact), so the HAVING threshold is engine-stable."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    heavy = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l.l_suppkey, l.l_orderkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    lines AS (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = t.l_orderkey
+                    AND l2.l_suppkey <> t.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = t.l_orderkey
+                        AND l3.l_suppkey <> t.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers solely responsible for late multi-supplier
+    orders (late = shipped >60 days after order date, standing in for
+    the missing receipt/commit dates). The EXISTS / NOT-EXISTS pair
+    decorrelates into one per-order aggregate — n_suppliers and
+    n_late_suppliers via conditional countDistinct — instead of two
+    correlated self-joins of the fact; the order-grain aggregate then
+    broadcast-gates the late rows."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    lines = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        lines.filter("is_late")
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
