@@ -4,7 +4,7 @@ brute-force cosine top-k (exact, oracle-checked), LSH-bucketed ANN
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
@@ -158,4 +158,69 @@ def l3e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
         .orderBy("label", "pos")
+    )
+
+
+@register(
+    "l3f_quantized_topk",
+    oracle="""
+    WITH q8 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+                        list_max(list_transform(embedding,
+                                 y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+        FROM q8 a JOIN q8 b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+    )
+    SELECT q_id, c_id, qdot, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT q_id, c_id, qdot,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY qdot DESC, c_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    ORDER BY q_id, rank
+    """,
+)
+def l3f_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: top-k over INT8-QUANTIZED embeddings — per-vector absmax
+    scaling to [-127, 127], integer dot products. The 100 TB rationale:
+    int8 cuts the candidate-scan bandwidth 4× vs float32 and the
+    integer dots are exactly reproducible on any engine (this oracle
+    hash-matches bit-for-bit — impossible for float cosine). Same
+    broadcast + windowed-top-k plan as the float path; quantization is
+    one map-side expression, no shuffle added."""
+    e = table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda y: F.abs(y.cast("double"))))
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127 / absmax).cast("long"),
+        ).alias("qv"),
+    )
+    queries = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    scored = (
+        q8.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.aggregate(
+                F.zip_with("q_qv", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("q_id", "rank")
     )

@@ -194,3 +194,62 @@ def l4e_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "l4f_tfidf_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token)
+    SELECT t.lang, t.token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(ANY_VALUE(df.doc_freq) AS BIGINT) AS doc_freq,
+           ROUND(COUNT(*) * LN((SELECT COUNT(*) FROM documents)::DOUBLE
+                               / ANY_VALUE(df.doc_freq)), 4) AS tfidf
+    FROM tok t
+    JOIN df ON df.token = t.token
+    WHERE df.doc_freq >= 2
+    GROUP BY t.lang, t.token
+    HAVING COUNT(*) >= 3
+    """,
+)
+def l4f_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: TF-IDF term scoring per language — term frequency within
+    the lang partition × ln(N/df) corpus rarity, hapax noise
+    dropped by the df ≥ 2 bound (a production corpus would add a
+    relative upper df bound as a statistical stopword list; this
+    fixture's vocabulary is deliberately tiny, so every term is
+    common and the band would be empty).
+    Two aggregates over the exploded token stream; the df side is
+    token-grain (vocabulary-sized, broadcastable) while tf is
+    (lang, token)-grain. ln() of an integer ratio is the one float op
+    — identical IEEE input on both engines, 4dp rounding absorbs libm
+    ulp skew."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id", "lang", F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    df_tbl = (
+        tok.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+    )
+    return (
+        tok.join(F.broadcast(df_tbl), "token")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("doc_freq").alias("doc_freq"))
+        .filter(F.col("tf") >= 3)
+        .select(
+            "lang",
+            "token",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 4
+            ).alias("tfidf"),
+        )
+    )
