@@ -56,10 +56,27 @@ def _materialize(df: DataFrame, name: str, col) -> DataFrame:
 
 
 
+def hashed_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) with the shingle as its xxhash64 value — the
+    string is hashed exactly once; every downstream permutation mixes
+    the 8-byte long instead of re-scanning the string."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hash_set(F.col(text_col), k)).alias("shingle"),
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     """(id, h0..h{n-1}): per-doc min of murmur3(shingle, seed_i) for
     each of ``num_hashes`` seeded permutations. One hash-agg — the
-    shuffle carries |docs| rows of n ints."""
+    shuffle carries |docs| rows of n ints.
+
+    ``shingle`` may be the string or its 64-bit hash
+    (``hashed_shingles``); min-hash over a permutation of an injective
+    image preserves the Jaccard estimator either way, and hashing a
+    long per seed is ~an order of magnitude cheaper than re-hashing a
+    ~20-byte string per seed (num_hashes × |shingles| evaluations is
+    the pipeline's dominant term)."""
     aggs = [
         F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -165,7 +182,7 @@ def minhash_near_dup_pairs(
     """End-to-end MinHash-LSH near-dup detection: pairs with exact
     token-set Jaccard >= threshold (LSH recall ≈ 1 above 0.6 with the
     default band plan)."""
-    sh = shingles(spread(docs, id_col), text_col, id_col, shingle_k)
+    sh = hashed_shingles(spread(docs, id_col), text_col, id_col, shingle_k)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     # verify on the SAME set family the signatures approximate
