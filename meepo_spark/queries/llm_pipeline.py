@@ -1,0 +1,253 @@
+"""Graded training-data-pipeline queries beyond dedup/similarity:
+benchmark-contamination detection (L2 family), PII-style redaction
+accounting, repetition scoring, and training-mix token budgeting
+(L4 family). All over the documents fixture.
+
+These are the curation steps a 100 TB pretraining pipeline runs after
+near-dedup: scrub leaked eval data, redact sensitive spans, drop
+degenerate/repetitive docs, and allocate the token budget across
+languages. Every query is pure DataFrame API (JVM-side, codegen-able)
+— no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.functions.text import ws_tokens
+from meepo_spark.operators.dedup import shingle_hash_set
+from meepo_spark.registry import register
+
+# Same distinct-3-token-shingle fragment as llm_dedup._SHINGLES_SQL,
+# but carrying source and exploded to (doc_id, source, s) grain.
+_SHINGLE_ROWS_SQL = """
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+               i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' ')))) AS s
+    FROM documents
+"""
+
+
+@register(
+    "l2f_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_ROWS_SQL}),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 200),
+    per_doc AS (
+        SELECT c.doc_id, c.source,
+               COUNT(*)   AS n_shingles,
+               COUNT(b.s) AS n_overlap
+        FROM sh c LEFT JOIN bench b ON b.s = c.s
+        WHERE c.doc_id >= 200
+        GROUP BY c.doc_id, c.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN 5 * n_overlap >= n_shingles THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(n_overlap) AS BIGINT) AS total_overlap
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def l2f_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: benchmark-contamination check — flag corpus docs whose
+    3-token shingles overlap a held-out benchmark set (here: doc_id <
+    200 stands in for the eval suite). A doc is contaminated when ≥20%
+    of its shingles appear in ANY benchmark doc (compared in exact
+    integer form: 5·overlap ≥ shingles — no float threshold).
+
+    Plan shape for 100 TB: the benchmark shingle vocabulary is tiny
+    (eval suites are MBs, the corpus is TBs) and broadcast; the corpus
+    side streams through one explode + broadcast-hash left join + two
+    aggregations — no shuffle keyed on anything wider than (doc_id).
+    Shingles compare as xxhash64 longs (8 bytes), never strings;
+    overlap COUNTs are hash-invariant, so the string-shingle DuckDB
+    oracle matches exactly (collision P < 1e-9, same argument as
+    l2_minhash_lsh_pairs).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.explode(shingle_hash_set(F.col("text"), 3)).alias("s")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < 200)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        sh.filter(F.col("doc_id") >= 200)
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(5 * F.col("n_overlap") >= F.col("n_shingles"), 1).otherwise(0)
+        ).alias("n_contaminated"),
+        F.sum("n_overlap").alias("total_overlap"),
+    )
+
+
+# Stand-in sensitive-term pattern. In production this slot holds the
+# email / phone / SSN / API-key alternation; the fixture's vocabulary
+# is synthetic word salad, so three common corpus tokens play the role.
+# The engine mechanics (regex scan + global replace + exact accounting)
+# are identical for any pattern both regex dialects accept.
+_PII_PAT = r"\b(key|hash|merge)\b"
+_PII_SUB = "[REDACTED]"
+
+
+@register(
+    "l4g_pii_redaction",
+    oracle=f"""
+    WITH r AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_PII_PAT}')) AS n_hits,
+               LENGTH(regexp_replace(text, '{_PII_PAT}', '{_PII_SUB}', 'g'))
+                   - LENGTH(text) AS delta
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+           CAST(SUM(n_hits) AS BIGINT) AS n_redactions,
+           CAST(SUM(delta) AS BIGINT)  AS chars_delta
+    FROM r
+    GROUP BY source
+    """,
+)
+def l4g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: PII-style redaction accounting — regex-match sensitive
+    spans, globally replace them, and report per-source docs touched,
+    span count, and the exact byte delta of the rewrite. The rewrite
+    itself (`regexp_replace`) runs in the same projection the stats
+    come from, so "audit" and "scrub" are one scan.
+
+    All map-side inside WholeStageCodegen; the only shuffle is the
+    final per-source partial+final aggregation. At 100 TB this is the
+    canonical embarrassingly-parallel pass — throughput is bounded by
+    parquet scan speed, and the integer accounting (count, byte delta)
+    aggregates exactly on any engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PAT), 0))
+    redacted = F.regexp_replace(F.col("text"), _PII_PAT, _PII_SUB)
+    r = d.select(
+        "source",
+        n_hits.alias("n_hits"),
+        (F.length(redacted) - F.length("text")).alias("delta"),
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias("n_docs_touched"),
+        F.sum("n_hits").alias("n_redactions"),
+        F.sum("delta").alias("chars_delta"),
+    )
+
+
+@register(
+    "l4h_repetition",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents WHERE doc_id < 500
+    ),
+    tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*)               AS n_unique,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           ROUND(COUNT(*)::DOUBLE / SUM(c) + 1e-9, 4)  AS ttr,
+           ROUND(MAX(c)::DOUBLE / SUM(c) + 1e-9, 4)    AS top_ratio
+    FROM tc
+    GROUP BY doc_id
+    """,
+)
+def l4h_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: repetition / degeneracy scoring — per-doc type-token ratio
+    and the mass of the single most frequent token. Low TTR or high
+    top_ratio marks the looping/boilerplate docs a pretraining filter
+    drops. Two hash aggregations over the exploded token stream; the
+    doubles are each ONE integer division, bit-identical across
+    engines before the 4dp round.
+
+    At scale the (doc_id, token) aggregation partially aggregates
+    map-side (tokens within a doc are co-located after explode — no
+    pre-shuffle), so shuffle volume is the per-doc vocabulary, not the
+    token stream.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    tok = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unique",
+            "top_count",
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_tokens") + 1e-9, 4
+            ).alias("ttr"),
+            F.round(
+                F.col("top_count").cast("double") / F.col("n_tokens") + 1e-9, 4
+            ).alias("top_ratio"),
+        )
+    )
+
+
+@register(
+    "l4i_sample_plan",
+    oracle="""
+    WITH lt AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM lt)
+    SELECT lang, n_tokens,
+           CAST((1000000 * n_tokens) // t AS BIGINT) AS alloc_tokens,
+           CAST((10000 * n_tokens) // t AS BIGINT)   AS share_bp
+    FROM lt, tot
+    """,
+)
+def l4i_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: training-mix allocation — measure the per-language token
+    supply, then split a fixed 1M-token budget proportionally. Pure
+    integer arithmetic (floor division against the corpus total), so
+    the plan is bit-identical on any engine and any partitioning —
+    exactly what you want from the sampling manifest a 100 TB run is
+    reproduced from.
+
+    The token census is one map-side `size(split(...))` aggregation;
+    the corpus total (a 1-row scalar) joins back via broadcast, never
+    a shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(ws_tokens(F.col("text")))).alias("n_tokens")
+    )
+    tot = lt.agg(F.sum("n_tokens").alias("t"))
+    return (
+        lt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div t").alias("alloc_tokens"),
+            F.expr("(10000 * n_tokens) div t").alias("share_bp"),
+        )
+    )
