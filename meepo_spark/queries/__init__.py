@@ -22,6 +22,7 @@ from meepo_spark.queries import llm_sim  # noqa: F401
 from meepo_spark.queries import llm_multimodal  # noqa: F401
 from meepo_spark.queries import llm_pipeline  # noqa: F401
 from meepo_spark.queries import parity  # noqa: F401
+from meepo_spark.queries import quality  # noqa: F401
 from meepo_spark.queries import streaming_batch  # noqa: F401
 from meepo_spark.queries import sources  # noqa: F401
 from meepo_spark.queries import analytics  # noqa: F401

@@ -223,3 +223,61 @@ def a11_rebuild_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.row")["last_event_type"].alias("last_event_type"),
         F.round(F.col("last.row")["value"].cast("double"), 2).alias("last_value"),
     )
+
+
+@register(
+    "a12_scd2_history",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS next_ts
+        FROM events
+        WHERE user_id < 500
+    )
+    SELECT CAST(user_id AS VARCHAR) AS pk,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS BIGINT)
+               AS version_seq,
+           event_type               AS last_event_type,
+           ROUND(value, 2)          AS last_value,
+           {_TS}                    AS valid_from,
+           COALESCE(STRFTIME(next_ts, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM u
+    WHERE event_type <> 'error'
+    """,
+)
+def a12_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: SCD-Type-2 dimension build from the change log — every
+    non-delete change opens a version row valid [ts, next-change);
+    the last open version per pk is current. Deletes close the prior
+    version (they bound valid_to via the pre-filter LEAD) without
+    emitting a row of their own — the standard warehouse history the
+    event store's log replay exists to reconstruct.
+
+    One shuffle: both windows (LEAD before the delete filter,
+    ROW_NUMBER after) share the pk hash-partitioning, so the physical
+    plan has exactly one Exchange feeding two stacked Window nodes
+    (verified: 1 Exchange / 2 Windows). At 100 TB this is the per-key-ordered scan
+    shape — no join, no state, partition count follows |pks|."""
+    w_all = W.partitionBy("pk").orderBy(F.col("ts").asc(), F.col("offset").asc())
+    ch = (
+        events_as_changes(spark, sf_dir)
+        .filter(F.col("pk").cast("long") < 500)
+        .withColumn("next_ts", F.lead("ts").over(w_all))
+    )
+    versions = ch.filter(F.col("action") != "delete")
+    return versions.select(
+        "pk",
+        F.row_number().over(w_all).cast("long").alias("version_seq"),
+        F.col("row")["last_event_type"].alias("last_event_type"),
+        F.round(F.col("row")["value"].cast("double"), 2).alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

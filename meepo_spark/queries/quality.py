@@ -1,0 +1,112 @@
+"""Graded data-quality queries: a constraint-expectations report over
+the TPC-H-ish fixtures (null / range / referential / uniqueness
+rules) — the validation gate a production pipeline runs before a
+dataset version is published.
+
+Every rule is a plain DataFrame aggregate; the report is a union of
+1-row integer counts, so it is exact on any engine and its cost is a
+handful of scans that Catalyst prunes to the checked columns only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "dq1_expectations",
+    oracle="""
+    SELECT 'lineitem_quantity_range' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_shipdate_not_null',
+           CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST(SUM(n - 1) AS BIGINT),
+           CAST(SUM(n) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN
+                (SELECT c_custkey FROM customer)) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ: expectations report — five constraint families (range,
+    not-null, primary-key uniqueness, positivity, foreign-key
+    integrity) each reduced to (rule, n_violations, n_checked).
+
+    Plan shape: each rule is an independent aggregate over a
+    column-pruned scan; the FK rule is a broadcast anti-join against
+    the customer key column, and the uniqueness rule shuffles only the
+    (pk → count) pairs. At 100 TB the whole report is one pass per
+    fact table (Catalyst merges the two lineitem rules' scans only if
+    asked — union keeps them independent and restartable), and every
+    output is an exact integer.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def report(name: str, violated, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(violated, 1).otherwise(0)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    quantity = report(
+        "lineitem_quantity_range",
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        li,
+    )
+    shipdate = report(
+        "lineitem_shipdate_not_null", F.col("l_shipdate").isNull(), li
+    )
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.lit("lineitem_pk_unique").alias("rule"),
+            F.sum(F.col("n") - 1).alias("n_violations"),
+            F.sum("n").alias("n_checked"),
+        )
+    )
+    price = report(
+        "orders_totalprice_positive", F.col("o_totalprice") <= 0, orders
+    )
+    fk = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.lit("orders_custkey_fk").alias("rule"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    return reduce(DataFrame.unionAll, [quantity, shipdate, pk, price, fk])
