@@ -251,3 +251,75 @@ def l4i_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * n_tokens) div t").alias("share_bp"),
         )
     )
+
+
+@register(
+    "l6_curation_pipeline",
+    oracle=f"""
+    WITH survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    sh AS ({_SHINGLE_ROWS_SQL}),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 200),
+    overlap AS (
+        SELECT c.doc_id, COUNT(*) AS n_sh, COUNT(b.s) AS n_ov
+        FROM sh c LEFT JOIN bench b ON b.s = c.s
+        WHERE c.doc_id >= 200
+        GROUP BY c.doc_id
+    ),
+    kept AS (
+        SELECT d.lang, len(string_split(lower(d.text), ' ')) AS n_toks
+        FROM documents d
+        JOIN survivors sv USING (doc_id)
+        JOIN overlap o USING (doc_id)
+        WHERE d.n_chars >= 40 AND 5 * o.n_ov < o.n_sh
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: the end-to-end curation pipeline the individual L-operators
+    compose into — exact dedup (md5 min-id survivor), benchmark
+    decontamination (<20% shingle overlap, exact integer threshold),
+    a length floor, then the per-language doc/token census of what
+    remains. One DAG, all integer outputs.
+
+    This is the DAG shape a 100 TB pretraining run executes nightly:
+    every stage is a shuffle keyed on doc_id or a broadcast join, so
+    the stages pipeline without materialization barriers; Catalyst
+    schedules the dedup and decontamination branches off a shared
+    documents scan. Swap the md5 stage for minhash_near_dup_pairs
+    (l2b) to make the dedup fuzzy — same join topology.
+    """
+    d = table(spark, sf_dir, "documents")
+    survivors = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    sh = d.select("doc_id", F.explode(shingle_hash_set(F.col("text"), 3)).alias("s"))
+    bench = (
+        sh.filter(F.col("doc_id") < 200)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    overlap = (
+        sh.filter(F.col("doc_id") >= 200)
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_ov"),
+        )
+    )
+    kept = (
+        d.filter(F.col("n_chars") >= 40)
+        .join(survivors.select("doc_id"), "doc_id")
+        .join(overlap, "doc_id")
+        .filter(5 * F.col("n_ov") < F.col("n_sh"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col("text")))).alias("n_tokens"),
+    )

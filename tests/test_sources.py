@@ -59,3 +59,25 @@ def test_s2_failfast_raises_on_bad_rows(spark, tmp_path):
     except Exception:
         raised = True
     assert raised, "FAILFAST must refuse malformed input"
+
+
+def test_s2c_orc_round_trip(spark, sf_dir, tmp_path):
+    """S2: ORC source/sink — Spark's other native columnar format.
+    Write the nation fixture out as ORC, read it back, and prove the
+    reader path end-to-end: row parity with the parquet original plus
+    predicate pushdown surviving into the OrcScan."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    nation.write.format("orc").save(out)
+
+    back = spark.read.format("orc").load(out)
+    assert back.schema == nation.schema
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+
+    pushed = back.filter(F.col("n_nationkey") < 5).select("n_name")
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan and "PushedFilters: [" in plan, plan
+    assert "LessThan(n_nationkey,5)" in plan.replace(" ", ""), plan
+    assert pushed.count() == nation.filter("n_nationkey < 5").count()
