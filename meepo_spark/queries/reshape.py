@@ -14,6 +14,7 @@ is applied to); exact percentiles shuffle once per group key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
@@ -220,4 +221,43 @@ def v6_listagg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_type").alias("n_types"),
         )
         .orderBy("p_brand")
+    )
+
+
+@register(
+    "v7_stratified_holdout",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id, h
+    FROM ranked
+    WHERE rn <= 20
+    """,
+)
+def v7_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-size sampling: 20 docs per language, selected
+    by md5(doc_id) order — a deterministic pseudo-random permutation
+    both engines compute identically, so the holdout is reproducible
+    forever from the data alone (no seed state, no RNG library). This
+    is how a training pipeline pins per-language eval splits: add
+    docs and the holdout only changes where new hashes displace old
+    ones, never from partitioning or execution order.
+
+    One window shuffle keyed on the stratum; at 100 TB you'd pre-rank
+    with a per-partition top-20 heap (the o2 top-k-per-group shape)
+    before the global window to keep the shuffle at k×|strata| rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
     )

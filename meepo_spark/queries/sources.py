@@ -119,3 +119,44 @@ def s2b_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s7_python_datasource",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the custom Python DataSource as a graded scan — the events
+    feed read through the `meepo_changelog` connector
+    (sources/pyds.py: row-group-parallel pyarrow reads yielding Arrow
+    batches), then a plain aggregation. The oracle runs against the
+    same parquet via DuckDB, so the whole connector path — partition
+    planning, Arrow batch transfer, ns→µs timestamp truncation — is
+    hash-checked, not just smoke-tested.
+
+    Decimal-exact value sums keep the double aggregation
+    order-invariant; timestamps render as strings per FIXTURES.md."""
+    from meepo_spark.sources.pyds import register_changelog_source
+
+    register_changelog_source(spark)
+    ev = (
+        spark.read.format("meepo_changelog")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

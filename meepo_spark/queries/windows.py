@@ -139,6 +139,51 @@ def g3_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g3b_hll_merge",
+    oracle="""
+    SELECT lang, TRUE AS merge_matches_direct, TRUE AS within_10pct
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def g3b_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: MERGEABLE distinct-count sketches (datasketches HLL) — the
+    100 TB rollup pattern: sketch each (lang, source) shard once,
+    store the binary sketch, union sketches later without rescanning
+    the data. The graded check asserts two properties per lang group
+    (oracle emits the expected TRUE pair): the shard-merged estimate
+    EQUALS the single-pass estimate bit-for-bit (HLL union is a
+    register-wise max — associative, partition-order-invariant), and
+    it lands within 10% of the exact distinct count.
+
+    Same two-level shuffle as a partial+final aggregate, except the
+    partial state is a fixed-size sketch (2^12 registers) instead of
+    a distinct-values hash set — shuffle bytes are O(shards), not
+    O(distincts)."""
+    d = table(spark, sf_dir, "documents")
+    per_shard = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg(F.col("text"), F.lit(12)).alias("sk")
+    )
+    merged = per_shard.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = d.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("text"), F.lit(12))).alias(
+            "direct_est"
+        ),
+        F.countDistinct("text").alias("exact"),
+    )
+    return merged.join(direct, "lang").select(
+        "lang",
+        (F.col("merged_est") == F.col("direct_est")).alias("merge_matches_direct"),
+        (
+            (F.col("merged_est") >= F.col("exact") * 0.9)
+            & (F.col("merged_est") <= F.col("exact") * 1.1)
+        ).alias("within_10pct"),
+    )
+
+
+@register(
     "g4_rollup",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,

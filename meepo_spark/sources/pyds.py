@@ -1,0 +1,94 @@
+"""Custom Python DataSource (PySpark 4 `pyspark.sql.datasource` API):
+a change-log connector.
+
+The reference ingests change feeds from systems Spark has no native
+reader for (a binlog stream fanned out over blinker signals / Redis).
+This is the Spark-4-idiomatic adapter seam for that: a DataSource
+subclass registered once per session, after which the feed is a
+first-class `spark.read.format("meepo_changelog")` table — usable in
+joins, aggregations, and the CDC layer like any parquet scan.
+
+The demo feed here is the events fixture read through pyarrow —
+standing in for "a log only a Python client library can read". The
+engineering points are real regardless of the backing system:
+
+* **partition-parallel**: one InputPartition per parquet row group,
+  so a 1000-executor cluster splits the log without coordination
+  (a real binlog connector would partition by offset range);
+* **Arrow batches, not rows**: `read()` yields pyarrow RecordBatches
+  — the vectorized path through the Python worker, not per-row
+  pickling;
+* **schema discipline**: timestamps are cast ns→µs inside the
+  connector, because parquet's ns precision would otherwise drift
+  against Spark's µs TimestampType (same trap as the DuckDB oracle).
+
+A Python DataSource still pays one Python-worker hop per partition;
+it is the EXTENSIBILITY seam, not the bulk path — bulk formats
+(parquet/orc/csv/json) stay on the JVM-native readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+class RowGroupPartition(InputPartition):
+    def __init__(self, path: str, index: int):
+        self.path = path
+        self.index = index
+
+
+class ChangeLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(self.path).metadata.num_row_groups
+        return [RowGroupPartition(self.path, i) for i in range(max(n, 1))]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.ParquetFile(partition.path).read_row_group(partition.index)
+        target = pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("value", pa.float64()),
+                pa.field("props", pa.string()),
+            ]
+        )
+        # safe=False permits the ns→µs truncation (the fixture carries
+        # sub-µs precision); Spark's native parquet reader truncates
+        # identically, so round-trip parity holds to the microsecond
+        yield from tbl.select(target.names).cast(target, safe=False).to_batches()
+
+
+class ChangeLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "meepo_changelog"
+
+    def schema(self) -> str:
+        return EVENTS_DDL
+
+    def reader(self, schema):
+        return ChangeLogReader(self.options)
+
+
+def register_changelog_source(spark) -> None:
+    """Idempotently register the connector on this session."""
+    try:
+        spark.dataSource.register(ChangeLogDataSource)
+    except Exception:
+        pass  # already registered on this session

@@ -81,3 +81,25 @@ def test_s2c_orc_round_trip(spark, sf_dir, tmp_path):
     assert "FileScan orc" in plan and "PushedFilters: [" in plan, plan
     assert "LessThan(n_nationkey,5)" in plan.replace(" ", ""), plan
     assert pushed.count() == nation.filter("n_nationkey < 5").count()
+
+
+def test_s7_python_datasource_changelog(spark, sf_dir):
+    """S7: custom Python DataSource (pyspark.sql.datasource) — the
+    connector seam for feeds Spark has no native reader for. Row-level
+    parity against the catalog's events load (including the ns→µs
+    timestamp truncation both paths must agree on) and row-group
+    partition parallelism."""
+    from meepo_spark.catalog import table
+    from meepo_spark.sources.pyds import register_changelog_source
+
+    register_changelog_source(spark)
+    df = (
+        spark.read.format("meepo_changelog")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    ref = table(spark, sf_dir, "events").select(*df.columns)
+    assert df.schema == ref.schema
+    assert df.rdd.getNumPartitions() >= 1
+    assert df.exceptAll(ref).count() == 0
+    assert ref.exceptAll(df).count() == 0
