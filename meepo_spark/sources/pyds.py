@@ -29,12 +29,33 @@ it is the EXTENSIBILITY seam, not the bulk path — bulk formats
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENTS_DDL = (
     "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
 )
+EVENTS_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
 
 
 class RowGroupPartition(InputPartition):
@@ -54,24 +75,62 @@ class ChangeLogReader(DataSourceReader):
         return [RowGroupPartition(self.path, i) for i in range(max(n, 1))]
 
     def read(self, partition):
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.ParquetFile(partition.path).read_row_group(partition.index)
-        target = pa.schema(
-            [
-                pa.field("event_id", pa.int64()),
-                pa.field("ts", pa.timestamp("us")),
-                pa.field("user_id", pa.int64()),
-                pa.field("event_type", pa.string()),
-                pa.field("value", pa.float64()),
-                pa.field("props", pa.string()),
-            ]
-        )
         # safe=False permits the ns→µs truncation (the fixture carries
         # sub-µs precision); Spark's native parquet reader truncates
         # identically, so round-trip parity holds to the microsecond
-        yield from tbl.select(target.names).cast(target, safe=False).to_batches()
+        yield from (
+            tbl.select(EVENTS_COLUMNS).cast(arrow_schema(), safe=False).to_batches()
+        )
+
+
+class ChangeLogStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tailing streaming reader — the actual shape of a binlog
+    connector: the offset (here a row position; in production a binlog
+    file+position or GTID) is the ONLY state, checkpointed by Spark,
+    so recovery replays `readBetweenOffsets` deterministically and the
+    downstream exactly-once foreachBatch MERGE (cdc/exactly_once.py)
+    sees each change exactly once. `maxRowsPerBatch` caps micro-batch
+    size the way `maxOffsetsPerTrigger` does for Kafka."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("maxRowsPerBatch", "5000"))
+        self._n_rows: int | None = None
+
+    def _total_rows(self) -> int:
+        if self._n_rows is None:
+            import pyarrow.parquet as pq
+
+            self._n_rows = pq.ParquetFile(self.path).metadata.num_rows
+        return self._n_rows
+
+    def _slice(self, start_row: int, end_row: int):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = (
+            pq.read_table(self.path, columns=EVENTS_COLUMNS)
+            .slice(start_row, end_row - start_row)
+            .cast(arrow_schema(), safe=False)
+        )
+        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        return iter(zip(*cols)) if cols else iter([])
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        s = start["row"]
+        e = min(s + self.batch_rows, self._total_rows())
+        if e <= s:
+            return iter([]), start
+        return self._slice(s, e), {"row": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._slice(start["row"], end["row"])
 
 
 class ChangeLogDataSource(DataSource):
@@ -84,6 +143,9 @@ class ChangeLogDataSource(DataSource):
 
     def reader(self, schema):
         return ChangeLogReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return ChangeLogStreamReader(self.options)
 
 
 def register_changelog_source(spark) -> None:

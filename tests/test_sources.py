@@ -103,3 +103,48 @@ def test_s7_python_datasource_changelog(spark, sf_dir):
     assert df.rdd.getNumPartitions() >= 1
     assert df.exceptAll(ref).count() == 0
     assert ref.exceptAll(df).count() == 0
+
+
+def test_s7b_python_datasource_streaming_tail(spark, sf_dir, tmp_path):
+    """S7: the changelog connector's STREAMING face — offset-tailing
+    micro-batches (SimpleDataSourceStreamReader). A continuous trigger
+    drains the log in maxRowsPerBatch-capped batches against a
+    checkpoint (simple stream readers prefetch ONE batch per trigger,
+    so availableNow would stop after the first — a real tail runs on a
+    processing-time trigger); the union of micro-batches must equal
+    the batch read exactly, and the cap must actually split the load
+    into multiple batches."""
+    from meepo_spark.sources.pyds import register_changelog_source
+
+    register_changelog_source(spark)
+    path = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.format("meepo_changelog")
+        .option("path", path)
+        .option("maxRowsPerBatch", "300")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s7b_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # tail until the log is drained (offset-capped micro-batches), then stop
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table("s7b_tail").count() < 1000:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    got = spark.table("s7b_tail")
+    ref = (
+        spark.read.format("meepo_changelog").option("path", path).load()
+    )
+    assert n_batches >= 3, [p["numInputRows"] for p in q.recentProgress]
+    assert got.count() == ref.count() == 1000
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
