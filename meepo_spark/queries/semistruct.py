@@ -98,3 +98,50 @@ def f7_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(k).alias("min_k_str"),
         )
     )
+
+
+@register(
+    "f8_variant_payload",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing_path
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def f8_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: the VARIANT path through the same schemaless payload f7
+    reads as strings — `parse_json` once into Spark 4's binary
+    semi-structured encoding, then typed `variant_get` extraction and
+    null-safe `try_variant_get` probing of absent paths.
+
+    Why it matters at 100 TB: a payload parsed to VARIANT at ingest is
+    parsed ONCE — every downstream extraction is a binary field probe,
+    not a JSON re-parse per expression the way repeated
+    get_json_object calls are. The oracle extracts the same fields
+    from the raw JSON text, proving the two encodings agree."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        ev.select(
+            k.alias("k"),
+            F.col("event_type"),
+            missing.alias("missing"),
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("missing").alias("n_missing_path"),
+        )
+    )

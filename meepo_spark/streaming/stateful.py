@@ -85,3 +85,67 @@ def session_tracker(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---- transformWithState (Spark 4 API) ------------------------------
+
+TOTALS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _build_running_totals_processor():
+    """The new-API twin of `_track`'s state machine: Spark 4's
+    `transformWithState` replaces the (state-tuple, timeout-conf)
+    calling convention with a StatefulProcessor object holding typed
+    state handles (value/list/map + timers), backed by the RocksDB
+    state store — the API all new stateful operators should target.
+    Built lazily: the class is defined at call time so importing this
+    module never requires a live session.
+
+    Runtime requirement: the transformWithState driver worker talks
+    protobuf to the JVM state server, so `google.protobuf` must be
+    installed (pyspark's connect extra ships it). Where it isn't —
+    this container — the operator raises at stream start and
+    `session_tracker` (applyInPandasWithState) is the supported
+    stateful path; tests importorskip accordingly."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user cumulative (count, value-sum) in Update mode — each
+    micro-batch emits the key's refreshed totals, so the LAST row per
+    key equals the batch aggregate after a full drain."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_build_running_totals_processor(),
+        outputStructType=TOTALS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

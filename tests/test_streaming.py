@@ -302,3 +302,53 @@ def test_s4_rate_micro_batch_source(spark, tmp_path):
     ).collect()[0]
     # contiguous, duplicate-free prefix: exactly-once batch delivery
     assert stats.lo == 0 and stats.d == n and stats.hi == n - 1
+
+
+def test_t6b_transform_with_state_running_totals(spark, events, tmp_path):
+    """transformWithState (Spark 4 StatefulProcessor + RocksDB state
+    store): after draining the replayed stream, each user's LAST
+    emitted running total must equal the batch aggregate over the same
+    rows — the update-mode invariant that makes keyed state rebuilds
+    trustworthy.
+
+    transformWithState's driver worker speaks protobuf to the JVM
+    state server; skip where google.protobuf isn't installed (this
+    container) — applyInPandasWithState (t6) is the proven path."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from meepo_spark.streaming.stateful import running_totals
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "tws_src")
+        some = events.filter(F.col("user_id") < 50)
+        replay_as_files(some, src, n_chunks=3)
+        streamed = run_streaming(
+            spark,
+            src,
+            running_totals,
+            str(tmp_path / "ck_tws"),
+            output_mode="update",
+        )
+        last = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+            for r in streamed.orderBy("user_id", "n_events").collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], round(r["tv"], 2))
+            for r in some.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+            .collect()
+        }
+        assert last, "no state emitted"
+        assert last == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
