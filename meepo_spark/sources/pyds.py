@@ -32,8 +32,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENTS_DDL = (
@@ -152,5 +154,100 @@ def register_changelog_source(spark) -> None:
     """Idempotently register the connector on this session."""
     try:
         spark.dataSource.register(ChangeLogDataSource)
+    except Exception:
+        pass  # already registered on this session
+
+
+# ---- custom streaming SINK (publisher parity) ----------------------
+
+
+class _StagedFiles(WriterCommitMessage):
+    def __init__(self, files):
+        self.files = files
+
+
+class BroadcastStreamWriter(DataSourceStreamWriter):
+    """Staged-commit publisher sink — the write-side twin of the
+    changelog reader, standing in for a zmq/kafka broadcast publisher.
+    Exactly-once discipline without any sink-side transaction support:
+
+    * `write()` (executors, one per partition) stages the partition's
+      payloads under `_staging/` with a task-unique name and returns
+      the staged paths as its commit message — nothing is visible yet;
+    * `commit()` (driver, once per micro-batch, only after EVERY task
+      succeeded) atomically renames staged files into the output dir
+      and records `_commits/<batchId>`; a replayed batch whose marker
+      already exists is skipped wholesale — the file-rename analogue
+      of the MERGE-on-txn_id idempotence in cdc/exactly_once.py;
+    * `abort()` discards the staged files, so failed batches leave no
+      partial output.
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        name = os.path.join(staging, f"part-{pid}-{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(name + ".tmp", "w") as f:
+            for row in iterator:
+                f.write(row[0] + "\n")
+                n += 1
+        if n:
+            os.rename(name + ".tmp", name)
+            return _StagedFiles([name])
+        os.remove(name + ".tmp")
+        return _StagedFiles([])
+
+    def commit(self, messages, batchId):
+        import os
+
+        commits = os.path.join(self.path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        marker = os.path.join(commits, str(batchId))
+        staged = [f for m in messages if m is not None for f in m.files]
+        if os.path.exists(marker):  # replayed batch: drop re-staged output
+            for f in staged:
+                os.remove(f)
+            return
+        for f in staged:
+            os.rename(f, os.path.join(self.path, os.path.basename(f)))
+        with open(marker, "w") as fh:
+            fh.write(f"{len(staged)}\n")
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None:
+                for f in m.files:
+                    if os.path.exists(f):
+                        os.remove(f)
+
+
+class BroadcastSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "meepo_broadcast"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def streamWriter(self, schema, overwrite):
+        return BroadcastStreamWriter(self.options)
+
+
+def register_broadcast_sink(spark) -> None:
+    """Idempotently register the publisher sink on this session."""
+    try:
+        spark.dataSource.register(BroadcastSinkDataSource)
     except Exception:
         pass  # already registered on this session

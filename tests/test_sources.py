@@ -148,3 +148,72 @@ def test_s7b_python_datasource_streaming_tail(spark, sf_dir, tmp_path):
     assert got.count() == ref.count() == 1000
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_s7c_python_datasink_broadcast(spark, sf_dir, tmp_path):
+    """S7: the custom STREAMING SINK — payloads published through the
+    staged-commit writer must equal the batch payload set exactly, one
+    commit marker per non-empty micro-batch, and no stragglers left in
+    _staging."""
+    import os
+
+    from meepo_spark.cdc.events import ACTION_MAP, events_as_changes
+    from meepo_spark.cdc.fanout import broadcast_payload
+    from meepo_spark.sources.pyds import register_broadcast_sink, register_changelog_source
+
+    register_changelog_source(spark)
+    register_broadcast_sink(spark)
+    out = str(tmp_path / "published")
+    os.makedirs(out, exist_ok=True)
+
+    stream = (
+        spark.readStream.format("meepo_changelog")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("maxRowsPerBatch", "400")
+        .load()
+    )
+    action = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in ACTION_MAP.items()
+        ]
+    )
+    changes = stream.select(
+        F.lit("users").alias("table"),
+        action.alias("action"),
+        F.col("user_id").cast("string").alias("pk"),
+    )
+    q = (
+        broadcast_payload(changes)
+        .writeStream.format("meepo_broadcast")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_sink"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    def published():
+        lines = []
+        for f in os.listdir(out):
+            if f.startswith("part-"):
+                lines.extend(open(os.path.join(out, f)).read().splitlines())
+        return lines
+
+    deadline = time.time() + 120
+    while time.time() < deadline and len(published()) < 1000:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    got = sorted(published())
+    want = sorted(
+        r["value"]
+        for r in broadcast_payload(
+            events_as_changes(spark, sf_dir).select("table", "action", "pk")
+        ).collect()
+    )
+    assert got == want
+    n_markers = len(os.listdir(os.path.join(out, "_commits")))
+    assert n_markers >= 3  # 1000 rows / 400-row cap
+    assert not os.listdir(os.path.join(out, "_staging"))
