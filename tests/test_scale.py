@@ -93,3 +93,60 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         for t in ("li_bucketed", "o_bucketed"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_publish_partitioned_dataset(spark, tmp_path):
+    """Publishing the curated corpus: partition by lang, shard within
+    each partition by hashed doc_id so file count (and therefore file
+    size) is explicit — `repartition(N, keys)` before a partitionBy
+    write is what prevents the small-files problem at 100 TB (one
+    task's output per partition-dir × shard). Readers must then prune:
+    a lang='en' query may scan only the en/ directory."""
+    d = table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "curated")
+    shards = 4
+    (
+        d.repartition(shards, F.col("lang"), F.pmod(F.xxhash64("doc_id"), F.lit(shards)))
+        .write.partitionBy("lang")
+        .parquet(out)
+    )
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+
+    import glob
+    import os
+
+    langs = sorted(
+        os.path.basename(p).split("=")[1] for p in glob.glob(f"{out}/lang=*")
+    )
+    assert langs == sorted(r.lang for r in d.select("lang").distinct().collect())
+    for p in glob.glob(f"{out}/lang=*"):
+        n_files = len(glob.glob(f"{p}/*.parquet"))
+        assert 1 <= n_files <= shards, f"{p}: {n_files} files"
+
+    pruned = back.filter(F.col("lang") == langs[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert pruned.count() == d.filter(F.col("lang") == langs[0]).count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Ingest across a schema change: day-1 files lack a column day-2
+    files carry. `mergeSchema` reconciles the union schema with nulls
+    for the missing column — the append-only evolution discipline a
+    long-lived 100 TB dataset needs (column ADDS are safe; renames/
+    retypes are not and FAILFAST ingest catches them upstream)."""
+    base = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS v1").write.parquet(f"{base}/day=1")
+    spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v1", "CAST(id AS STRING) AS v2_added"
+    ).write.parquet(f"{base}/day=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v1", "v2_added", "day"}
+    assert merged.count() == 8
+    old_rows = merged.filter("day = 1")
+    assert old_rows.filter(F.col("v2_added").isNull()).count() == 5
+    new_rows = merged.filter("day = 2").select("id", "v2_added").collect()
+    assert {(r.id, r.v2_added) for r in new_rows} == {(i, str(i)) for i in range(5, 8)}
