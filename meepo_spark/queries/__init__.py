@@ -24,6 +24,7 @@ from meepo_spark.queries import llm_pipeline  # noqa: F401
 from meepo_spark.queries import parity  # noqa: F401
 from meepo_spark.queries import quality  # noqa: F401
 from meepo_spark.queries import streaming_batch  # noqa: F401
+from meepo_spark.queries import timeseries  # noqa: F401
 from meepo_spark.queries import sources  # noqa: F401
 from meepo_spark.queries import analytics  # noqa: F401
 from meepo_spark.queries import analytics2  # noqa: F401

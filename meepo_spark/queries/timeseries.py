@@ -1,0 +1,176 @@
+"""Graded time-series / product-analytics queries over the events
+fixture: calendar-spine gap filling with forward fill (the hypertable
+resample/locf shape), funnel step conversion, and weekly retention
+cohorts.
+
+Cross-engine discipline notes:
+  * timestamps are compared as fixed-width µs strings
+    ('yyyy-MM-dd HH:mm:ss.SSSSSS') — lexicographic order equals
+    chronological order and both engines agree at µs precision, where
+    raw ns-vs-µs timestamps would drift (FIXTURES.md);
+  * forward fill propagates the already-ROUNDED daily value, so the
+    filled column is bit-identical on both engines;
+  * week offsets are integer floor-divisions of day counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.registry import register
+
+
+@register(
+    "t8_gap_fill",
+    oracle="""
+    WITH f AS (SELECT * FROM events WHERE user_id < 100),
+    bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM f),
+    days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM f),
+    actual AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                     + 1e-9, 2) AS daily_avg
+        FROM f GROUP BY 1, 2
+    )
+    SELECT s.user_id,
+           STRFTIME(s.day, '%Y-%m-%d') AS day,
+           a.daily_avg,
+           LAST_VALUE(a.daily_avg IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM (SELECT u.user_id, d.day FROM users u CROSS JOIN days d) s
+    LEFT JOIN actual a ON a.user_id = s.user_id AND a.day = s.day
+    """,
+)
+def t8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: resample to a daily calendar spine and forward-fill gaps
+    (last-observation-carried-forward) — the hypertable `time_bucket +
+    locf` shape. The spine is users × sequence(min_day, max_day); a
+    left join marks missing days null and `last(ignorenulls)` over the
+    per-user ordered window fills them.
+
+    Scale shape: the spine explodes from a 1-row bounds aggregate
+    (broadcast), so nothing wide shuffles until the per-user window —
+    whose partition count is |users|, the natural parallelism of the
+    fill. Days are generated, never materialized in storage."""
+    f = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    bounds = f.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = f.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    actual = f.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+            + 1e-9,
+            2,
+        ).alias("daily_avg")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "daily_avg",
+            F.last("daily_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+        .withColumnRenamed("day_s", "day")
+    )
+
+
+_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # Spark pattern
+_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"  # DuckDB strftime (µs)
+
+
+@register(
+    "e1_funnel",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(STRFTIME(ts, '{_US_DUCK}')) FILTER (WHERE event_type = 'signup')   AS t_signup,
+               MIN(STRFTIME(ts, '{_US_DUCK}')) FILTER (WHERE event_type = 'view')     AS t_view,
+               MIN(STRFTIME(ts, '{_US_DUCK}')) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(COUNT(CASE WHEN t_view > t_signup THEN 1 END) AS BIGINT) AS n_signup_then_view,
+           CAST(COUNT(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 END)
+                AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def e1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: ordered funnel conversion — signup → first view after
+    signup → first purchase after that view. One per-user conditional
+    MIN aggregate (no joins, no sequence explosion); step predicates
+    compare the earliest per-step timestamps, the standard
+    first-touch funnel approximation. µs-string timestamps keep the
+    comparisons engine-portable."""
+    ev = table(spark, sf_dir, "events")
+    ts_s = F.date_format("ts", _US)
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, ts_s))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("view").alias("t_view"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    step2 = F.col("t_view") > F.col("t_signup")
+    step3 = step2 & (F.col("t_purchase") > F.col("t_view"))
+    return per_user.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(step2, 1)).alias("n_signup_then_view"),
+        F.count(F.when(step3, 1)).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "e2_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('week', CAST(MIN(ts) AS DATE)) AS DATE) AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT STRFTIME(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST((a.day - f.cohort_w) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def e2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: weekly retention cohorts — users grouped by the Monday of
+    their first-seen week; n_active distinct users per (cohort,
+    week-offset) cell. The first-seen table is user-grain
+    (broadcastable at any realistic user count vs the event volume);
+    the distinct-activity reduction happens before the join, so the
+    join input is user-days, not raw events."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_w")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(day, cohort_w) div 7").cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
