@@ -174,3 +174,75 @@ def e2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "w5_rolling_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS v
+        FROM events WHERE user_id < 100
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT user_id, day, v,
+               COUNT(*) OVER w AS n_prev,
+               AVG(v) OVER w AS mu,
+               STDDEV_SAMP(v) OVER w AS sigma
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
+           v,
+           ROUND(mu + 1e-9, 2) + 0.0 AS mu,
+           ROUND((v - mu) / sigma + 1e-9, 2) + 0.0 AS zscore,
+           CAST(ABS(v - mu) > 3 * sigma AS BOOLEAN) AS is_anomaly
+    FROM stats
+    WHERE n_prev >= 4 AND sigma > 1e-9
+    """,
+)
+def w5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: rolling anomaly detection — each user-day's total scored
+    against the TRAILING 7-day window (current row excluded, so the
+    anomaly can't suppress its own baseline); z = (v−μ)/σ, flag at
+    3σ. Rows need ≥4 prior observations and non-degenerate σ.
+
+    The daily totals are rounded BEFORE the window stats, so μ/σ
+    start from identical doubles on both engines; the one remaining
+    float risk (summation order inside AVG/STDDEV over ≤7 values) is
+    fixed-order within a frame on both engines. One shuffle, keyed on
+    user_id — the embarrassingly-parallel per-entity monitor shape."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("v")
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "user_id",
+        "day",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sigma"),
+    )
+    return (
+        stats.filter((F.col("n_prev") >= 4) & (F.col("sigma") > 1e-9))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "v",
+            # + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0),
+            # which otherwise renders as '-0' on one engine only
+            (F.round(F.col("mu") + 1e-9, 2) + 0.0).alias("mu"),
+            (F.round((F.col("v") - F.col("mu")) / F.col("sigma") + 1e-9, 2) + 0.0).alias(
+                "zscore"
+            ),
+            (F.abs(F.col("v") - F.col("mu")) > 3 * F.col("sigma")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
