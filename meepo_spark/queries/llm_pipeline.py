@@ -323,3 +323,59 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(ws_tokens(F.col("text")))).alias("n_tokens"),
     )
+
+
+@register(
+    "l4j_chunking",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents WHERE doc_id < 300
+    ),
+    c AS (
+        SELECT doc_id, n,
+               unnest(range(1 + (greatest(n - 16, 0) + 11) // 12)) AS chunk_idx
+        FROM t
+    )
+    SELECT c.doc_id,
+           CAST(c.chunk_idx AS INT) AS chunk_idx,
+           array_to_string(t.toks[c.chunk_idx * 12 + 1 : c.chunk_idx * 12 + 16], ' ')
+               AS chunk_text,
+           CAST(len(t.toks[c.chunk_idx * 12 + 1 : c.chunk_idx * 12 + 16]) AS INT)
+               AS n_chunk_tokens
+    FROM c JOIN t ON t.doc_id = c.doc_id
+    """,
+)
+def l4j_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: token-window chunking — split each document into 16-token
+    chunks on a 12-token stride (4-token overlap), the
+    context-window prep step between curation and tokenization.
+    Chunk starts are 0, stride, 2·stride, …; the last start is the
+    first that exposes the tail, so no token is dropped and no empty
+    chunk is emitted.
+
+    All map-side: chunk boundaries are arithmetic over the token
+    array (sequence → transform → posexplode), no shuffle at all
+    until whatever consumes the chunks. At 100 TB that matters: the
+    chunker is a pure projection pass, so it fuses into the scan."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    size, stride = 16, 12
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    n_starts = 1 + F.floor(
+        (F.greatest(n - size, F.lit(0)) + (stride - 1)) / stride
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.slice(toks, i * stride + 1, size),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+            F.size("chunk").alias("n_chunk_tokens"),
+        )
+    )
