@@ -150,3 +150,47 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert old_rows.filter(F.col("v2_added").isNull()).count() == 5
     new_rows = merged.filter("day = 2").select("id", "v2_added").collect()
     assert {(r.id, r.v2_added) for r in new_rows} == {(i, str(i)) for i in range(5, 8)}
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling, proven not assumed: build a join where
+    one key owns ~95% of the left side, drop the skew thresholds to
+    fixture scale, and assert the adaptive plan actually marked the
+    sort-merge join skew=true (split the hot partition). This is the
+    runtime safety net behind the salted_join operator — salting is
+    for known-hot keys, AQE catches the ones you didn't predict."""
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_conf}
+    for k, v in skew_conf.items():
+        spark.conf.set(k, v)
+    try:
+        # 95% of the left lands on k=0 — the hot partition dwarfs the
+        # median, which is what the skew detector keys on. The pad must
+        # be INCOMPRESSIBLE (per-row sha2, not a repeated constant):
+        # skew stats read compressed shuffle-block sizes, and a
+        # constant pad compresses the hot partition below any threshold
+        left = spark.range(60_000).selectExpr(
+            "CASE WHEN id % 20 != 0 THEN 0 ELSE id END AS k",
+            "sha2(cast(id as string), 256) AS pad",
+        )
+        right = spark.range(500).selectExpr("id AS k", "id * 10 AS v")
+        joined = left.join(right, "k")
+        n = len(joined.collect())  # execute THIS DataFrame so AQE finalizes its plan
+        # matches: 57001 rows of k=0 (non-multiples of 20, plus id=0
+        # itself), plus the multiples of 20 among 20..480
+        assert n == 57_001 + sum(1 for i in range(1, 500) if i % 20 == 0)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
