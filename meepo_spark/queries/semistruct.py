@@ -145,3 +145,53 @@ def f8_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("missing").alias("n_missing_path"),
         )
     )
+
+
+@register(
+    "f9_try_functions",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, user_id, value,
+               CASE WHEN user_id % 2 = 0 THEN CAST(user_id AS VARCHAR)
+                    ELSE event_type END AS mixed,
+               CASE WHEN user_id % 5 = 0 THEN NULL
+                    ELSE CAST(value AS DECIMAL(18,6)) / (user_id % 5) END AS safe_div
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(TRY_CAST(mixed AS INT)) AS BIGINT)  AS n_cast_null,
+           CAST(SUM(TRY_CAST(mixed AS INT)) AS BIGINT)               AS sum_cast_ok,
+           CAST(COUNT(*) - COUNT(safe_div) AS BIGINT)                AS n_div_null,
+           ROUND(CAST(SUM(safe_div) AS DOUBLE) + 1e-9, 2)            AS sum_safe_div
+    FROM t
+    GROUP BY event_type
+    """,
+)
+def f9_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the try_* error-safe function family under ANSI SQL mode —
+    `try_cast` turns unparseable strings into nulls instead of
+    failing the job, `try_divide` turns zero-divisor decimal division
+    into null instead of an ANSI error. The bulk-ingest posture: at
+    100 TB one malformed row must cost a null, not a stage retry
+    storm. The oracle mirrors the semantics with CASE guards, so the
+    null-accounting (not just the happy path) is hash-checked."""
+    ev = table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("user_id") % 2 == 0, F.col("user_id").cast("string")
+    ).otherwise(F.col("event_type"))
+    safe_div = F.try_divide(
+        F.col("value").cast("decimal(18,6)"), F.col("user_id") % 5
+    )
+    t = ev.select(
+        "event_type",
+        mixed.try_cast("int").alias("cast_ok"),
+        safe_div.alias("safe_div"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("cast_ok")).alias("n_cast_null"),
+        F.sum("cast_ok").cast("long").alias("sum_cast_ok"),
+        (F.count(F.lit(1)) - F.count("safe_div")).alias("n_div_null"),
+        F.round(F.sum("safe_div").cast("double") + 1e-9, 2).alias("sum_safe_div"),
+    )
