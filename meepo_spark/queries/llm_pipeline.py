@@ -326,6 +326,127 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l4k_heavy_hitters",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT array_to_string(t.toks[i.i + 1 : i.i + 2], ' ') AS term
+        FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+    ),
+    bc AS (SELECT term, COUNT(*) AS n_occurrences FROM bg GROUP BY term),
+    tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS n FROM bc)
+    SELECT term, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM bc, tot
+    WHERE n_occurrences * 600 > n
+    """,
+)
+def l4k_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: heavy-hitter bigrams via one-pass Misra-Gries candidates +
+    exact verification (operators/sketches.py). Reports every bigram
+    whose frequency exceeds N/600 of the corpus bigram stream, with
+    its EXACT count — the approximation lives only in candidate
+    generation, where the pigeonhole guarantee (union of per-partition
+    MG(k) summaries ⊇ all terms with global freq > N/k) makes the
+    verified answer provably complete. The DuckDB oracle computes the
+    same set the naive exact way, so the sketch path is graded as
+    equality.
+
+    Scale: the naive plan shuffles the full (term, count) vocabulary;
+    this plan's only full-stream aggregation is map-side (MG inside
+    mapInPandas, ≤600 rows out per partition), and the exact pass
+    shuffles only rows matching the broadcast candidate set. At 100 TB
+    the shuffle is bounded by k·partitions, not the vocabulary.
+    """
+    from meepo_spark.catalog import spread
+    from meepo_spark.operators.sketches import bigrams, heavy_hitters_exact
+
+    d = table(spark, sf_dir, "documents")
+    # spread the (small) document rows, THEN explode inside each
+    # partition — repartitioning the exploded term stream itself would
+    # be exactly the full-stream shuffle the sketch exists to avoid
+    terms = spread(d.select("text")).select(
+        F.explode(bigrams(F.col("text"))).alias("term")
+    )
+    return heavy_hitters_exact(terms, "term", 600)
+
+
+@register(
+    "l7_chunk_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang,
+               array_to_string(
+                   t.toks[i.chunk_idx * 12 + 1 : i.chunk_idx * 12 + 16], ' '
+               ) AS chunk_text
+        FROM t, LATERAL (
+            SELECT unnest(range(1 + (greatest(n - 16, 0) + 11) // 12)) AS chunk_idx
+        ) i
+    ),
+    cc AS (
+        SELECT lang, chunk_text, COUNT(*) AS c
+        FROM c GROUP BY lang, chunk_text
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT)                 AS n_chunks,
+           COUNT(*)                               AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS BIGINT)      AS dup_excess,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                  AS n_repeated_texts
+    FROM cc
+    GROUP BY lang
+    """,
+)
+def l7_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: chunk-grain dedup census — chunk every document into
+    16-token windows on a 12-token stride (the l4j_chunking pass),
+    then measure per-language duplication at the CHUNK grain: total
+    chunks, distinct chunk texts, the excess instances doc-level
+    dedup misses (boilerplate headers, repeated paragraphs), and how
+    many distinct texts repeat at all. This is the step between
+    document dedup and tokenization that removes the residual
+    repetition doc-level passes cannot see.
+
+    Plan shape for 100 TB: chunking is a pure projection fused into
+    the scan (same argument as l4j); chunks shuffle ONCE keyed on
+    (lang, xxhash64(chunk_text)) — 8-byte longs, never the chunk
+    strings — with map-side partial aggregation collapsing
+    within-partition repeats before the exchange. The census output
+    is integer-exact, so the string-grouped DuckDB oracle matches
+    bit-for-bit (xxhash64 collision P < 1e-9 at corpus scale).
+    """
+    d = table(spark, sf_dir, "documents")
+    size, stride = 16, 12
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    n_starts = 1 + F.floor(
+        (F.greatest(n - size, F.lit(0)) + (stride - 1)) / stride
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+    )
+    cc = (
+        d.select("lang", F.explode(chunks).alias("chunk_text"))
+        .groupBy("lang", F.xxhash64("chunk_text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cc.groupBy("lang").agg(
+        F.sum("c").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("c") - F.count(F.lit(1))).alias("dup_excess"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_repeated_texts"),
+    )
+
+
+@register(
     "l4j_chunking",
     oracle="""
     WITH t AS (

@@ -180,3 +180,43 @@ def test_ivf_recall_at_5(spark, sf_dir):
     assert exact, "exact top-k must not be empty"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.75, f"IVF recall@5 too low: {recall}"
+
+
+def test_misra_gries_candidate_guarantee(spark, docs):
+    """Pigeonhole guarantee: the union of per-partition MG(k)
+    summaries contains EVERY term with global frequency > N/k, and
+    emits at most k candidates per partition. Run at a small k so
+    pruning is aggressive and several exact heavies exist."""
+    from meepo_spark.operators.sketches import bigrams, misra_gries_candidates
+
+    terms = docs.repartition(8).select(
+        F.explode(bigrams(F.col("text"))).alias("term")
+    )
+    k = 50
+    cands = misra_gries_candidates(terms, "term", k)
+    cand_set = {r["term"] for r in cands.collect()}
+    assert len(cand_set) <= k * 8
+
+    exact = terms.groupBy("term").count().collect()
+    n = sum(r["count"] for r in exact)
+    heavies = {r["term"] for r in exact if r["count"] * k > n}
+    missed = heavies - cand_set
+    assert not missed, f"MG dropped guaranteed heavy hitters: {missed}"
+
+
+def test_heavy_hitters_exact_matches_naive(spark, docs):
+    """The sketch+verify pipeline returns exactly the naive answer —
+    same terms, same exact counts."""
+    from meepo_spark.operators.sketches import bigrams, heavy_hitters_exact
+
+    terms = docs.repartition(8).select(
+        F.explode(bigrams(F.col("text"))).alias("term")
+    )
+    got = {
+        (r["term"], r["n_occurrences"])
+        for r in heavy_hitters_exact(terms, "term", 600).collect()
+    }
+    exact = terms.groupBy("term").count().collect()
+    n = sum(r["count"] for r in exact)
+    want = {(r["term"], r["count"]) for r in exact if r["count"] * 600 > n}
+    assert got == want and want
