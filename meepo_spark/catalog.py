@@ -68,10 +68,12 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (no view registration).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    rejects outright — read it as raw nanos (legacy conf) and convert
-    with exact integer division (a double roundtrip would lose
-    precision: ns-since-epoch exceeds the 53-bit mantissa).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) in some fixture
+    generations (which Spark's reader rejects outright — read as raw
+    nanos via the legacy conf and convert with exact integer division;
+    a double roundtrip would lose precision) and as TIMESTAMP(MICROS)
+    NTZ in others. Normalize both to a session-TZ TIMESTAMP so every
+    downstream query and oracle comparison sees one type.
     """
     # the driver grades queries on ITS session — pin the conventions
     # every oracle comparison depends on, whatever session we're given
@@ -79,8 +81,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":  # nanos-as-long fixture generation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session TZ is pinned UTC above, so this is value-identity
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
