@@ -30,5 +30,6 @@ from meepo_spark.queries import analytics  # noqa: F401
 from meepo_spark.queries import analytics2  # noqa: F401
 from meepo_spark.queries import analytics3  # noqa: F401
 from meepo_spark.queries import reshape  # noqa: F401
+from meepo_spark.queries import mining  # noqa: F401
 from meepo_spark.queries import udf_surface  # noqa: F401
 from meepo_spark.queries import sql_entry  # noqa: F401

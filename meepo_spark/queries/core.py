@@ -286,3 +286,104 @@ def f4_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_nonneg"),
         F.round(F.least(F.col("c_acctbal"), F.lit(9999.0)), 2).alias("bal_capped"),
     )
+
+
+@register(
+    "g8_event_bitmask",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id,
+               CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                               WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                               WHEN 'view' THEN 16 ELSE 0 END AS bit
+        FROM events
+    )
+    SELECT user_id,
+           CAST(BIT_OR(bit) AS BIGINT) AS type_mask,
+           CAST(BIT_COUNT(BIT_OR(bit)) AS INT) AS n_types,
+           CAST(BIT_OR(bit) & 4 > 0 AS BOOLEAN) AS ever_purchased
+    FROM coded
+    GROUP BY user_id
+    """,
+)
+def g8_event_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: bitmap aggregate — per-user activity bitmask via BIT_OR of
+    one-hot codes (the bitmap-index / segment-membership pattern:
+    'which of the 5 event types has this user ever produced').
+
+    At scale this is the cheapest possible multi-membership rollup:
+    the per-user state is ONE integer regardless of event count, the
+    aggregate is associative/commutative (perfect partial+final
+    map-side combine), and downstream segment predicates
+    (`mask & 4 > 0`) are pure integer ops — no joins, no
+    collect_set blowup. Everything is exact integers."""
+    ev = table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "view", 16)
+        .otherwise(0)
+    )
+    return (
+        ev.select("user_id", bit.alias("bit"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").alias("type_mask"))
+        .select(
+            "user_id",
+            "type_mask",
+            F.bit_count("type_mask").cast("int").alias("n_types"),
+            (F.col("type_mask").bitwiseAND(4) > 0).alias("ever_purchased"),
+        )
+    )
+
+
+@register(
+    "f11_date_arith",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS od FROM orders
+    )
+    SELECT quarter(od) AS q,
+           CAST(dayofweek(od) + 1 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(od) + INTERVAL 90 DAY AS DATE)::VARCHAR AS first_deadline,
+           MAX(last_day(od + INTERVAL 3 MONTH))::VARCHAR AS last_due_eom,
+           CAST(MIN(weekofyear(od)) AS INT) AS first_week,
+           CAST(MAX(weekofyear(od)) AS INT) AS last_week
+    FROM d
+    GROUP BY 1, 2
+    """,
+)
+def f11_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: date-interval arithmetic family — date_add, add_months
+    with end-of-month clamping (last_day), quarter, ISO week, and
+    day-of-week, the calendar kernel of every SLA / fiscal-period
+    report. Both engines clamp month arithmetic the same way
+    (Jan 31 + 1 month = Feb 28/29) and use ISO week numbering;
+    day-of-week bases differ (Spark: Sunday=1, DuckDB: Sunday=0),
+    normalized explicitly in the oracle rather than silently. The
+    oracle hoists the +90d outside MIN (valid: date+interval is
+    monotone) — DuckDB 1.0.0 miscomputes a MAX(last_day(od+3mo))
+    sibling when another `od + INTERVAL` aggregate is in the same
+    SELECT, and the hoist sidesteps that.
+
+    All expressions are codegen'd date arithmetic on the scan — the
+    group-by cardinality (4 quarters × 7 days) is constant, so this
+    is a pure map-side-combine aggregate at any scale."""
+    d = table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("od")
+    )
+    return d.groupBy(
+        F.quarter("od").alias("q"),
+        F.dayofweek("od").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.date_add("od", 90)).cast("string").alias("first_deadline"),
+        F.max(F.last_day(F.add_months("od", 3)))
+        .cast("string")
+        .alias("last_due_eom"),
+        F.min(F.weekofyear("od")).alias("first_week"),
+        F.max(F.weekofyear("od")).alias("last_week"),
+    )

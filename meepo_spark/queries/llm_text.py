@@ -253,3 +253,162 @@ def l4f_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "l4l_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY lang, token
+    ),
+    ranked AS (
+        SELECT lang, token, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, token) AS rnk
+        FROM freq
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(REGR_SLOPE(LN(CAST(n AS DOUBLE)), LN(CAST(rnk AS DOUBLE)))
+                 + 1e-9, 3) + 0.0 AS zipf_slope
+    FROM ranked
+    WHERE rnk <= 100
+    GROUP BY lang
+    """,
+)
+def l4l_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: Zipf rank-frequency slope per language — the log-log
+    regression slope over the top-100 token ranks. Natural corpora
+    sit near −1; a slope far from that flags synthetic, templated,
+    or degenerate text, which makes this a corpus-level quality gate
+    alongside the per-doc scores (l4d/l4h).
+
+    Plan shape: explode → (lang, token) count → per-lang window rank
+    over the SMALL vocabulary table (never the token stream) →
+    5-group REGR_SLOPE. Rank ties break deterministically on token so
+    both engines regress identical (x, y) point sets; the regression
+    itself is sums-of-products over ≤100 points, where 3dp rounding
+    absorbs association-order skew."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+        ),
+    ).filter(F.col("rnk") <= 100)
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("n").cast("double")),
+                    F.log(F.col("rnk").cast("double")),
+                )
+                + 1e-9,
+                3,
+            )
+            + 0.0
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "l4m_bigram_lm",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, lang, toks, unnest(range(1, n)) AS i FROM t)
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS token FROM t)
+    ),
+    cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2),
+    cug AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+    scored AS (
+        SELECT b.doc_id, b.lang,
+               LN((cbg.c + 1.0) / (cug.c + vocab.v)) AS lp
+        FROM bg b
+        JOIN cbg ON cbg.w1 = b.w1 AND cbg.w2 = b.w2
+        JOIN cug ON cug.w1 = b.w1
+        CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, ROUND(AVG(lp) + 1e-9, 6) AS s
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(s) + 1e-9, 3) AS avg_score,
+           ROUND(MIN(s) + 1e-9, 3) AS min_score,
+           ROUND(MAX(s) + 1e-9, 3) AS max_score
+    FROM per_doc GROUP BY 1
+    """,
+)
+def l4m_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: bigram language-model perplexity scoring — train add-one-
+    smoothed bigram probabilities on the corpus itself, score each doc by
+    its mean log-probability, report the per-language distribution.
+    This is the KenLM-style LM quality filter of CCNet/RefinedWeb
+    pipelines, self-trained so it needs no external model file.
+
+    Scale shape: the LM tables are TINY (vocab and vocab² rows) and
+    broadcast to the scoring join, so the token stream itself is
+    touched exactly twice (count pass, score pass) and shuffles only
+    at doc grain. Per-doc scores round at 6dp before the language
+    rollup so cross-engine libm drift (≤1 ulp per LN) cannot move the
+    3dp report."""
+    d = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    t = d.select("doc_id", "lang", toks.alias("toks"), F.size(toks).alias("n"))
+    bg = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.col("n") - 1),
+                F.slice(F.col("toks"), 2, F.col("n") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    vocab = t.select(F.explode("toks").alias("token")).agg(
+        F.countDistinct("token").alias("v")
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cug = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (
+        bg.join(F.broadcast(cbg), ["w1", "w2"])
+        .join(F.broadcast(cug), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("lp") + 1e-9, 6).alias("s")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("s") + 1e-9, 3).alias("avg_score"),
+        F.round(F.min("s") + 1e-9, 3).alias("min_score"),
+        F.round(F.max("s") + 1e-9, 3).alias("max_score"),
+    )

@@ -1,0 +1,352 @@
+"""Graded data-mining queries: market-basket association pairs,
+per-user event-transition (Markov) matrices, RFM customer
+segmentation, and a count-min sketch built from first principles.
+
+These are the everyday "mining on a fact table" shapes a warehouse
+engine gets asked for beyond plain rollups. Cross-engine discipline
+follows the registry conventions: exact integers wherever possible,
+`+ 1e-9` nudge + ROUND on the few reported ratios, compound
+(key, tiebreak) orderings so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meepo_spark.catalog import table
+from meepo_spark.functions.text import ws_tokens
+from meepo_spark.registry import register
+
+
+@register(
+    "m1_basket_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    totals AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+               FROM items GROUP BY 1),
+    n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+              FROM items),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           ROUND(CAST(p.support AS DOUBLE) * n.n
+                 / (ta.n_item * tb.n_item) + 1e-9, 3) AS lift
+    FROM pairs p
+    CROSS JOIN n_ord n
+    JOIN totals ta ON ta.l_partkey = p.part_a
+    JOIN totals tb ON tb.l_partkey = p.part_b
+    """,
+)
+def m1_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: market-basket frequent pairs with lift — which parts
+    co-occur in the same order more often than chance. The classic
+    association-rule support/lift computation, the first step of any
+    co-purchase / co-occurrence recommender.
+
+    Scale shape: dedupe to (order, part) FIRST (a returned line and a
+    reorder line must not double-count), then self-join on the order
+    key. Both sides shuffle on the SAME key, so Catalyst reuses one
+    Exchange; pair blowup is quadratic only in basket size (≤13 here,
+    bounded in any retail schema), never in table size. The per-part
+    totals (|parts| rows) and the 1-row order count broadcast; support
+    counts are exact integers, lift is the single rounded float."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    totals = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    n_ord = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ta = totals.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na")
+    )
+    tb = totals.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_ord))
+        .join(F.broadcast(ta), "part_a")
+        .join(F.broadcast(tb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n")
+                / (F.col("na") * F.col("nb"))
+                + 1e-9,
+                3,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "m2_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+                 + 1e-9, 4) AS p
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def m2_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: first-order Markov transition matrix over the event stream
+    — for each user-adjacent (previous type → next type) pair, the
+    count and the row-normalized transition probability. The
+    session-path / clickstream-analysis primitive (what do users do
+    after an error?).
+
+    Scale shape: ONE shuffle on user_id for the LAG (event order is
+    per-user, so the window is properly partitioned — no global
+    sort), then a 25-cell aggregate; the probability normalization
+    window runs on the 25-row result. Ordering ties break on
+    event_id at µs precision so both engines sequence identically."""
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+        )
+        .alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("prev_type"))
+            + 1e-9,
+            4,
+        ).alias("p"),
+    )
+
+
+@register(
+    "m3_rfm_segments",
+    oracle="""
+    WITH cm AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT o_custkey, monetary,
+               NTILE(4) OVER (ORDER BY last_day DESC, o_custkey) AS r,
+               NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM cm
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*) + 1e-9, 2)
+               AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def m3_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: RFM segmentation — quartile scores for Recency (latest
+    order date), Frequency (order count), and Monetary (lifetime
+    spend), reported as segment sizes and average spend. The standard
+    CRM / marketing-audience cut of a customer base.
+
+    Scale shape: the fact scan reduces to ONE row per customer before
+    any window runs; the three NTILEs then rank the customer
+    *aggregate* (|customers| rows, not |orders|). NTILE over an
+    unpartitioned window is a single-partition sort of that small
+    aggregate — acceptable because it is the segmentation contract
+    (global quartiles); ties break on custkey so both engines cut
+    identical quartile boundaries. Monetary sums stay DECIMAL until
+    the final rounded ratio."""
+    cm = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    scored = cm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_day").desc(), "o_custkey"))
+        .alias("r"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum("monetary").cast("double") / F.count(F.lit(1)) + 1e-9, 2
+        ).alias("avg_monetary"),
+    )
+
+
+_HEX = "0123456789abcdef"
+# DuckDB-side hex→int for one md5 nibble (1-based position p of h)
+_NIB = f"(instr('{_HEX}', substr(h, {{p}}, 1)) - 1)"
+
+
+def _duck_bucket(i: int, width: int) -> str:
+    """3-nibble md5 slice [3i+1 .. 3i+3] → bucket in [0, width)."""
+    p = 3 * i + 1
+    return (
+        f"(({_NIB.format(p=p)} * 256 + {_NIB.format(p=p + 1)} * 16 + "
+        f"{_NIB.format(p=p + 2)}) % {width})"
+    )
+
+
+@register(
+    "g9_count_min_sketch",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM tok GROUP BY 1
+    ),
+    hashed AS (
+        SELECT token, true_n,
+               {_duck_bucket(0, 16)} AS b0,
+               {_duck_bucket(1, 16)} AS b1,
+               {_duck_bucket(2, 16)} AS b2
+        FROM (SELECT token, true_n, md5(token) AS h FROM freq)
+    ),
+    sketch AS (
+        SELECT depth, bucket, CAST(SUM(true_n) AS BIGINT) AS cnt
+        FROM (
+            SELECT 0 AS depth, b0 AS bucket, true_n FROM hashed
+            UNION ALL SELECT 1, b1, true_n FROM hashed
+            UNION ALL SELECT 2, b2, true_n FROM hashed
+        )
+        GROUP BY 1, 2
+    ),
+    top5 AS (
+        SELECT * FROM hashed ORDER BY true_n DESC, token LIMIT 5
+    ),
+    probes AS (
+        SELECT token, true_n, 0 AS depth, b0 AS bucket FROM top5
+        UNION ALL SELECT token, true_n, 1, b1 FROM top5
+        UNION ALL SELECT token, true_n, 2, b2 FROM top5
+    )
+    SELECT p.token, p.true_n,
+           CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(s.cnt) - p.true_n AS BIGINT) AS overcount
+    FROM probes p
+    JOIN sketch s ON s.depth = p.depth AND s.bucket = p.bucket
+    GROUP BY p.token, p.true_n
+    """,
+)
+def g9_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: count-min sketch from first principles — depth 3 × width
+    16 counters keyed by independent md5-slice hashes, probed for the
+    5 most frequent tokens. Output proves the CMS contract: estimate
+    = min over rows ≥ true count, with the overcount made explicit
+    (width 16 on a 31-token vocabulary forces real collisions).
+
+    Why it matters at 100 TB: the sketch is a FIXED 48-counter state
+    regardless of stream size, built with a perfectly map-side-
+    combinable SUM per (depth, bucket) — the frequency oracle you can
+    afford on an unbounded stream, and mergeable across shards by
+    counter addition (same argument as the HLL union in g3b). The
+    hash here is arithmetic on md5 nibbles purely so DuckDB can
+    replicate it; production would use xxhash64(token, seed_i)."""
+    depth, width = 3, 16
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    h = F.md5("token")
+    buckets = [
+        (F.conv(F.substring(h, 3 * i + 1, 3), 16, 10).cast("long") % width)
+        for i in range(depth)
+    ]
+    hashed = freq.select(
+        "token", "true_n", *[b.alias(f"b{i}") for i, b in enumerate(buckets)]
+    )
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("depth"), F.col(f"b{i}").alias("bucket")
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    sketch = (
+        hashed.select(cells.alias("db"), "true_n")
+        .groupBy(F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket"))
+        .agg(F.sum("true_n").alias("cnt"))
+    )
+    top5 = hashed.orderBy(F.col("true_n").desc(), "token").limit(5)
+    probes = top5.select("token", "true_n", cells.alias("db")).select(
+        "token", "true_n", "db.depth", "db.bucket"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("token", "true_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).alias("overcount"),
+        )
+    )

@@ -110,3 +110,52 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return reduce(DataFrame.unionAll, [quantity, shipdate, pk, price, fk])
+
+
+@register(
+    "dq2_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT day, n,
+               LAG(n) OVER (ORDER BY day) AS prev_n
+        FROM daily
+    )
+    SELECT day::VARCHAR AS day, n, prev_n,
+           ROUND(CAST(n - prev_n AS DOUBLE) / prev_n + 1e-9, 3) + 0.0 AS pct_change,
+           CAST(ABS(CAST(n - prev_n AS DOUBLE) / prev_n) > 0.5 AS BOOLEAN)
+               AS is_anomaly
+    FROM d
+    WHERE prev_n IS NOT NULL
+    """,
+)
+def dq2_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ: pipeline freshness/volume monitor — day-over-day row-count
+    drift, flagged when |Δ| exceeds 50%. The everyday ops check that
+    catches an upstream producer dying or double-publishing before
+    the bad partition propagates.
+
+    Plan shape: one column-pruned scan → tiny (day, count) aggregate
+    → single-partition LAG over ~O(days) rows. The window runs on the
+    aggregate, never the raw log, so the unpartitioned ORDER BY is
+    safe at any scale. All comparisons are exact integers; only the
+    reported ratio is floating (rounded, negative-zero-normalized)."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = daily.withColumn("prev_n", F.lag("n").over(W.orderBy("day")))
+    delta = (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n")
+    return d.filter(F.col("prev_n").isNotNull()).select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "prev_n",
+        (F.round(delta + 1e-9, 3) + 0.0).alias("pct_change"),
+        (F.abs(delta) > 0.5).alias("is_anomaly"),
+    )

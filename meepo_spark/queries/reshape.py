@@ -261,3 +261,117 @@ def v7_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@register(
+    "v8_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000) AS INT), 19) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT bucket,
+           bucket * 5000 AS lo,
+           (bucket + 1) * 5000 AS hi,
+           n,
+           CAST(SUM(n) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER () + 1e-9, 4) AS share
+    FROM b
+    """,
+)
+def v8_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8: equi-width histogram with cumulative distribution — the
+    binning primitive behind feature bucketization, data profiling,
+    and approximate-quantile sanity checks. Fixed-width buckets
+    (width 5000, last bucket open-ended via LEAST) mean bucket
+    assignment is a pure projection — no pre-pass for min/max, so
+    the whole histogram is ONE scan + a 20-row aggregate, and the
+    cumulative/share windows run on the 20-row result, not the fact
+    table. Integer counts are exact; only the share is floating
+    (rounded)."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.least(
+            F.floor(F.col("l_extendedprice") / 5000).cast("int"), F.lit(19)
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return b.select(
+        "bucket",
+        (F.col("bucket") * 5000).alias("lo"),
+        ((F.col("bucket") + 1) * 5000).alias("hi"),
+        "n",
+        F.sum("n").over(cum).alias("cum_n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy()) + 1e-9, 4
+        ).alias("share"),
+    )
+
+
+@register(
+    "v9_weighted_sample",
+    oracle="""
+    WITH u AS (
+        SELECT lang, doc_id, n_chars,
+               ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
+              + 1.0) / 16777217.0 AS uval
+        FROM documents
+    ),
+    keyed AS (
+        SELECT lang, doc_id, n_chars,
+               POW(uval, 1.0 / n_chars) AS k
+        FROM u
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def v9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9: weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): per-language top-20 docs by the key u^(1/w) with weight
+    w = n_chars, so longer documents are proportionally likelier —
+    the standard trick behind weighted training-mix draws, where a
+    plain `ORDER BY rand()` cannot honor weights and cannot be
+    reproduced.
+
+    u is derived from md5(doc_id) (6 nibbles → (0,1], never exactly
+    0 so the pow is defined), making the draw DETERMINISTIC across
+    engines, runs, and partitionings — reproducibility is the whole
+    point for training-data lineage. One projection computes the
+    key; the only shuffle is the per-lang top-k (W1 pattern). A-ES
+    keys are independent per row, so at 100 TB the same query
+    streams: keep a bounded per-lang heap per partition, merge heaps
+    at the end (the map-side-combine shape of O2)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    uval = (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("double") + 1.0
+    ) / 16777217.0
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.pow(uval, 1.0 / F.col("n_chars")).alias("k"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+    )
+    return (
+        keyed.withColumn("rn", rn)
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars", F.col("rn").cast("int").alias("rn"))
+    )

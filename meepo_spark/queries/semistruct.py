@@ -195,3 +195,46 @@ def f9_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("safe_div")).alias("n_div_null"),
         F.round(F.sum("safe_div").cast("double") + 1e-9, 2).alias("sum_safe_div"),
     )
+
+
+@register(
+    "f10_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT 'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+        FROM documents
+    )
+    SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)   AS lang_param,
+           CAST(COUNT(*) AS BIGINT)                     AS n_docs,
+           MIN(regexp_extract(url, '://[^/]+(/[^?#]*)', 1)) AS first_path
+    FROM u
+    GROUP BY 1, 2
+    """,
+)
+def f10_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: URL function family — host / path / query-parameter
+    extraction with `parse_url`, the workhorse of web-crawl curation
+    (per-domain quotas, TLD filters, tracking-param stripping). The
+    fixture has no URL column, so one is synthesized deterministically
+    from (source, doc_id, lang) first — the parsing underneath is the
+    real surface. The DuckDB oracle parses with regexes, proving the
+    semantics rather than echoing the same builtin.
+
+    Per-domain grouping is the scale story: crawl curation shuffles
+    on host (bounded cardinality), never on raw URL."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select(url.alias("url"))
+    return u.groupBy(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.parse_url(F.col("url"), F.lit("PATH"))).alias("first_path"),
+    )

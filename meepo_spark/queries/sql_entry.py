@@ -106,3 +106,45 @@ def sql3_in_subquery_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+_BOM_SQL = """
+WITH RECURSIVE bom AS (
+    SELECT p_partkey AS node, 0 AS depth, p_retailprice AS price
+    FROM part WHERE p_partkey = 0
+    UNION ALL
+    SELECT c.p_partkey, b.depth + 1, c.p_retailprice
+    FROM bom b
+    JOIN part c
+      ON CAST(FLOOR((c.p_partkey - 1) / 2) AS BIGINT) = b.node
+     AND c.p_partkey >= 1
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(node) AS BIGINT) AS first_node,
+       CAST(MAX(node) AS BIGINT) AS last_node,
+       ROUND(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 2)
+           AS level_price
+FROM bom
+GROUP BY depth
+"""
+
+
+@register("sql4_recursive_cte", oracle=_BOM_SQL)
+def sql4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`) — bill-of-materials
+    walk over an implicit heap tree on part (children of k are 2k+1,
+    2k+2, expressed as the equi-condition parent(c) = (c-1) div 2),
+    rolled up per assembly depth. Identical SQL text runs on both
+    engines.
+
+    The recursion is the one relational shape Catalyst cannot unroll
+    statically: each level is a JOIN of the frontier against the part
+    table — an EQUI join, so every iteration is a hash join, never a
+    nested loop; depth is log2(|part|) (~11 at sf0.01), and the
+    frontier is disjoint per level so total work is one part-table
+    pass spread over the levels. The same pattern is the graph/
+    hierarchy traversal (org charts, category trees, L2e's connected
+    components) done purely in the SQL entry."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_BOM_SQL)

@@ -246,3 +246,174 @@ def w5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "t9_two_level_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE)::VARCHAR AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) >= 1 AS BOOLEAN) AS has_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def t9_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: hierarchical time rollup — the continuous-aggregate /
+    hypertable pattern: events roll up to HOURLY partials first, and
+    the daily answer is re-aggregated from the partials, never from
+    raw events. The oracle computes daily directly, so the hash match
+    proves the two-level path is lossless.
+
+    Why it matters at 100 TB: the hourly layer is the materialized
+    view you maintain incrementally (one micro-batch updates one hour
+    bucket); every coarser grain (day/week/month) re-aggregates the
+    tiny partial table instead of rescanning the raw log. Sums stay
+    DECIMAL through both levels, so re-association cannot drift;
+    has_users shows a non-decomposable agg (COUNT DISTINCT) being
+    *checked* at the day grain rather than incorrectly summed from
+    hourly partials."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        # distinct users cannot be summed across hours — carry the set
+        # membership down via collect_set only at test scale? No:
+        # re-verify at day grain with an exact distinct over the raw
+        # keys, aggregated separately and joined (see below).
+    )
+    daily_from_partials = hourly.groupBy(
+        F.to_date("hour").alias("day_d")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+    )
+    # non-decomposable distinct: computed at the target grain over a
+    # column-pruned scan (user_id, ts only) — the honest way to get
+    # exact distincts you cannot derive from partials
+    daily_users = ev.groupBy(F.to_date("ts").alias("day_d")).agg(
+        (F.countDistinct("user_id") >= 1).alias("has_users")
+    )
+    return daily_from_partials.join(daily_users, "day_d").select(
+        F.col("day_d").cast("string").alias("day"),
+        "n_events",
+        "has_users",
+        "total_value",
+    )
+
+
+@register(
+    "t10_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     + 1e-9, 2) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT user_id, day, x,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM daily
+    ),
+    wtd AS (SELECT *, x * POW(0.7, -rn) AS xp, POW(0.7, -rn) AS p FROM seq)
+    SELECT user_id, day::VARCHAR AS day, x,
+           ROUND(SUM(xp) OVER w / SUM(p) OVER w + 1e-9, 2) AS ewma
+    FROM wtd
+    WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def t10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: exponentially-weighted moving average of each user's daily
+    spend (α = 0.3, pandas ``ewm(adjust=True)`` semantics truncated to
+    a trailing 30-row window) — the smoothing baseline behind burn-rate
+    dashboards and the w5 z-score's heavier-tailed cousin.
+
+    EWMA is a running recursion, which a window aggregate cannot
+    express directly; the closed form Σ wⱼxⱼ / Σ wⱼ with
+    wⱼ = (1-α)^(rn_cur - rn_j) factors so the current row's exponent
+    CANCELS: both sums use only (1-α)^(-rn_j). That keeps it a plain
+    framed SUM — one shuffle on user_id, no UDF, no state. The
+    trailing frame bounds the exponent magnitude (rn ≤ 30 here; at
+    scale you re-base rn per month so the power never overflows —
+    production unbounded-history EWMA is the T6 stateful operator).
+    Daily inputs are pre-rounded so both engines smooth identical
+    series."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    + 1e-9,
+                    2,
+                )
+            ).alias("x")
+        )
+    )
+    seq = daily.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    )
+    wtd = seq.select(
+        "user_id",
+        "day",
+        "x",
+        "rn",
+        (F.col("x") * F.pow(F.lit(0.7), -F.col("rn"))).alias("xp"),
+        F.pow(F.lit(0.7), -F.col("rn")).alias("p"),
+    )
+    w = W.partitionBy("user_id").orderBy("rn").rowsBetween(-29, W.currentRow)
+    return wtd.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.round(F.sum("xp").over(w) / F.sum("p").over(w) + 1e-9, 2).alias(
+            "ewma"
+        ),
+    )
+
+
+@register(
+    "t11_ohlc",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day,
+           ROUND(first(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                       event_id) + 1e-9, 2) AS open,
+           ROUND(MAX(value) + 1e-9, 2) AS high,
+           ROUND(MIN(value) + 1e-9, 2) AS low,
+           ROUND(last(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                      event_id) + 1e-9, 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t11_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: OHLC candlestick bars — per (event_type, day) the opening
+    / highest / lowest / closing `value`, the downsampling shape every
+    time-series store ships (candles, sensor rollups, SLO panels).
+
+    Spark side: `min_by` / `max_by` with a (µs, event_id) struct key
+    pick open/close IN THE AGGREGATE — one hash aggregate over the
+    scan, no window, no per-bar sort, perfectly partial-aggregatable
+    (min_by/max_by merge by comparing keys), so the shape holds on an
+    unbounded stream exactly like a Misra-Gries counter. The compound
+    tie-break key means both engines agree even when two events share
+    a µs timestamp."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.to_date("ts").cast("string").alias("day")
+        )
+        .agg(
+            F.round(F.min_by("value", key) + 1e-9, 2).alias("open"),
+            F.round(F.max("value") + 1e-9, 2).alias("high"),
+            F.round(F.min("value") + 1e-9, 2).alias("low"),
+            F.round(F.max_by("value", key) + 1e-9, 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -194,3 +194,60 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_join_probe(spark, tmp_path):
+    """Runtime-filter injection: when one join side is heavily
+    filtered, Spark can inject a bloom filter built from that side
+    into the OTHER side's scan, so probe rows that cannot match die
+    at the scan instead of riding the shuffle. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~1% that survives the dimension filter — the same reason the
+    reference filters events at the binlog source rather than in
+    subscribers.
+
+    Parquet fixtures are small enough that Spark's size thresholds
+    would normally skip injection, so thresholds are dropped to make
+    the behavior observable; the assertion is on plan structure, not
+    timing."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        # force a shuffle join so there is a probe side worth pruning
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_DIR, "lineitem")
+        orders = table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+        # and the filtered result is still correct
+        n_joined = joined.count()
+        n_expected = (
+            table(spark, SF_DIR, "lineitem")
+            .join(
+                table(spark, SF_DIR, "orders").filter(
+                    F.col("o_totalprice") > 450000
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n_joined == n_expected and n_joined > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -217,3 +217,37 @@ def test_s7c_python_datasink_broadcast(spark, sf_dir, tmp_path):
     n_markers = len(os.listdir(os.path.join(out, "_commits")))
     assert n_markers >= 3  # 1000 rows / 400-row cap
     assert not os.listdir(os.path.join(out, "_staging"))
+
+
+def test_binaryfile_source_for_multimodal_blobs(spark, tmp_path):
+    """`binaryFile` source — the ingestion seam for multimodal
+    payloads (images/audio dropped as raw files): each file becomes
+    one row of (path, modificationTime, length, content BINARY),
+    which is exactly the opaque-binary + typed-metadata convention
+    the L5 multimodal columns build on. pathGlobFilter prunes
+    non-matching files at LISTING time (no read), the binary column
+    feeds the same mapInPandas decode plumbing as l5b."""
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    payloads = {f"img_{i:03d}.bin": bytes([i]) * (100 + i) for i in range(8)}
+    for name, data in payloads.items():
+        (blob_dir / name).write_bytes(data)
+    (blob_dir / "notes.txt").write_text("not a blob")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(blob_dir))
+    )
+    rows = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        "length",
+        F.length("content").alias("n_bytes"),
+        F.substring("content", 1, 1).alias("first_byte"),
+    ).collect()
+    assert len(rows) == 8  # txt filtered by glob, never opened
+    by_name = {r["name"]: r for r in rows}
+    for i in range(8):
+        r = by_name[f"img_{i:03d}.bin"]
+        assert r["length"] == 100 + i == r["n_bytes"]
+        assert r["first_byte"] == bytes([i])
