@@ -387,3 +387,57 @@ def f11_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.weekofyear("od")).alias("first_week"),
         F.max(F.weekofyear("od")).alias("last_week"),
     )
+
+
+@register(
+    "f12_null_semantics",
+    oracle="""
+    WITH x AS (
+        SELECT c_custkey,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(bal) AS BIGINT) AS n_bal,
+           CAST(COUNT(*) - COUNT(bal) AS BIGINT) AS n_null_bal,
+           ROUND(CAST(SUM(COALESCE(bal, 0.0)) AS DOUBLE) + 1e-9, 2)
+               AS sum_bal0,
+           CAST(SUM(CASE WHEN seg IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_hits
+    FROM x
+    GROUP BY seg
+    """,
+)
+def f12_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: NULL semantics family — NULLIF-manufactured nulls, the
+    COUNT(*) vs COUNT(col) distinction, COALESCE defaulting,
+    null-safe equality (Spark `<=>` / SQL IS NOT DISTINCT FROM), and
+    the SQL rule that GROUP BY collects all NULLs into ONE group.
+    Engines disagreeing on any of these silently corrupts every
+    downstream aggregate, which is why the family gets its own
+    oracle rather than riding along in other queries.
+
+    All single-scan, constant group cardinality — null checks are
+    free codegen'd predicates."""
+    c = table(spark, sf_dir, "customer")
+    x = c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return x.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal").alias("n_bal"),
+        (F.count(F.lit(1)) - F.count("bal")).alias("n_null_bal"),
+        F.round(F.sum(F.coalesce("bal", F.lit(0.0))) + 1e-9, 2).alias(
+            "sum_bal0"
+        ),
+        F.sum(
+            F.when(F.col("seg").eqNullSafe(F.lit(None).cast("string")), 1)
+            .otherwise(0)
+        ).alias("n_nullsafe_hits"),
+    )

@@ -102,3 +102,56 @@ def l5d_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return resize_media(attach_fake_payload(d), 32, 32)
+
+
+@register(
+    "l5e_crossmodal_join",
+    oracle="""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ROUND(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4))
+                 + 1e-9, 2) AS avg_norm,
+           ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) + 1e-9, 1)
+               AS avg_chars
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def l5e_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5e: cross-modal pairing — join the text table to its
+    embedding table by id (the documents/embeddings fixtures are
+    aligned 1:1 on doc_id = vec_id) and report per-language pair
+    counts, mean L2 norm, and mean length. This is the join every
+    multimodal training pipeline runs to marry captions/transcripts
+    to their vision/audio vectors before batching.
+
+    Both sides shuffle on the SAME integer id (or the text side
+    broadcasts when it is the small one); the norm folds JVM-side in
+    DOUBLE with per-row 4dp rounding before the language average, so
+    cross-engine float drift stays below the reported precision."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        4,
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select("lang", "n_chars", norm.alias("norm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("norm") + 1e-9, 2).alias("avg_norm"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)) + 1e-9, 1
+            ).alias("avg_chars"),
+        )
+    )

@@ -238,3 +238,54 @@ def f10_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min(F.parse_url(F.col("url"), F.lit("PATH"))).alias("first_path"),
     )
+
+
+@register(
+    "f5b_hof_family",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(embedding, x -> x > 0.25)) > 0 AS any_hot,
+           len(list_filter(embedding, x -> NOT (x > -1.0))) = 0 AS all_gt_neg1,
+           ROUND(list_sum(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) + 1e-9, 2) AS l1,
+           ROUND(CAST(embedding[1] AS DOUBLE)
+                 + CAST(embedding[64] AS DOUBLE) + 1e-9, 4) AS ends_sum
+    FROM embeddings
+    """,
+)
+def f5b_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5b: higher-order array functions — exists / forall / filter /
+    aggregate lambdas over the embedding vectors, plus element_at
+    indexing. These are the JVM-side lane for array math: every
+    lambda is codegen'd per element, so a 64-float fold costs no
+    Python round-trip at all (contrast l3d's Arrow UDF, which pays
+    one batch hop and is reserved for matmul-shaped work).
+
+    Floats are cast to DOUBLE before folding on BOTH engines — a
+    float32 accumulator would drift ~1e-4 relative and no rounding
+    convention could hide it; double accumulation agrees to ~1e-14
+    and 2dp rounding absorbs that."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.exists(emb, lambda x: x > 0.25).alias("any_hot"),
+        F.forall(emb, lambda x: x > -1.0).alias("all_gt_neg1"),
+        F.round(
+            F.aggregate(
+                emb,
+                F.lit(0.0),
+                lambda acc, x: acc + F.abs(x.cast("double")),
+            )
+            + 1e-9,
+            2,
+        ).alias("l1"),
+        F.round(
+            F.element_at(emb, 1).cast("double")
+            + F.element_at(emb, 64).cast("double")
+            + 1e-9,
+            4,
+        ).alias("ends_sum"),
+    )

@@ -145,3 +145,53 @@ def o4b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
     )
+
+
+@register(
+    "o3b_set_ops_all",
+    oracle="""
+    WITH ia AS (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+    ),
+    ea AS (
+        SELECT s_nationkey AS k FROM supplier
+        EXCEPT ALL
+        SELECT c_nationkey FROM customer
+    )
+    SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', k, CAST(COUNT(*) AS BIGINT) FROM ea GROUP BY 2
+    """,
+)
+def o3b_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3b: multiset INTERSECT ALL / EXCEPT ALL — the bag semantics
+    (multiplicity = min / difference of counts) that plain
+    intersect/except destroy, needed whenever duplicates carry
+    meaning (inventory reconciliation, event-stream diffing).
+
+    Spark's intersectAll/exceptAll compile to a count-compare
+    aggregate per key — one shuffle each on the compared columns, no
+    join explosion; counts stay partial-aggregatable so the shape
+    survives any scale."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    ia = (
+        cust.intersectAll(supp)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        supp.exceptAll(cust)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionByName(ea)

@@ -148,3 +148,32 @@ def sql4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     components) done purely in the SQL entry."""
     load_tables(spark, sf_dir)
     return spark.sql(_BOM_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c
+CROSS JOIN LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@register("sql5_lateral_join", oracle=_LATERAL_SQL)
+def sql5_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — top-2 orders per customer,
+    written as the per-row subquery a SQL user reaches for first.
+    Identical SQL text runs on both engines.
+
+    Catalyst decorrelates the LATERAL into a window-rank over a
+    single orders scan (DomainJoin rewrite) — semantically the O2
+    top-k-per-group pattern, but arrived at from the SQL entry. The
+    point of carrying BOTH spellings in the suite: plans converge, so
+    users don't pay for writing the intuitive form. No per-customer
+    re-execution survives in the physical plan."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -10,6 +10,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from conftest import SF_DIR
+from meepo_spark.catalog import table
+
 ROWS = [
     '{"k": 1, "name": "ok-1"}',
     '{"k": 2, "name": "ok-2"}',
@@ -251,3 +254,28 @@ def test_binaryfile_source_for_multimodal_blobs(spark, tmp_path):
         r = by_name[f"img_{i:03d}.bin"]
         assert r["length"] == 100 + i == r["n_bytes"]
         assert r["first_byte"] == bytes([i])
+
+
+def test_catalog_managed_table_round_trip(spark):
+    """Catalog surface: saveAsTable → spark.catalog listing →
+    insertInto append → DROP TABLE. Managed tables are how derived
+    datasets (event-store compactions, curated corpora) get a name
+    other jobs can read without passing paths around; the catalog is
+    also what Catalyst consults for statistics, so tables beat raw
+    paths at scale."""
+    db, tbl = "meepo_test_db", "nation_copy"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        nation = table(spark, SF_DIR, "nation")
+        nation.write.mode("overwrite").saveAsTable(f"{db}.{tbl}")
+        assert tbl in [t.name for t in spark.catalog.listTables(db)]
+        assert spark.table(f"{db}.{tbl}").count() == nation.count()
+        # append via insertInto doubles the rows
+        nation.write.insertInto(f"{db}.{tbl}", overwrite=False)
+        assert spark.table(f"{db}.{tbl}").count() == 2 * nation.count()
+        # catalog exposes the schema
+        cols = {c.name for c in spark.catalog.listColumns(f"{db}.{tbl}")}
+        assert cols == set(nation.columns)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
