@@ -203,3 +203,57 @@ def test_dlq_quarantines_poison_batch(spark, changes, tmp_path):
     assert quarantined.count() > 0
     assert quarantined.filter(F.col("dlq_error").contains("poison")).count() > 0
     assert {"dlq_error", "dlq_batch_id"} <= set(quarantined.columns)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check: asof_join == pandas.merge_asof (backward
+    direction, by-key, with tolerance) on a deterministic pseudo-
+    random workload — an independent implementation agreeing on
+    every (key, ts) pick. Exercised with ties, keys missing from
+    either side, and matches voided by tolerance."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from meepo_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    # deterministic congruential series; collisions on ts are intended
+    left_rows = [
+        (k, base + dt.timedelta(minutes=(i * 37 + k * 11) % 300), i)
+        for k in range(6)
+        for i in range(40)
+    ]
+    right_rows = [
+        (k, base + dt.timedelta(minutes=(j * 53 + k * 7) % 300), float(j))
+        for k in range(1, 8)  # key 0 never matches; keys 6-7 unused left
+        for j in range(25)
+    ]
+    left = spark.createDataFrame(left_rows, "k int, ts timestamp, lid int")
+    right = (
+        spark.createDataFrame(right_rows, "k int, rts timestamp, quote double")
+        # kill ties so the pick is unique on both sides
+        .groupBy("k", "rts").agg(F.max("quote").alias("quote"))
+    )
+    got = (
+        asof_join(left, right, "k", "ts", "rts", ["quote"], tolerance="45 minutes")
+        .select("k", "lid", "quote")
+        .toPandas()
+        .sort_values(["k", "lid"])
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = right.toPandas().sort_values("rts").reset_index(drop=True)
+    exp = (
+        pd.merge_asof(
+            lp,
+            rp.rename(columns={"rts": "ts"}),
+            on="ts",
+            by="k",
+            direction="backward",
+            tolerance=pd.Timedelta("45 minutes"),
+        )[["k", "lid", "quote"]]
+        .sort_values(["k", "lid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -352,3 +352,83 @@ def test_t6b_transform_with_state_running_totals(spark, events, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_j9b_stream_stream_left_outer_join(spark, events, replay_dir, tmp_path):
+    """J9b: watermarked stream-stream LEFT OUTER join — views that
+    never converted within 24h must STILL be emitted (with null
+    buy_id), which is the part inner joins don't exercise: an
+    unmatched left row can only be released once the watermark proves
+    no matching right row can arrive. The replay harness's flush
+    sentinel rides through BOTH side-filters so the final watermark
+    passes every real event — without it the tail of unmatched views
+    would be held in state forever under availableNow."""
+    from meepo_spark.streaming.harness import FLUSH_EVENT_TYPE, FLUSH_USER_ID
+
+    def unconverted(stream, keep_flush):
+        types_v = ["view"] + ([FLUSH_EVENT_TYPE] if keep_flush else [])
+        types_b = ["purchase"] + ([FLUSH_EVENT_TYPE] if keep_flush else [])
+        views = (
+            stream.filter(F.col("event_type").isin(types_v))
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        buys = (
+            stream.filter(F.col("event_type").isin(types_b))
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("buy_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "1 hour")
+        )
+        return views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+            "left_outer",
+        ).select("v_user", "view_id", "buy_id")
+
+    streamed = run_streaming(
+        spark,
+        replay_dir,
+        lambda s: unconverted(s, keep_flush=True),
+        str(tmp_path / "ck_j9b"),
+    ).filter(F.col("v_user") != FLUSH_USER_ID)
+    batch = unconverted(events, keep_flush=False)
+    assert_batch_equivalent(spark, batch, streamed, ["v_user", "view_id", "buy_id"])
+    # the left-outer part actually fired: some views are unconverted
+    assert streamed.filter(F.col("buy_id").isNull()).count() > 0
+
+
+def test_observe_metrics_piggyback_on_query(spark, events):
+    """`df.observe` — accumulator-style metrics collected DURING a
+    query (row counts, value sums, null tallies) with zero extra
+    passes. At 100 TB a separate COUNT(*) validation query would
+    re-scan the table; observe rides the scan the query was already
+    doing — it is the DQ hook that makes dq1/dq2-style checks free
+    in production pipelines."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_stats")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("total_value"),
+        F.sum(F.col("props").isNull().cast("int")).alias("null_props"),
+    )
+    daily = (
+        observed.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_days = daily.count()  # action triggers metric collection
+    got = obs.get
+    assert got["n_rows"] == events.count()
+    assert got["null_props"] == 0
+    assert abs(got["total_value"] - events.agg(F.sum("value")).first()[0]) < 1e-6
+    assert n_days > 0
