@@ -16,7 +16,14 @@ Prints ONE JSON line:
   {"metric": "parity_events_per_sec", "value": N, "unit": "events/sec",
    "events": E, "wall_s": W, "sf": ...}
 
-Usage: python tools/throughput.py [sf_dir]   (default /root/testdata/sf0.1)
+A second JSON line reports the STEADY-STATE rate: the same pipeline
+over the workload replicated SCALE× (pk/offset-shifted copies, so
+store partitioning and compaction stay realistic). The fixed ~2 s
+micro-batch startup amortizes and the number reflects per-event cost
+— the figure that scales with executor count on a real cluster.
+
+Usage: python tools/throughput.py [sf_dir] [scale]
+       (defaults: /root/testdata/sf0.1, scale 10)
 """
 
 from __future__ import annotations
@@ -31,13 +38,54 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from meepo_spark.cdc.event_store import EventStore
-from meepo_spark.cdc.events import events_as_changes, read_change_stream
+from meepo_spark.cdc.events import events_as_changes
 from meepo_spark.session import get_spark
+
+
+def _replicate(changes, n: int):
+    """n pk/offset-shifted copies of the change stream — same per-event
+    work, n× the volume. Shifts keep pks distinct across copies so the
+    latest-per-pk compaction output scales with input (no artificial
+    hot keys)."""
+    from pyspark.sql import functions as F
+
+    span = changes.agg(F.max("offset")).first()[0] + 1
+    copies = []
+    for i in range(n):
+        copies.append(
+            changes.withColumn("offset", F.col("offset") + F.lit(i * span))
+            .withColumn(
+                "pk",
+                F.concat(F.col("pk"), F.lit(f"#{i}")) if i else F.col("pk"),
+            )
+            .withColumn(
+                "txn_id", F.concat(F.col("txn_id"), F.lit(f"#{i}"))
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _run_pipeline(spark, src, store_path, snap, ck):
+    import time as _t
+
+    from meepo_spark.cdc.event_store import EventStore
+    from meepo_spark.cdc.events import read_change_stream
+
+    t0 = _t.perf_counter()
+    stream = read_change_stream(spark, src)
+    store = EventStore(spark, store_path)
+    q = store.streaming_sink(stream, ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    store.compact(snap)
+    return _t.perf_counter() - t0
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("meepo-spark-throughput")
@@ -52,14 +100,7 @@ def main() -> None:
         changes.write.mode("overwrite").parquet(src)
         n_events = spark.read.parquet(src).count()
 
-        t0 = time.perf_counter()
-        stream = read_change_stream(spark, src)
-        store = EventStore(spark, store_path)
-        q = store.streaming_sink(stream, ck).trigger(availableNow=True).start()
-        q.awaitTermination()
-        store.compact(snap)
-        wall = time.perf_counter() - t0
-
+        wall = _run_pipeline(spark, src, store_path, snap, ck)
         print(
             json.dumps(
                 {
@@ -72,6 +113,27 @@ def main() -> None:
                 }
             )
         )
+
+        if scale > 1:
+            src2 = os.path.join(work, "source_scaled")
+            _replicate(changes, scale).write.mode("overwrite").parquet(src2)
+            n2 = spark.read.parquet(src2).count()
+            for d in (store_path, snap, ck):
+                shutil.rmtree(d, ignore_errors=True)
+            wall2 = _run_pipeline(spark, src2, store_path, snap, ck)
+            print(
+                json.dumps(
+                    {
+                        "metric": "parity_events_per_sec_steady",
+                        "value": round(n2 / wall2, 1),
+                        "unit": "events/sec",
+                        "events": n2,
+                        "wall_s": round(wall2, 2),
+                        "scale": scale,
+                        "sf": sf,
+                    }
+                )
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
