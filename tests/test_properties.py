@@ -1,0 +1,105 @@
+"""Hypothesis property tests (SURVEY.md §5.2.5) — randomized checks of
+the algebraic claims individual example-based tests can't sweep:
+EWMA's exponent-cancelling closed form, MinHash's unbiased Jaccard
+estimate, and salted-join result transparency under arbitrary skew.
+
+Each example spins Spark jobs, so example counts are deliberately
+small; the deterministic fixture tests remain the regression net and
+these sweep the input space around them."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(
+        st.floats(min_value=0.01, max_value=1000.0, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ewma_closed_form_matches_pandas_recursion(spark, xs):
+    """t10_ewma's algebra: Σ x·q^(-rn) / Σ q^(-rn) over a trailing
+    frame equals the textbook adjust=True EWMA recursion (pandas
+    ewm). Series capped at 30 so the frame never truncates — the
+    regime where the closed form claims exactness."""
+    alpha = 0.3
+    rows = [(i + 1, float(round(x, 2))) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "rn int, x double").coalesce(1)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("rn").rowsBetween(-29, W.currentRow)
+    p = F.pow(F.lit(1 - alpha), -F.col("rn"))
+    got = (
+        df.select("rn", (F.sum(F.col("x") * p).over(w) / F.sum(p).over(w)).alias("e"))
+        .orderBy("rn")
+        .toPandas()["e"]
+    )
+    want = pd.Series([r[1] for r in rows]).ewm(alpha=alpha, adjust=True).mean()
+    assert all(
+        math.isclose(g, e, rel_tol=1e-9) for g, e in zip(got, want)
+    ), f"closed form diverged: {list(got)[:3]} vs {list(want)[:3]}"
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.sets(st.integers(min_value=0, max_value=5000), min_size=20, max_size=60),
+    drop=st.floats(min_value=0.0, max_value=0.8),
+)
+def test_minhash_estimate_tracks_true_jaccard(spark, base, drop):
+    """MinHash unbiasedness on generated set pairs: build B from A by
+    dropping a random fraction, compare the signature-collision rate
+    against the true Jaccard. With 128 hashes, σ = √(J(1−J)/128) ≤
+    0.045 — assert within 4σ (false-failure odds ~1e-4 per example)."""
+    from meepo_spark.operators.dedup import minhash_signatures
+
+    a = sorted(base)
+    keep = max(1, int(len(a) * (1 - drop)))
+    b = a[:keep]
+    true_j = len(set(a) & set(b)) / len(set(a) | set(b))
+    sh = spark.createDataFrame(
+        [(0, h) for h in a] + [(1, h) for h in b], "id long, shingle long"
+    )
+    rows = {r["id"]: r for r in minhash_signatures(sh, num_hashes=128).collect()}
+    est = (
+        sum(rows[0][f"h{i}"] == rows[1][f"h{i}"] for i in range(128)) / 128
+    )
+    assert abs(est - true_j) <= 4 * math.sqrt(true_j * (1 - true_j) / 128) + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    mult=st.lists(st.integers(min_value=0, max_value=40), min_size=3, max_size=6),
+    salt=st.integers(min_value=2, max_value=8),
+)
+def test_salted_join_transparent_under_any_skew(spark, mult, salt):
+    """salted_join == plain join for arbitrary key multiplicity
+    vectors (including absent keys and one-key-takes-all skew) and
+    any salt factor — result transparency is what makes salting a
+    deployable mitigation rather than a rewrite."""
+    from meepo_spark.operators.joins import salted_join
+
+    left_rows = [(k, i) for k, m in enumerate(mult) for i in range(m)]
+    right_rows = [(k, k * 10.0) for k in range(len(mult)) if k % 2 == 0]
+    if not left_rows:
+        left_rows = [(0, 0)]
+    left = spark.createDataFrame(left_rows, "k int, lid int")
+    right = spark.createDataFrame(right_rows, "k int, val double")
+    got = sorted(
+        map(tuple, salted_join(left, right, on="k", salt=salt).select("k", "lid", "val").collect())
+    )
+    want = sorted(map(tuple, left.join(right, "k").select("k", "lid", "val").collect()))
+    assert got == want
