@@ -12,6 +12,7 @@ comparison boundary), dates rendered as strings, COUNT cast BIGINT.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
@@ -375,4 +376,78 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "q23_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS rev
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT n_name, month::VARCHAR AS month,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(rev - LAG(rev) OVER w AS DOUBLE)
+                 / CAST(LAG(rev) OVER w AS DOUBLE) + 1e-9, 4) AS mom_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    """,
+)
+def q23_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: month-over-month revenue growth per nation — the
+    window-over-join report every finance dashboard runs (joined
+    fact → time-grain aggregate → LAG ratio). Covers the shape TPC-H
+    misses: analytic functions consuming a multi-join aggregate.
+
+    Scale: nation broadcasts; orders/customer join by shuffle (both
+    grow with the data — forcing them broadcast would be the classic
+    fixture-scale mistake, so the hint is left to AQE); the fact then
+    collapses in the monthly GROUP BY, and LAG runs per-nation over
+    ~|months| rows of aggregate. Revenue stays DECIMAL into the window so the
+    growth-ratio numerator is exact; only the reported ratio is
+    floating (nudged + rounded)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    monthly = (
+        li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "n_name",
+        F.col("month").cast("string").alias("month"),
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double") + 1e-9,
+            4,
+        ).alias("mom_growth"),
     )

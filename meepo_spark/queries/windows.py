@@ -314,3 +314,50 @@ def w4_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "third_price",
         )
     )
+
+
+@register(
+    "g4c_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def g4c_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4c: grouping() disambiguation — COALESCE alone cannot tell a
+    real NULL group from a rollup subtotal; grouping() flags which
+    columns are aggregated away in each output row, composed here
+    into the standard 2-bit grouping id. Without it, downstream
+    consumers of a grouping-sets extract misread subtotal rows as a
+    '<all>' category.
+
+    Same single Expand + hash-agg plan as g4; the id is metadata the
+    Expand already carries, so the flags are free."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            )
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
