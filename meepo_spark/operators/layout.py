@@ -1,0 +1,71 @@
+"""Data-layout operators: z-order (Morton) clustering for
+multi-dimensional file pruning.
+
+A sort on column A gives parquet files tight min/max ranges on A —
+and useless ones on B: a reader filtering on B must open every file.
+Interleaving the bits of fixed-width ranks of A and B (Morton code)
+and sorting by THAT gives every file a tight range on BOTH columns,
+so min/max file skipping works for predicates on either. This is the
+standard lakehouse OPTIMIZE ZORDER BY mechanism, built here from
+plain DataFrame ops: a bounds aggregate, integer bit arithmetic, one
+range-partitioned sort, and a partitioned write.
+
+At 100 TB: the only full-data cost is the sort's shuffle (which a
+periodic compaction job was paying anyway); bounds are a 1-row agg.
+Pruning effectiveness is verified from parquet footer statistics in
+``tests/test_scale.py`` — the same stats a real reader consults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 8  # 256 buckets per dimension -> 16-bit Morton key for 2 cols
+
+
+def _bucket(col: Column, lo: Column, hi: Column) -> Column:
+    """Scale a numeric column to an integer rank in [0, 2^ZBITS)."""
+    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1))
+    r = F.floor(((col - lo) / span) * (2**ZBITS)).cast("long")
+    return F.least(F.greatest(r, F.lit(0)), F.lit(2**ZBITS - 1))
+
+
+def _interleave(a: Column, b: Column) -> Column:
+    """Morton-interleave two ZBITS-wide integers (a gets even bits)."""
+    out = F.lit(0)
+    for i in range(ZBITS):
+        bit_a = F.shiftrightunsigned(a, i).bitwiseAND(1)
+        bit_b = F.shiftrightunsigned(b, i).bitwiseAND(1)
+        out = (
+            out.bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return out
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: tuple[str, str],
+    out_dir: str,
+    files: int = 8,
+) -> None:
+    """Write ``df`` as ``files`` parquet files clustered by the Morton
+    key of ``cols`` — each output file covers a small rectangle of the
+    (colA, colB) value space, so min/max skipping prunes on both."""
+    a, b = cols
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    key = _interleave(
+        _bucket(F.col(a), F.lit(lo_a), F.lit(hi_a)),
+        _bucket(F.col(b), F.lit(lo_b), F.lit(hi_b)),
+    )
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

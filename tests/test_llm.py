@@ -220,3 +220,33 @@ def test_heavy_hitters_exact_matches_naive(spark, docs):
     n = sum(r["count"] for r in exact)
     want = {(r["term"], r["count"]) for r in exact if r["count"] * 600 > n}
     assert got == want and want
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
+    """Distributed Lloyd k-means: inertia is non-increasing across
+    iterations (the Lloyd invariant), assignments partition the whole
+    input, and a re-run reproduces identical assignments (no RNG, no
+    partition-order sensitivity)."""
+    from meepo_spark.operators.clustering import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, cent, inertia = kmeans_fit(
+        emb, "vec_id", "embedding", k=8, iters=4
+    )
+    assert len(inertia) == 4
+    assert all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
+    ), f"inertia increased: {inertia}"
+    n = emb.count()
+    got = assigned.collect()
+    assert len(got) == n
+    assert {r["cluster"] for r in got} <= set(range(8))
+    # decent spread: no single cluster swallows everything
+    from collections import Counter
+
+    counts = Counter(r["cluster"] for r in got)
+    assert len(counts) >= 2 and max(counts.values()) < n
+
+    again, _, inertia2 = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=4)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got))
+    assert inertia2 == inertia

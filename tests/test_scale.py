@@ -251,3 +251,67 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering vs single-column sort, judged by the same
+    parquet footer min/max stats a reader uses for file skipping.
+    Sorted-by-partkey files prune partkey predicates but are blind on
+    suppkey; the Morton layout must prune a mid-range predicate on
+    BOTH columns. Uses (l_partkey, l_suppkey), which are uncorrelated
+    in the fixture — the honest (hard) case for multi-dim layout."""
+    import pyarrow.parquet as pq
+
+    from meepo_spark.operators.layout import zorder_write
+
+    li = table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(plain_dir)
+    )
+    zorder_write(li, ("l_partkey", "l_suppkey"), z_dir, files=8)
+
+    def file_ranges(d, col):
+        out = []
+        import os
+
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, f))
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                out.append((min(los), max(his)))
+        return out
+
+    def pruned(ranges, lo, hi):
+        return sum(1 for a, b in ranges if b < lo or a > hi)
+
+    # mid-range probes ~20% wide on each column, from the real domain
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    # 10%-30% band: clear of the top-bit boundary (50%) that any
+    # power-of-two space split puts in the middle of the domain
+    pk_lo = b[0] + (b[1] - b[0]) * 1 // 10
+    pk_hi = b[0] + (b[1] - b[0]) * 3 // 10
+    sk_lo = b[2] + (b[3] - b[2]) * 1 // 10
+    sk_hi = b[2] + (b[3] - b[2]) * 3 // 10
+    plain_pk = pruned(file_ranges(plain_dir, "l_partkey"), pk_lo, pk_hi)
+    plain_sk = pruned(file_ranges(plain_dir, "l_suppkey"), sk_lo, sk_hi)
+    z_pk = pruned(file_ranges(z_dir, "l_partkey"), pk_lo, pk_hi)
+    z_sk = pruned(file_ranges(z_dir, "l_suppkey"), sk_lo, sk_hi)
+
+    assert plain_pk > 0          # single-col sort prunes its own column
+    assert plain_sk == 0         # ...and is blind on the other
+    assert z_pk > 0 and z_sk > 0  # z-order prunes BOTH
