@@ -279,3 +279,48 @@ def test_catalog_managed_table_round_trip(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_analyze_table_feeds_cost_based_optimizer(spark):
+    """ANALYZE TABLE → catalog statistics (row count, size, per-column
+    NDV) that CBO join reordering and broadcast decisions read.
+    SURVEY §4.2 commits to collecting stats for bench runs; this
+    pins the mechanism: stats actually land in the catalog and carry
+    a row count matching the data."""
+    db, tbl = "meepo_stats_db", "orders_stats"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        orders = table(spark, SF_DIR, "orders")
+        orders.write.mode("overwrite").saveAsTable(f"{db}.{tbl}")
+        spark.sql(
+            f"ANALYZE TABLE {db}.{tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey"
+        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{tbl}").collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert f"{orders.count()} rows" in stats, stats
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED {db}.{tbl} o_custkey"
+            ).collect()
+        }
+        assert int(col["distinct_count"]) > 0
+        # with CBO on, plan stats surface the cataloged row count
+        old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            rel_stats = (
+                spark.table(f"{db}.{tbl}")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert rel_stats.rowCount().get() == orders.count()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
