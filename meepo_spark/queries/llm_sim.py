@@ -224,3 +224,36 @@ def l3f_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("q_id", "rank")
     )
+
+
+@register("l3g_kmeans_clusters")
+def l3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3g: semantic clustering profile — distributed Lloyd k-means
+    (operators/clustering.py) over the embedding corpus, reporting
+    cluster sizes and the share of the corpus each covers. The
+    cluster assignment is the backbone of semantic dedup and
+    diversity-aware sampling (keep N per cluster), and the profile is
+    the sanity report you'd publish alongside the index.
+
+    No SQL oracle: Lloyd iteration is not SQL-expressible (rows-only
+    check here); the algorithm's invariants — inertia monotonicity,
+    full partitioning, run-to-run determinism — are property-tested
+    in test_llm.py. Determinism makes the rows-only check stable."""
+    emb = table(spark, sf_dir, "embeddings")
+    from meepo_spark.operators.clustering import kmeans_fit
+
+    assigned, _cent, _inertia = kmeans_fit(
+        emb, "vec_id", "embedding", k=8, iters=2
+    )
+    total = emb.count()
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster",
+            "n_members",
+            F.round(F.col("n_members") / F.lit(float(total)) + 1e-9, 4).alias(
+                "share"
+            ),
+        )
+    )
