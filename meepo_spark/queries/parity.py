@@ -281,3 +281,51 @@ def a12_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+@register(
+    "a13_preimage_enrichment",
+    oracle="""
+    WITH log AS (
+        SELECT user_id AS pk, event_id AS off,
+               '{"last_event_type":"' || event_type || '","value":"'
+                   || CAST(ROUND(value, 2) AS VARCHAR) || '"}' AS row
+        FROM events
+    )
+    SELECT CAST(pk AS VARCHAR) AS pk, off AS offset, row,
+           LAG(row) OVER (PARTITION BY pk ORDER BY off) AS old_row
+    FROM log
+    """,
+)
+def a13_preimage_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: pre-image reconstruction — meepo's `_raw` update events
+    carry the OLD row alongside the new one (SURVEY §1.2 'raw
+    event'); when the upstream capture ships only new images, the
+    engine derives old_row as LAG(row) over (pk, offset) — one
+    windowed pass over the ordered log, after which every update is
+    a full before/after diff for auditing or SCD processing.
+
+    Scale: the window partitions by pk, so this is one shuffle of
+    the log keyed exactly like the store's compaction — at 100 TB it
+    rides the same partitioning; no self-join of the log against
+    itself. Values are stringified at fixed precision so the map
+    payloads compare identically across engines."""
+    from meepo_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    # serialized row image: engines render native MAPs differently at
+    # the comparison boundary, so the payload is a canonical JSON
+    # string (what a wire format would carry anyway)
+    row = F.concat(
+        F.lit('{"last_event_type":"'), F.col("event_type"),
+        F.lit('","value":"'),
+        F.round(F.col("value"), 2).cast("string"), F.lit('"}'),
+    )
+    log = ev.select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.col("event_id").alias("offset"),
+        row.alias("row"),
+    )
+    return log.withColumn(
+        "old_row", F.lag("row").over(W.partitionBy("pk").orderBy("offset"))
+    )
