@@ -417,3 +417,48 @@ def t11_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "w6_rolling_median",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     + 1e-9, 2) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day::VARCHAR AS day, x,
+           ROUND(MEDIAN(x) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 2)
+               AS med7
+    FROM d
+    """,
+)
+def w6_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: rolling exact median — a full aggregate (percentile) used
+    as a window function over a trailing 7-row frame, the robust
+    smoother that survives the outliers an EWMA (t10) chases. Order
+    statistics can't be partial-aggregated, so the frame is
+    explicitly bounded: per-row cost is O(frame), state is O(frame),
+    and the whole window still runs in one shuffle on user_id.
+    Medians interpolate over pre-ROUNDED daily values, so both
+    engines interpolate identical pairs."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                + 1e-9,
+                2,
+            ).alias("x")
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.round(F.percentile("x", F.lit(0.5)).over(w) + 1e-9, 2).alias("med7"),
+    )
