@@ -52,35 +52,49 @@ def m1_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     association-rule support/lift computation, the first step of any
     co-purchase / co-occurrence recommender.
 
-    Scale shape: dedupe to (order, part) FIRST (a returned line and a
-    reorder line must not double-count), then self-join on the order
-    key. Both sides shuffle on the SAME key, so Catalyst reuses one
-    Exchange; pair blowup is quadratic only in basket size (≤13 here,
-    bounded in any retail schema), never in table size. The per-part
-    totals (|parts| rows) and the 1-row order count broadcast; support
-    counts are exact integers, lift is the single rounded float."""
-    items = (
+    Scale shape: NO self-join and ONE fact shuffle. collect_set
+    builds each order's (deduped, sorted) basket in a single keyed
+    aggregation; pairs are expanded MAP-SIDE from the arrays — work
+    and output quadratic only in basket size (≤13 here; bounded in
+    any retail schema), never in table size — and pair counts
+    partial-aggregate before their own shuffle. Part totals and the
+    order count re-aggregate the SAME basket frame, so ReuseExchange
+    materializes the fact shuffle once for all three consumers
+    (plan-asserted in test_plans). A self-join formulation would
+    shuffle the fact table once per side and re-dedup each. Lift
+    arithmetic joins only broadcast scalars/dims (exact integers;
+    lift is the single rounded float)."""
+    baskets = (
         table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    totals = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    n_ord = items.agg(F.countDistinct("l_orderkey").alias("n"))
-    a = items.alias("a")
-    b = items.alias("b")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
+    # totals and the order count derive from the SAME basket frame —
+    # the basket Exchange is identical across all three consumers, so
+    # ReuseExchange materializes it once (plan-asserted)
+    totals = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    n_ord = baskets.agg(F.count(F.lit(1)).alias("n"))
     ta = totals.select(
         F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na")
     )
