@@ -257,3 +257,63 @@ def l3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "l3h_mips_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id >= 490),
+         c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+               FROM embeddings)
+    SELECT q_id, c_id, dot_r, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT q_id, c_id,
+               ROUND(list_dot_product(q_vec, c_vec), 6) AS dot_r,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY list_dot_product(q_vec, c_vec) DESC,
+                                           c_id ASC) AS rank
+        FROM q JOIN c ON q_id <> c_id
+    )
+    WHERE rank <= 5
+    """,
+)
+def l3h_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3h: maximum-inner-product top-5 — ranking by RAW dot product,
+    not cosine. The retrieval mode of learned-embedding recommenders
+    and reward models, where vector norm carries signal (popularity,
+    confidence) that cosine normalization would erase; on any corpus
+    with varying norms the two rankings genuinely differ, which is
+    why it earns its own oracle next to l3_cosine_topk.
+
+    Same scale anatomy as l3: queries broadcast against one corpus
+    scan, dot product folds JVM-side in DOUBLE, WindowGroupLimit
+    keeps 5 rows per query before the shuffle. The IVF/LSH scale
+    paths apply after the standard MIPS-to-cosine reduction (append
+    a norm-completion dimension), at which point l3b/l3d serve
+    MIPS unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("c_vec"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", dot.alias("dot"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", F.round("dot", 6).alias("dot_r"), "rank")
+    )

@@ -374,3 +374,37 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     agg.collect()  # materialize so AQE finalizes the adaptive plan
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark, tmp_path):
+    """SCALE.md §1's file-size math, mechanically verified: the same
+    parquet bytes yield few scan tasks under a large
+    maxPartitionBytes and many under a small one — the reader splits
+    files by byte ranges, so scan parallelism is a CONFIG decision,
+    not a function of file count. At 100 TB this is what turns
+    ~200-800k well-sized files into a task count matched to the
+    executor fleet; uncompressed row-group-dense files split
+    cleanly."""
+    out = str(tmp_path / "one_file")
+    (
+        table(spark, SF_DIR, "lineitem")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "none")
+        .option("parquet.block.size", 32 * 1024)  # many small row groups
+        .parquet(out)
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        coarse = spark.read.parquet(out).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+        fine = spark.read.parquet(out).rdd.getNumPartitions()
+        assert coarse <= 2, coarse
+        assert fine >= coarse * 4, (fine, coarse)
+        # splitting never changes results
+        assert spark.read.parquet(out).count() == table(
+            spark, SF_DIR, "lineitem"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
