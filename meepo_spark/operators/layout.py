@@ -69,3 +69,39 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def compact_files(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite a
+    directory of fragmented parquet into ceil(total/target) files.
+    Returns the output file count.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    KB-scale files; at 100 TB the listing alone becomes a bottleneck
+    and every scan pays per-file open cost. Sizing from the ACTUAL
+    byte total (not file count) keeps output at the 128-512 MB sweet
+    spot regardless of how fragmented the input was. coalesce (not
+    repartition) merges without a shuffle — compaction is IO-bound
+    and needs no redistribution; pair with zorder_write when the
+    rewrite should also cluster."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).coalesce(n_out).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return sum(
+        1 for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )

@@ -408,3 +408,28 @@ def test_max_partition_bytes_controls_scan_parallelism(spark, tmp_path):
         ).count()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_compact_files_merges_fragments_losslessly(spark, tmp_path):
+    """Small-file compaction: 40 fragment files rewrite into the
+    byte-targeted count (here 1), row-for-row lossless. The
+    maintenance job that keeps streaming-sink output scannable —
+    SCALE.md §1's 128-512 MB file policy as running code."""
+    from meepo_spark.operators.layout import compact_files
+
+    frag_dir, out_dir = str(tmp_path / "frags"), str(tmp_path / "compacted")
+    li = table(spark, SF_DIR, "lineitem")
+    li.repartition(40).write.mode("overwrite").parquet(frag_dir)
+    import os
+
+    n_frag = sum(1 for f in os.listdir(frag_dir) if f.endswith(".parquet"))
+    assert n_frag == 40
+    n_out = compact_files(spark, frag_dir, out_dir)
+    assert n_out == 1  # fixture bytes are far below one target file
+    assert spark.read.parquet(out_dir).count() == li.count()
+    assert (
+        spark.read.parquet(out_dir)
+        .exceptAll(spark.read.parquet(frag_dir))
+        .count()
+        == 0
+    )

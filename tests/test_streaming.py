@@ -432,3 +432,50 @@ def test_observe_metrics_piggyback_on_query(spark, events):
     assert got["null_props"] == 0
     assert abs(got["total_value"] - events.agg(F.sum("value")).first()[0]) < 1e-6
     assert n_days > 0
+
+
+def test_streaming_query_listener_observes_progress(spark, events, replay_dir, tmp_path):
+    """StreamingQueryListener — the ops hook a production pipeline
+    hangs its lag/throughput dashboards on. Progress events must
+    arrive per micro-batch with real row counts; the total across
+    batches equals the data actually processed (plus the harness's
+    flush sentinel)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen = {"progress": [], "started": 0, "terminated": 0}
+
+    class Probe(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            seen["started"] += 1
+
+        def onQueryProgress(self, event):
+            seen["progress"].append(event.progress.numInputRows)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            seen["terminated"] += 1
+
+    spark.streams.addListener(probe := Probe())
+    try:
+        streamed = run_streaming(
+            spark,
+            replay_dir,
+            lambda s: s.groupBy("event_type").count(),
+            str(tmp_path / "ck_listener"),
+            output_mode="complete",
+        )
+        assert streamed.count() > 0
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and (
+            seen["started"] == 0 or seen["terminated"] == 0
+        ):
+            time.sleep(0.5)
+        assert seen["started"] >= 1 and seen["terminated"] >= 1
+        total_rows = sum(seen["progress"])
+        assert total_rows == events.count() + 1  # + flush sentinel
+    finally:
+        spark.streams.removeListener(probe)
