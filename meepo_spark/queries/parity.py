@@ -329,3 +329,56 @@ def a13_preimage_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.withColumn(
         "old_row", F.lag("row").over(W.partitionBy("pk").orderBy("offset"))
     )
+
+
+@register(
+    "a14_topic_offsets",
+    oracle="""
+    WITH log AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'users_write'
+                               WHEN 'purchase' THEN 'orders_write'
+                               WHEN 'click' THEN 'users_update'
+                               WHEN 'view' THEN 'users_update'
+                               ELSE 'users_delete' END AS topic,
+               event_id AS off
+        FROM events
+    )
+    SELECT topic,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(off) AS BIGINT) AS first_offset,
+           CAST(MAX(off) AS BIGINT) AS last_offset,
+           CAST(MAX(off) - MIN(off) + 1 - COUNT(*) AS BIGINT) AS gap_span
+    FROM log
+    GROUP BY topic
+    """,
+)
+def a14_topic_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: per-topic offset bookkeeping — the consumer-lag /
+    completeness ledger every broker-backed deployment keeps: events
+    per topic, first/last offset, and the interleave span (how many
+    offsets inside the topic's range belong to OTHER topics — 0
+    would mean a topic owns a contiguous offset block). Downstream
+    consumers diff `last_offset` against their checkpoint to compute
+    lag; the engine-side query is one constant-cardinality
+    map-side-combinable aggregate over the log."""
+    from meepo_spark.catalog import table as _table
+
+    topic_col = (
+        F.when(F.col("event_type") == "signup", "users_write")
+        .when(F.col("event_type") == "purchase", "orders_write")
+        .when(F.col("event_type").isin("click", "view"), "users_update")
+        .otherwise("users_delete")
+    )
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.select(topic_col.alias("topic"), F.col("event_id").alias("off"))
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("off").alias("first_offset"),
+            F.max("off").alias("last_offset"),
+            (F.max("off") - F.min("off") + 1 - F.count(F.lit(1))).alias(
+                "gap_span"
+            ),
+        )
+    )

@@ -16,6 +16,8 @@ import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from conftest import SF_DIR
+
 SETTINGS = dict(
     max_examples=10,
     deadline=None,
@@ -103,3 +105,29 @@ def test_salted_join_transparent_under_any_skew(spark, mult, salt):
     )
     want = sorted(map(tuple, left.join(right, "k").select("k", "lid", "val").collect()))
     assert got == want
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """Distributed determinism: canonical results must not depend on
+    the shuffle partition count — the knob that changes most between
+    a laptop and a 1000-executor cluster. Exercised on queries with
+    float aggregates, windows, weighted sampling, and broadcast-LM
+    scoring (the shapes where partition-dependent accumulation order
+    could leak into output if the conventions slipped)."""
+    from meepo_spark.registry import QUERIES, load_all
+
+    load_all()
+    names = ["q1_pricing_summary", "t10_ewma", "v9_weighted_sample", "l4m_bigram_lm"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                q: sorted(map(tuple, QUERIES[q](spark, SF_DIR).collect()))
+                for q in names
+            }
+        for q in names:
+            assert results["3"][q] == results["17"][q], q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
