@@ -123,3 +123,35 @@ class EventStore:
             )
         )
         return latest.filter(F.col("action") != "delete").drop("action")
+
+    def expire(self, before) -> list[str]:
+        """Retention enforcement: drop whole event_date partitions
+        older than ``before`` (a date or 'YYYY-MM-DD' string); returns
+        the dropped partition names.
+
+        Deletion is DIRECTORY-level, never row-level: at 100 TB a
+        row-filtering rewrite of the log would cost a full read+write
+        cycle, while dropping a date partition is a metadata/DEL
+        operation whose cost is independent of data volume — the same
+        reason replay prunes on event_date. Rows inside a partition
+        are all strictly older than any later partition by
+        construction (event_date = to_date(ts)), so the cut is exact
+        at day granularity."""
+        import datetime
+        import os
+        import shutil
+
+        cutoff = (
+            datetime.date.fromisoformat(before)
+            if isinstance(before, str)
+            else before
+        )
+        dropped: list[str] = []
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("event_date="):
+                continue
+            day = datetime.date.fromisoformat(name.split("=", 1)[1])
+            if day < cutoff:
+                shutil.rmtree(os.path.join(self.path, name))
+                dropped.append(name)
+        return dropped

@@ -12,6 +12,8 @@ from meepo_spark.cdc.events import events_as_changes, filter_tables, read_change
 from meepo_spark.cdc.exactly_once import EpochLedger, idempotent_foreach_batch, in_doubt
 from meepo_spark.cdc.fanout import Fanout
 
+from conftest import SF_DIR
+
 
 @pytest.fixture(scope="module")
 def changes(spark, sf_dir):
@@ -257,3 +259,39 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_event_store_expire_drops_partitions_only(spark, tmp_path):
+    """Retention: expire(cutoff) removes exactly the partitions older
+    than the cutoff — a directory-level drop whose cost is
+    independent of data volume — and the surviving log is
+    byte-identical for every retained day (no rewrite happened)."""
+    from meepo_spark.cdc.event_store import EventStore
+    from meepo_spark.cdc.events import events_as_changes
+
+    store = EventStore(spark, str(tmp_path / "store"))
+    changes = events_as_changes(spark, SF_DIR)
+    store.append(changes)
+
+    days = sorted(
+        r["event_date"]
+        for r in store.log().select("event_date").distinct().collect()
+    )
+    assert len(days) > 5
+    cutoff = days[3]
+    before_counts = {
+        r["event_date"]: r["n"]
+        for r in store.log().groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    dropped = store.expire(cutoff)
+    assert len(dropped) == 3
+    left = sorted(
+        r["event_date"]
+        for r in store.log().select("event_date").distinct().collect()
+    )
+    assert left == days[3:]
+    after_counts = {
+        r["event_date"]: r["n"]
+        for r in store.log().groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert after_counts == {d: n for d, n in before_counts.items() if d >= cutoff}
