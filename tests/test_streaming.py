@@ -479,3 +479,57 @@ def test_streaming_query_listener_observes_progress(spark, events, replay_dir, t
         assert total_rows == events.count() + 1  # + flush sentinel
     finally:
         spark.streams.removeListener(probe)
+
+
+def test_streaming_observe_metrics_per_batch(spark, events, replay_dir, tmp_path):
+    """observe() on a STREAM: per-micro-batch observed metrics ride
+    the listener's progress events — the streaming DQ hook (row
+    tallies, value sums, null counts per batch) with zero extra
+    passes over the stream. Batch sums must reconcile exactly with
+    the replayed data plus the harness flush sentinel."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    captured = []
+
+    class Probe(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            om = event.progress.observedMetrics
+            if "ingest" in om:
+                captured.append((om["ingest"]["n"], om["ingest"]["v"]))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    spark.streams.addListener(probe := Probe())
+    try:
+        streamed = run_streaming(
+            spark,
+            replay_dir,
+            lambda s: s.observe(
+                "ingest",
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("v"),
+            ).groupBy("event_type").count(),
+            str(tmp_path / "ck_obs_stream"),
+            output_mode="complete",
+        )
+        assert streamed.count() > 0
+        deadline = time.time() + 30
+        want_rows = events.count() + 1  # + flush sentinel
+        while time.time() < deadline and sum(c[0] for c in captured) < want_rows:
+            time.sleep(0.5)
+        assert sum(c[0] for c in captured) == want_rows
+        got_v = sum(c[1] for c in captured)
+        want_v = events.agg(F.sum("value")).first()[0]  # sentinel value=0
+        assert abs(got_v - want_v) < 1e-6
+        assert len(captured) >= 3  # metrics arrived per micro-batch
+    finally:
+        spark.streams.removeListener(probe)
