@@ -263,7 +263,7 @@ def l3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l3h_mips_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
-               FROM embeddings WHERE vec_id >= 490),
+               FROM embeddings WHERE vec_id BETWEEN 20 AND 29),
          c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
                FROM embeddings)
     SELECT q_id, c_id, dot_r, CAST(rank AS BIGINT) AS rank
@@ -286,14 +286,17 @@ def l3h_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with varying norms the two rankings genuinely differ, which is
     why it earns its own oracle next to l3_cosine_topk.
 
-    Same scale anatomy as l3: queries broadcast against one corpus
-    scan, dot product folds JVM-side in DOUBLE, WindowGroupLimit
-    keeps 5 rows per query before the shuffle. The IVF/LSH scale
+    Same scale anatomy as l3: a FIXED 10-vector probe set broadcasts
+    against one corpus scan (probe size is a constant, never a
+    fraction of the corpus — a range tied to the table's tail grew
+    with sf and blew up the pair count 300× at sf0.1), dot product
+    folds JVM-side in DOUBLE, WindowGroupLimit keeps 5 rows per
+    query before the shuffle. The IVF/LSH scale
     paths apply after the standard MIPS-to-cosine reduction (append
     a norm-completion dimension), at which point l3b/l3d serve
     MIPS unchanged."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") >= 490).select(
+    q = emb.filter(F.col("vec_id").between(20, 29)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     c = emb.select(
