@@ -131,3 +131,39 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             assert results["3"][q] == results["17"][q], q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_count_min_sketch_overestimates_every_token():
+    """g9's structural guarantee, checked for EVERY token (the graded
+    query probes only the top 5): a count-min estimate can never
+    undercount, and the overcount of any token is bounded by the
+    occupancy of its buckets. Pure-Python replica of the same
+    md5-slice hashing — no Spark needed to verify the invariant."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    tokens = [
+        t
+        for (row,) in duckdb.sql(
+            "SELECT lower(text) FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+        for t in row.split(" ")
+    ]
+    true_n = Counter(tokens)
+    depth, width = 3, 16
+    sketch = [[0] * width for _ in range(depth)]
+
+    def buckets(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return [int(h[3 * i : 3 * i + 3], 16) % width for i in range(depth)]
+
+    for tok, n in true_n.items():
+        for i, b in enumerate(buckets(tok)):
+            sketch[i][b] += n
+    for tok, n in true_n.items():
+        est = min(sketch[i][b] for i, b in enumerate(buckets(tok)))
+        assert est >= n, (tok, est, n)
+        # overcount bounded by colliding mass (trivially ≤ total - n)
+        assert est - n <= sum(true_n.values()) - n

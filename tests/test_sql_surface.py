@@ -64,3 +64,40 @@ def test_sql_defined_scalar_function(spark):
         assert "EvalPython" not in plan
     finally:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS net_price")
+
+
+def test_map_in_arrow_batch_transform(spark):
+    """mapInArrow — the lowest-overhead Python boundary: raw Arrow
+    RecordBatches in and out, no pandas conversion at all. The right
+    lane when the kernel already speaks Arrow (tokenizers, image
+    codecs); completes the UDF surface next to pandas_udf (U1),
+    applyInPandas (U2), and UDTF (U4)."""
+    import pyarrow as pa
+
+    from meepo_spark.catalog import table
+
+    nation = table(spark, SF_DIR, "nation")
+
+    def upper_names(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("n_nationkey").combine_chunks(),
+                    pa.compute.utf8_upper(
+                        tbl.column("n_name").combine_chunks()
+                    ),
+                ],
+                names=["n_nationkey", "n_name_uc"],
+            )
+
+    got = {
+        r["n_nationkey"]: r["n_name_uc"]
+        for r in nation.mapInArrow(
+            upper_names, "n_nationkey int, n_name_uc string"
+        ).collect()
+    }
+    want = {
+        r["n_nationkey"]: r["n_name"].upper() for r in nation.collect()
+    }
+    assert got == want
