@@ -3,9 +3,22 @@
 Runs every registered graded query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
 execution through the no-op sink (no collect — measures engine time,
-not driver materialization). Prints exactly ONE JSON line:
+not driver materialization).
 
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (round-2 fix: the round-1 line was ~10 KB and the
+driver captured only a tail, recording ``parsed: null``):
+
+- Prints exactly ONE compact JSON line as the LAST stdout line:
+  ``{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+  "queries": {<worst-5 name: sec>}, "families": {<prefix: subtotal>},
+  "n_queries": N, "median": m, "outliers": {...}, "detail": "BENCH.json"}``
+- Writes the FULL per-query timing map to ``BENCH.json`` next to this
+  file, so nothing is lost to the compact line.
+
+Flat-profile guard: ``outliers`` lists any query slower than
+``max(3 x median, 1.5 s)`` — regressions surface as a visible field
+(and ``tests/test_plans.py`` asserts the guard on the last written
+BENCH.json when present) rather than a buried number.
 """
 
 from __future__ import annotations
@@ -13,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -23,9 +37,21 @@ import pandas as pd
 import __spark_entry__ as entrymod
 from meepo_spark.session import get_spark
 
+# A query is an outlier when slower than max(OUTLIER_FACTOR x median,
+# OUTLIER_FLOOR seconds) — the floor keeps tiny-sf runs from flagging
+# noise around a ~100 ms median.
+OUTLIER_FACTOR = 3.0
+OUTLIER_FLOOR = 1.5
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _family(name: str) -> str:
+    """Leading alpha prefix: q1_... -> q, sql4_... -> sql, l4b_... -> l."""
+    m = re.match(r"[a-z]+", name)
+    return m.group(0) if m else name
 
 
 def main() -> None:
@@ -63,18 +89,39 @@ def main() -> None:
             per_query[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
-    total = round(sum(v for v in per_query.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "graded_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    ok = {k: v for k, v in per_query.items() if v >= 0}
+    failed = sorted(k for k, v in per_query.items() if v < 0)
+    total = round(sum(ok.values()), 3)
+    med = round(statistics.median(ok.values()), 3) if ok else 0.0
+    cut = max(OUTLIER_FACTOR * med, OUTLIER_FLOOR)
+    outliers = {k: v for k, v in sorted(ok.items(), key=lambda kv: -kv[1]) if v > cut}
+    worst5 = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:5])
+    families: dict[str, float] = {}
+    for k, v in ok.items():
+        families[_family(k)] = round(families.get(_family(k), 0.0) + v, 3)
+
+    full = {
+        "metric": "graded_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "median": med,
+        "outlier_cut": round(cut, 3),
+        "outliers": outliers,
+        "failed": failed,
+        "families": dict(sorted(families.items())),
+        "queries": per_query,
+    }
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(bench_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+
+    compact = dict(full)
+    compact["queries"] = worst5  # keep the printed line well under driver capture
+    compact["detail"] = "BENCH.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -475,15 +475,21 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: above-average-balance customers with no recent
-    orders (nation replaces the missing phone prefix). Scalar subquery
-    for the average; anti join for the NOT EXISTS; both inputs tiny
+    orders (nation replaces the missing phone prefix). The average is
+    a broadcast one-row crossJoin (not a driver round-trip), so the
+    customer scan and its average share one DAG — ReuseExchange keeps
+    it a single pass; anti join for the NOT EXISTS; both inputs tiny
     after the balance filter, so everything broadcasts."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     n = table(spark, sf_dir, "nation")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
         .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

@@ -119,8 +119,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: parts whose one-nation inventory value exceeds a
     fraction of the total — a global-scalar-subquery HAVING. Both the
     per-part sums and the grand total are DECIMAL (exact, so the
-    threshold comparison cannot drift between engines). The fact
-    aggregates once; the total reuses that aggregate, not the fact."""
+    threshold comparison cannot drift between engines). The scalar is
+    a broadcast one-row crossJoin, not a driver round-trip: both
+    branches share the identical per-part aggregate subplan, so
+    Spark's ReuseExchange runs the fact scan + shuffle once and the
+    plan stays a single uninterrupted DAG (no driver sync barrier)."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
@@ -132,9 +135,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     threshold = v.agg(
         (F.sum("value") * F.lit("0.001").cast("decimal(7,6)")).alias("t")
-    ).collect()[0][0]
+    )
     return (
-        v.filter(F.col("value") > threshold)
+        v.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("t"))
         .select(
             "l_partkey", F.round("value", 2).cast("double").alias("value")
         )
@@ -203,10 +207,12 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: the revenue 'view' built once, its MAX taken as a
-    scalar, equality-joined back — DECIMAL revenue makes the equality
-    exact on both engines. The view aggregates the date-pruned fact to
-    |suppliers| rows, so the scalar and the rejoin are near-free."""
+    """Q15 shape: the revenue 'view' built once, its MAX applied as a
+    window max over the whole view — DECIMAL revenue makes the
+    equality exact on both engines. The view aggregates the
+    date-pruned fact to |suppliers| rows first, so the empty-frame
+    window (all rows to one task) ranks thousands of rows, not the
+    fact; one DAG, one fact pass, no driver scalar round-trip."""
     l = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -215,9 +221,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
         .alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    w = W.partitionBy()
     return (
-        revenue.filter(F.col("total_revenue") == max_rev)
+        revenue.withColumn("max_rev", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
