@@ -15,8 +15,19 @@ target 128–512 MB via coalesce at write.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from meepo_spark.schemas import CHANGE_EVENT
+
+# log() layout: the canonical ChangeEvent columns + the event_date
+# partition column appended by the write paths.
+LOG_SCHEMA = T.StructType(
+    list(CHANGE_EVENT.fields) + [T.StructField("event_date", T.DateType())]
+)
 
 
 class EventStore:
@@ -47,7 +58,19 @@ class EventStore:
 
     # --- read path ----------------------------------------------------
     def log(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        reader = self.spark.read
+        if os.path.isdir(os.path.join(self.path, "_spark_metadata")):
+            # A store populated via streaming_sink() resolves its file
+            # list through the sink's _spark_metadata commit log, which
+            # expire() does not rewrite — entries for dropped
+            # event_date partitions would otherwise fail the read with
+            # FileNotFoundException, first at schema inference (footer
+            # reads) and then at scan. The explicit schema skips the
+            # footer reads; ignoreMissingFiles skips the dangling scan
+            # entries. Both are exact here: a file is only ever missing
+            # because retention deleted its whole partition.
+            reader = reader.schema(LOG_SCHEMA).option("ignoreMissingFiles", "true")
+        return reader.parquet(self.path)
 
     def replay(self, table: str, action: str | None, t0, t1) -> DataFrame:
         """Events for a topic within [t0, t1), ts order — meepo's
@@ -136,21 +159,32 @@ class EventStore:
         reason replay prunes on event_date. Rows inside a partition
         are all strictly older than any later partition by
         construction (event_date = to_date(ts)), so the cut is exact
-        at day granularity."""
+        at day granularity.
+
+        Accepts a date, a datetime (truncated to its date), or a
+        'YYYY-MM-DD' string. Partition directories whose value is not
+        an ISO date (e.g. __HIVE_DEFAULT_PARTITION__ from null-ts
+        events) are never aged out — they carry no ordering
+        information, so retention cannot prove them expired."""
         import datetime
-        import os
         import shutil
 
-        cutoff = (
-            datetime.date.fromisoformat(before)
-            if isinstance(before, str)
-            else before
-        )
+        if isinstance(before, str):
+            cutoff = datetime.date.fromisoformat(before)
+        elif isinstance(before, datetime.datetime):
+            # datetime subclasses date: truncate instead of letting a
+            # date < datetime comparison raise mid-deletion
+            cutoff = before.date()
+        else:
+            cutoff = before
         dropped: list[str] = []
         for name in sorted(os.listdir(self.path)):
             if not name.startswith("event_date="):
                 continue
-            day = datetime.date.fromisoformat(name.split("=", 1)[1])
+            try:
+                day = datetime.date.fromisoformat(name.split("=", 1)[1])
+            except ValueError:
+                continue
             if day < cutoff:
                 shutil.rmtree(os.path.join(self.path, name))
                 dropped.append(name)

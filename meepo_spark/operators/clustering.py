@@ -72,6 +72,10 @@ def kmeans_fit(
     ).localCheckpoint()
 
     cent = [r["v"] for r in base.orderBy("id").limit(k).collect()]
+    if len(cent) < k:
+        raise ValueError(
+            f"kmeans_fit: need >= {k} rows to seed {k} centroids, got {len(cent)}"
+        )
 
     def e_step(c):
         a = base.withColumn("a", _assign_udf(c)(F.col("v"))).select(

@@ -253,7 +253,7 @@ def w5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(ts AS DATE)::VARCHAR AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(COUNT(DISTINCT user_id) >= 1 AS BOOLEAN) AS has_users,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
@@ -271,9 +271,10 @@ def t9_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket); every coarser grain (day/week/month) re-aggregates the
     tiny partial table instead of rescanning the raw log. Sums stay
     DECIMAL through both levels, so re-association cannot drift;
-    has_users shows a non-decomposable agg (COUNT DISTINCT) being
-    *checked* at the day grain rather than incorrectly summed from
-    hourly partials."""
+    n_users reports the exact COUNT DISTINCT computed at the day
+    grain (a non-decomposable agg that CANNOT be summed from hourly
+    partials) — the oracle recomputes the same count, so a wrong
+    distinct-at-target-grain join shows up as a value mismatch."""
     ev = table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -293,12 +294,12 @@ def t9_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column-pruned scan (user_id, ts only) — the honest way to get
     # exact distincts you cannot derive from partials
     daily_users = ev.groupBy(F.to_date("ts").alias("day_d")).agg(
-        (F.countDistinct("user_id") >= 1).alias("has_users")
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
     )
     return daily_from_partials.join(daily_users, "day_d").select(
         F.col("day_d").cast("string").alias("day"),
         "n_events",
-        "has_users",
+        "n_users",
         "total_value",
     )
 

@@ -295,3 +295,52 @@ def test_event_store_expire_drops_partitions_only(spark, tmp_path):
         for r in store.log().groupBy("event_date").agg(F.count("*").alias("n")).collect()
     }
     assert after_counts == {d: n for d, n in before_counts.items() if d >= cutoff}
+
+
+def test_event_store_expire_on_streaming_written_store(spark, tmp_path):
+    """ADVICE round 1 (medium): a store populated via streaming_sink()
+    resolves files through the sink's _spark_metadata commit log, which
+    expire() does not rewrite — log()/replay()/compact() after expire()
+    must survive the dangling entries (ignoreMissingFiles) instead of
+    failing with FileNotFoundException. Also covers the edge inputs:
+    a datetime cutoff (subclass of date) and a non-date partition dir
+    name, neither of which may abort mid-deletion."""
+    import datetime
+
+    from meepo_spark.cdc.event_store import EventStore
+    from meepo_spark.cdc.events import events_as_changes, read_change_stream
+
+    src = str(tmp_path / "src")
+    events_as_changes(spark, SF_DIR).write.mode("overwrite").parquet(src)
+    store = EventStore(spark, str(tmp_path / "slog"))
+    q = (
+        store.streaming_sink(read_change_stream(spark, src), str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (tmp_path / "slog" / "_spark_metadata").is_dir(), "precondition"
+
+    days = sorted(
+        r["event_date"] for r in store.log().select("event_date").distinct().collect()
+    )
+    assert len(days) > 4
+    # a decoy non-date partition dir must be skipped, not raise
+    decoy = tmp_path / "slog" / "event_date=__HIVE_DEFAULT_PARTITION__"
+    decoy.mkdir()
+    # datetime cutoff (datetime subclasses date — must truncate, not raise)
+    cutoff_dt = datetime.datetime.combine(days[2], datetime.time(13, 30))
+    dropped = store.expire(cutoff_dt)
+    assert len(dropped) == 2 and all(d.startswith("event_date=") for d in dropped)
+    assert decoy.is_dir(), "non-date partition must never be aged out"
+
+    # every read path still works over the sink-log-backed store
+    left = sorted(
+        r["event_date"] for r in store.log().select("event_date").distinct().collect()
+    )
+    assert left == days[2:]
+    t0 = datetime.datetime.combine(days[2], datetime.time(0, 0))
+    t1 = datetime.datetime.combine(days[-1], datetime.time(23, 59))
+    assert store.replay("users", None, t0, t1).count() > 0
+    snap = store.compact(str(tmp_path / "snap"))
+    assert snap.count() > 0

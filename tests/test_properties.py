@@ -140,14 +140,18 @@ def test_count_min_sketch_overestimates_every_token():
     occupancy of its buckets. Pure-Python replica of the same
     md5-slice hashing — no Spark needed to verify the invariant."""
     import hashlib
+    import os
     from collections import Counter
 
     import duckdb
 
+    from conftest import SF_DIR_MID
+
+    docs = os.path.join(SF_DIR_MID, "documents.parquet")
     tokens = [
         t
         for (row,) in duckdb.sql(
-            "SELECT lower(text) FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            f"SELECT lower(text) FROM read_parquet('{docs}')"
         ).fetchall()
         for t in row.split(" ")
     ]
