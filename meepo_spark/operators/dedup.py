@@ -193,7 +193,9 @@ def minhash_near_dup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, hasher=None
+) -> DataFrame:
     """Per-doc SimHash: for each bit, count ones across shingle
     hashes; the signature bit is set when ones outnumber zeros.
     Exploded + hash-agg form on purpose: higher-order functions are
@@ -202,10 +204,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     partial aggregation keeps the shuffle at |docs| rows × ``bits``
     small sums. Uses 3-token shingles (not unigrams): with a small
     vocabulary unigram sets barely differ across docs, collapsing all
-    signatures together."""
+    signatures together.
+
+    ``hasher`` (shingle-string Column → long Column) overrides the
+    default xxhash64 — e.g. an md5-derived hash an external oracle
+    can recompute; pass ``bits`` to match the hash's usable width."""
+    hs = (
+        shingle_hash_set(F.col(text_col), 3)
+        if hasher is None
+        else F.transform(shingle_set(F.col(text_col), 3), hasher)
+    )
     toks = spread(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hash_set(F.col(text_col), 3)).alias("h"),
+        F.explode(hs).alias("h"),
     )
     ones = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")

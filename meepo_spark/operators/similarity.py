@@ -61,12 +61,41 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def signbit_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42):
+def rademacher_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """±1 ("Rademacher") LSH hyperplanes derived from md5 digit parity
+    — entry (p, j) is +1 when the first hex digit of md5("p:j") is
+    even. Sign-LSH theory only needs symmetric iid entries, so this
+    family buckets as well as Gaussian draws; the reason it exists is
+    REPRODUCIBILITY: md5 is identical everywhere, so an external
+    engine (the DuckDB oracle) can rebuild the exact same planes and
+    signatures from the formula, which a seeded numpy Gaussian cannot
+    offer. ±1 entries also keep the per-dot products exact (x * ±1.0
+    is lossless), so the sign of the sequential fold is bit-stable
+    across engines that fold left-to-right."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def signbit_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42,
+    planes: list[list[float]] | None = None,
+):
     """Random-hyperplane LSH bucket id: concatenated sign bits of the
-    vector's dot product with ``n_planes`` fixed Gaussian directions.
-    Deterministic given the seed; the planes travel in the plan as
-    literals (no closure capture)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    vector's dot product with ``n_planes`` fixed directions (seeded
+    Gaussian by default; pass ``planes`` — e.g. ``rademacher_planes``
+    — for a cross-engine-reproducible family). The planes travel in
+    the plan as literals (no closure capture)."""
+    if planes is None:
+        planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -84,6 +113,7 @@ def ann_cosine_topk(
     query_vec: str = "q_vec",
     corpus_id: str = "c_id",
     corpus_vec: str = "c_vec",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket,
     then exact cosine rank within. With 2^n_planes buckets the expected
@@ -91,12 +121,12 @@ def ann_cosine_topk(
     (tests/test_llm.py), not an oracle — the operator is approximate by
     construction."""
     qb = (
-        signbit_bucket(queries, query_vec, dim, n_planes)
+        signbit_bucket(queries, query_vec, dim, n_planes, planes=planes)
         .withColumnRenamed("bucket", "qb")
         .withColumn("__qn", norm(F.col(query_vec)))
     )
     cb = (
-        signbit_bucket(spread(corpus, corpus_id), corpus_vec, dim, n_planes)
+        signbit_bucket(spread(corpus, corpus_id), corpus_vec, dim, n_planes, planes=planes)
         .withColumnRenamed("bucket", "cb")
         .withColumn("__cn", norm(F.col(corpus_vec)))
     )

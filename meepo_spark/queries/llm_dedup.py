@@ -139,19 +139,55 @@ def l2c_ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l2d_simhash_candidates")  # rows-only: murmur3 isn't reproducible in DuckDB
+@register(
+    "l2d_simhash_candidates",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    hb AS (SELECT doc_id, md5(unnest(sh)) AS h FROM d),
+    bits AS (
+        SELECT doc_id, t.i AS i,
+               SUM(CASE WHEN (((strpos('0123456789abcdef',
+                                       substr(h, 15 - (t.i // 4), 1)) - 1)
+                               >> (t.i % 4)) & 1) = 1
+                   THEN 1 ELSE 0 END) AS ones,
+               COUNT(*) AS n
+        FROM hb, range(60) t(i)
+        GROUP BY doc_id, t.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << i)
+                        ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def l2d_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: SimHash near-dup candidates — 64-bit shingle-level
+    """L2: SimHash near-dup candidates — 60-bit shingle-level
     sign-of-weighted-sum signature, pairs at Hamming distance <= 3 via
     4-segment pigeonhole blocking: 3 differing bits can dirty at most
     3 of the 4 16-bit segments, so every qualifying pair shares at
     least one exact segment and candidates come from equi-joins,
     never a cross join. 16-bit segments (vs 8-bit) shrink the
     false-candidate volume ~|docs|/65536-fold per bucket.
-    Property-tested in tests/test_llm.py against exact Jaccard.
+
+    The shingle hash is the integer value of md5's first 15 hex chars
+    (60 bits) rather than xxhash64, so the DuckDB oracle can rebuild
+    the identical signatures from the same digests and brute-force
+    XOR-popcount all pairs; the pigeonhole plan is complete at
+    Hamming <= 3, so the equi-join candidates equal the brute-force
+    answer exactly. Also property-tested in tests/test_llm.py
+    against exact Jaccard.
     """
     d = table(spark, sf_dir, "documents")
-    sig = simhash(d, "text", "doc_id", bits=64)
+    sig = simhash(
+        d, "text", "doc_id", bits=60,
+        hasher=lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
     seg = sig.select(
         "id",
         "simhash",

@@ -44,19 +44,56 @@ def l5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l5b_multimodal_features")  # rows-only: Pandas-UDF byte stats
+@register(
+    "l5b_multimodal_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id < 300
+    ),
+    bytes AS (
+        SELECT doc_id, n, unnest(list_transform(range(n),
+            i -> 16 * (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1)
+                 + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)))
+               AS bv
+        FROM b
+    ),
+    hist AS (SELECT doc_id, n, bv, COUNT(*) AS c FROM bytes GROUP BY 1, 2, 3),
+    stats AS (
+        SELECT doc_id,
+               SUM(bv * c)::DOUBLE / SUM(c) AS mean,
+               -SUM((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS ent
+        FROM hist
+        GROUP BY doc_id, n
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_bytes,
+           ROUND(COALESCE(s.mean, 0) + 1e-9, 3) AS byte_mean,
+           ROUND(COALESCE(s.ent, 0) + 1e-9, 3) AS byte_entropy,
+           substr(b.hx, 1, 16) AS head_hex
+    FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
+    """,
+)
 def l5b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: mapInPandas feature extraction over binary payloads —
     deterministic byte-level stats standing in for decoded media
-    features (decode itself is stubbed; codecs absent here). Rounds
-    floats so the rows-only check is stable across runs."""
+    features (decode itself is stubbed; codecs absent here).
+
+    Oracle-checked: the fake payload is the text's UTF-8 bytes, so
+    DuckDB rebuilds the byte stream from hex(encode(text)) and
+    recomputes mean/entropy/head in SQL. byte_mean is exact on both
+    sides (integer byte sums < 2^53 stay lossless in float64 under
+    any summation order); entropy sums ≤256 log2 terms whose ~1e-15
+    association drift is absorbed by +1e-9 before 3dp rounding."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     feats = extract_features(attach_fake_payload(d))
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.round("byte_mean", 3).alias("byte_mean"),
-        F.round("byte_entropy", 3).alias("byte_entropy"),
+        F.round(F.col("byte_mean") + 1e-9, 3).alias("byte_mean"),
+        F.round(F.col("byte_entropy") + 1e-9, 3).alias("byte_entropy"),
         "head_hex",
     )
 

@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
-from meepo_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from meepo_spark.operators.similarity import (
+    ann_cosine_topk,
+    cosine_topk,
+    rademacher_planes,
+)
 from meepo_spark.registry import register
 
 DIM = 64
@@ -51,18 +55,64 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("q_id", "c_id", F.round("cos", 6).alias("cos_r"), "rank")
 
 
-@register("l3b_ann_lsh_topk")  # rows-only: approximate by construction
+@register(
+    "l3b_ann_lsh_topk",
+    oracle="""
+    WITH sgn AS (
+        SELECT p, list_transform(range(64),
+            j -> CASE WHEN (strpos('0123456789abcdef',
+                            substr(md5(p::VARCHAR || ':' || j::VARCHAR), 1, 1))
+                            - 1) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END) AS s
+        FROM range(6) t(p)
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_reduce(
+                       list_transform(range(64), j -> e.v[j+1] * sgn.s[j+1]),
+                       (a, b) -> a + b) > 0
+                   THEN (1::BIGINT << sgn.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, sgn
+        GROUP BY e.vec_id
+    )
+    SELECT q_id, c_id, cos_r, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT qs.vec_id AS q_id, cs.vec_id AS c_id,
+               ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS cos_r,
+               ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+                                  ORDER BY list_cosine_similarity(qe.v, ce.v) DESC,
+                                           cs.vec_id ASC) AS rnk
+        FROM sig qs
+        JOIN sig cs ON qs.bucket = cs.bucket
+        JOIN e qe ON qe.vec_id = qs.vec_id
+        JOIN e ce ON ce.vec_id = cs.vec_id
+        WHERE qs.vec_id < 10
+    )
+    WHERE rnk <= 5
+    """,
+)
 def l3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: sign-bit LSH bucketing (12 fixed Gaussian
-    hyperplanes → 4096 buckets) then exact rank within bucket.
-    Candidate work drops ~4096× vs brute force; recall@5 asserted in
-    tests/test_llm.py against the exact operator."""
+    """L3 scale path: sign-bit LSH bucketing (6 fixed ±1 "Rademacher"
+    hyperplanes → 64 buckets) then exact cosine rank within bucket.
+    Candidate work drops ~|buckets|× vs brute force; recall@5 is
+    asserted in tests/test_llm.py against the exact operator.
+
+    The planes are md5-parity ±1 entries (operators/similarity.
+    rademacher_planes) instead of seeded Gaussians, so the DuckDB
+    oracle recomputes the identical signatures from the same md5
+    formula and replays the same bucket-equi-join + within-bucket
+    exact rank — the approximate ALGORITHM is graded exactly, not
+    just its recall. x * ±1.0 products are lossless and both engines
+    fold left-to-right, so the sign bits are bit-stable."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return ann_cosine_topk(q, c, dim=DIM, k=5, n_planes=6).select(
+    return ann_cosine_topk(
+        q, c, dim=DIM, k=5, n_planes=6, planes=rademacher_planes(DIM, 6)
+    ).select(
         "q_id", "c_id", F.round("cos", 6).alias("cos_r"), "rank"
     )
 
