@@ -59,6 +59,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("meepo-spark-bench")
+    if os.environ.get("SPARK_GRAFT_CBO"):
+        # stats-backed cost-based optimization for the whole run:
+        # external catalog tables + ANALYZE, then table() serves them
+        from meepo_spark.catalog import enable_cbo
+
+        enable_cbo(spark, sf_dir)
 
     qs = entrymod.queries()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

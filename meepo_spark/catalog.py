@@ -32,6 +32,73 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# table name -> sf_dir it was registered+ANALYZEd at (see enable_cbo)
+_CBO_TABLES: dict[str, str] = {}
+
+
+def enable_cbo(spark: SparkSession, sf_dir: str, histograms: bool = False) -> list[str]:
+    """Register the fixture parquet files as EXTERNAL catalog tables
+    under the ``cbo`` database, ANALYZE them (row counts + per-column
+    min/max/ndv; equi-depth histograms when ``histograms``), and turn
+    on cost-based optimization + stats-driven join reordering.
+
+    Path reads carry only file-size estimates, so Catalyst's join
+    reordering and broadcast decisions fly blind on selectivity; with
+    ANALYZEd catalog tables the optimizer sees real row counts and
+    filtered cardinalities — at 100 TB that is the difference between
+    broadcasting a filtered dimension and shuffling the fact. After
+    this call, ``table()`` transparently serves ``cbo.<name>`` for the
+    same ``sf_dir``, so every registered query runs stats-backed.
+    Gate for the bench path: SPARK_GRAFT_CBO=1 (see bench.py).
+
+    ``events`` is excluded: its ts column needs the nanos
+    normalization in ``table()``, which a catalog table would bypass.
+    """
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    if histograms:
+        spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    analyzed: list[str] = []
+    for name in TABLES:
+        if name == "events":
+            continue
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS cbo.{name}")
+        spark.sql(f"CREATE TABLE cbo.{name} USING parquet LOCATION '{path}'")
+        # column stats only for atomic types — ANALYZE FOR COLUMNS
+        # rejects array/map/struct (e.g. embeddings.embedding).
+        # timestamp_ntz is excluded too: Spark 4.1's FilterEstimation
+        # MatchErrors on TimestampNTZType when the column HAS stats
+        # (filters on it then fall back to default selectivity
+        # instead of crashing the whole query under CBO).
+        atomic = [
+            f.name
+            for f in spark.table(f"cbo.{name}").schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "binary", "variant", "timestamp_ntz")
+        ]
+        if atomic:
+            spark.sql(
+                f"ANALYZE TABLE cbo.{name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(atomic)}"
+            )
+        else:
+            spark.sql(f"ANALYZE TABLE cbo.{name} COMPUTE STATISTICS")
+        _CBO_TABLES[name] = sf_dir
+        analyzed.append(name)
+    return analyzed
+
+
+def disable_cbo(spark: SparkSession) -> None:
+    """Undo ``enable_cbo``: CBO confs off, table() back to path reads."""
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+    _CBO_TABLES.clear()
+
 
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
@@ -89,4 +156,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session TZ is pinned UTC above, so this is value-identity
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
+    if _CBO_TABLES.get(name) == sf_dir:
+        return spark.table(f"cbo.{name}")
     return spark.read.parquet(path)

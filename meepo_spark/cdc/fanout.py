@@ -61,13 +61,46 @@ def console_sub(changes: DataFrame, checkpoint: str):
     )
 
 
+def payload_expr():
+    """THE wire-format contract for A6/A11 broadcasts —
+    '{table}_{action} {pk}' — as a Column, shared by every publisher
+    shape (custom staged-commit sink, kafka records) so the contract
+    is defined once."""
+    return F.concat_ws(" ", F.concat_ws("_", "table", "action"), F.col("pk"))
+
+
 def broadcast_payload(changes: DataFrame) -> DataFrame:
-    """meepo zmq_sub's wire format — '"{table}_{action}" {pk}' strings
-    (A6). In production this selects into the kafka sink's `value`."""
+    """meepo zmq_sub's wire format (A6). In production this selects
+    into the kafka sink's `value`."""
+    return changes.select(payload_expr().alias("value"))
+
+
+def kafka_records(changes: DataFrame) -> DataFrame:
+    """Kafka-shaped publisher records: key = pk (per-entity ordering —
+    Kafka guarantees order within a partition, and keying by pk routes
+    every change of one row to one partition, the same per-pk ordering
+    the event store's (ts, offset) max_by relies on), value = the
+    shared payload contract."""
     return changes.select(
-        F.concat_ws(
-            " ", F.concat_ws("_", "table", "action"), F.col("pk")
-        ).alias("value")
+        F.col("pk").cast("string").alias("key"),
+        payload_expr().alias("value"),
+    )
+
+
+def kafka_publisher(changes: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """A6/A11 production publisher through Spark's NATIVE kafka sink.
+    Requires a reachable broker plus the spark-sql-kafka package —
+    neither exists in this sandbox, so tests drive the identical
+    payload contract through the `meepo_broadcast` staged-commit sink
+    (sources/pyds.py) instead; swapping publishers is exactly
+    `.format("meepo_broadcast")` ⇄ `.format("kafka")` on the same
+    `kafka_records` frame."""
+    return (
+        kafka_records(changes)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
     )
 
 
