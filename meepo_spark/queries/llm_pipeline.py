@@ -13,6 +13,7 @@ languages. Every query is pure DataFrame API (JVM-side, codegen-able)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
@@ -499,4 +500,82 @@ def l4j_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("chunk", " ").alias("chunk_text"),
             F.size("chunk").alias("n_chunk_tokens"),
         )
+    )
+
+
+@register(
+    "l8_sequence_packing",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               len(string_split(lower(text), ' ')) AS n_tok
+        FROM documents
+    ),
+    seq AS (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS tok_offset
+        FROM tok
+    )
+    SELECT lang,
+           CAST(tok_offset // 256 AS BIGINT)  AS pack_id,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)         AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT)        AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT)        AS last_doc
+    FROM seq
+    GROUP BY lang, tok_offset // 256
+    """,
+)
+def l8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: GPT-style sequence packing — concatenate each language's
+    token stream in doc_id order and chop into fixed 256-token
+    context windows; a doc belongs to the pack where its first token
+    lands. The pretraining data loader runs exactly this to turn
+    variable-length documents into fixed-shape training batches, and
+    the per-pack census (docs spanned, token mass, boundary docs) is
+    the packing-efficiency report.
+
+    Scale shape: the naive formulation is one window cumsum per
+    language — a single sequential task per lang at 100 TB. This
+    plan computes the SAME prefix sum in two bounded levels: a
+    within-bucket cumsum over ~1k-doc buckets (many small window
+    partitions, parallel) plus a bucket-total cumsum over the tiny
+    (lang, bucket) aggregate, then offset = bucket_base + within -
+    own. Identical integers to the oracle's flat cumsum, but the
+    longest sequential scan is one bucket, not one language."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size(ws_tokens(F.col("text"))).alias("n_tok"),
+        (F.col("doc_id") / 1000).cast("long").alias("bkt"),
+    )
+    w_in = (
+        W.partitionBy("lang", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = tok.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    w_bkt = (
+        W.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = (
+        tok.groupBy("lang", "bkt")
+        .agg(F.sum("n_tok").alias("b_tok"))
+        .withColumn("b_base", F.sum("b_tok").over(w_bkt) - F.col("b_tok"))
+        .select("lang", "bkt", "b_base")
+    )
+    packed = (
+        within.join(F.broadcast(base), ["lang", "bkt"])
+        .withColumn("offset", F.col("b_base") + F.col("cum_in") - F.col("n_tok"))
+        .withColumn("pack_id", (F.col("offset") / 256).cast("long"))
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

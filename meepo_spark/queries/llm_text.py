@@ -412,3 +412,55 @@ def l4m_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("s") + 1e-9, 3).alias("min_score"),
         F.round(F.max("s") + 1e-9, 3).alias("max_score"),
     )
+
+
+@register(
+    "l4o_bpe_merge_candidates",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(len(w) - 1),
+                                     i -> substr(w, i + 1, 2))) AS pair
+        FROM tok WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def l4o_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: the first BPE merge iteration — count adjacent symbol
+    pairs WITHIN words across the corpus and rank the top merge
+    candidates (byte-pair encoding trains by repeatedly merging the
+    most frequent adjacent pair; this is that counting step at char
+    grain, distinct from l4m's token-level bigram LM). Total order
+    (count desc, pair asc) makes the LIMIT deterministic.
+
+    Scale shape: explode(words) → explode(char pairs) stays map-side
+    in WholeStageCodegen; the only shuffle carries the PAIR VOCABULARY
+    (≤ alphabet², partial-aggregated map-side), not the corpus — the
+    same partial-agg discipline every vocab-building pass at 100 TB
+    needs. A full BPE trainer iterates this query, re-tokenizing
+    against the grown vocab each round (driver loop, like l3g's
+    Lloyd iterations)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(ws_tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )

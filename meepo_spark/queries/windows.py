@@ -361,3 +361,44 @@ def g4c_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "w7_range_interval_frame",
+    oracle="""
+    SELECT user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+               AS v_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 extension: a time-RANGE frame — trailing 7-day (6×86400 s
+    back through now, inclusive) sum/count per user per event. RANGE
+    frames differ semantically from ROWS frames: the frame holds
+    every row within the VALUE interval, so same-timestamp peers are
+    always in or out together regardless of physical order — the only
+    correct frame type for irregular event spacing (w3/w5/w6 are the
+    ROWS-frame family). Ordering key is epoch seconds on both engines
+    (Spark's rangeBetween needs a numeric key; DuckDB mirrors with
+    epoch(ts)); the sum is DECIMAL so frame-internal add order cannot
+    drift. One shuffle on user_id; frame evaluation is a per-partition
+    sliding two-pointer — linear, no per-row rescans."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("v_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+    )

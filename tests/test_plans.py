@@ -234,3 +234,25 @@ def test_cbo_stats_drive_join_strategy(spark):
     finally:
         disable_cbo(spark)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bench_flat_profile_guard():
+    """VERDICT round 1, next-round #9: regressions in the flat bench
+    profile must fail a check, not hide in a buried number. Guards the
+    last written BENCH.json: no failed queries, and no query slower
+    than max(10x median, 5 s) — a HARD cap above the 3x-median
+    visibility cut bench.py already reports as `outliers` (fixed
+    per-query overheads at tiny scale factors legitimately sit a few
+    multiples over the median; a 10x excursion is a real regression)."""
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), os.pardir, "BENCH.json")
+    if not os.path.exists(p):
+        pytest.skip("no bench artifact yet")
+    with open(p) as fh:
+        d = json.load(fh)
+    assert d["failed"] == [], f"bench had failing queries: {d['failed']}"
+    cap = max(10 * d["median"], 5.0)
+    blown = {q: t for q, t in d["queries"].items() if t > cap}
+    assert not blown, f"queries blew the {cap:.1f}s profile cap: {blown}"
