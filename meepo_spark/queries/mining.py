@@ -364,3 +364,57 @@ def g9_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("true_n")).alias("overcount"),
         )
     )
+
+
+@register(
+    "m4_sequence_patterns",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS nxt1,
+               LEAD(event_type, 2) OVER w AS nxt2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_type || '>' || nxt1 || '>' || nxt2 AS pattern,
+           COUNT(*)                                  AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)   AS n_users
+    FROM ordered
+    WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, pattern ASC
+    LIMIT 15
+    """,
+)
+def m4_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: frequent behavioral trigrams — each user's event stream in
+    (ts, event_id) order yields overlapping 3-step patterns via two
+    leads over one window; global support counts rank the top 15
+    (total order: count desc, pattern asc).
+
+    Scale shape: one shuffle keyed by user_id for the window (user
+    partitions are independent — perfectly spreadable), then the
+    pattern-vocabulary aggregation is map-side partial over at most
+    |event_type|^3 groups. The window-lead formulation is the
+    sequence-mining shape that avoids self-joining the event log per
+    step (which would be O(n * depth) shuffles)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
+    return (
+        ordered.select(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("pattern"), "user_id"
+        )
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("pattern").asc())
+        .limit(15)
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from meepo_spark.catalog import table
 from meepo_spark.cdc.events import events_as_changes, topic
 from meepo_spark.cdc.exactly_once import in_doubt
 from meepo_spark.cdc.fanout import broadcast_payload
@@ -381,4 +382,58 @@ def a14_topic_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gap_span"
             ),
         )
+    )
+
+
+@register(
+    "a16_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT event_id, event_type, value,
+               CAST(NULL AS VARCHAR) AS props, 'v1' AS producer
+        FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT event_id, event_type, value, props, 'v2' AS producer
+        FROM events WHERE event_id % 2 = 1
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT event_type, producer,
+           COUNT(*)                                            AS n_events,
+           CAST(COUNT(props) AS BIGINT)                        AS n_with_props,
+           ROUND(SUM(value) + 1e-9, 2)                         AS total_value
+    FROM merged
+    GROUP BY event_type, producer
+    """,
+)
+def a16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: CDC schema-drift handling. An upstream producer upgrade
+    adds columns mid-stream (here: `props` plus a `producer` tag);
+    the old-schema batch and the new-schema batch are reconciled via
+    unionByName(allowMissingColumns=True) — missing columns become
+    NULLs, never positional mis-binds — and downstream aggregation
+    accounts for pre-upgrade rows explicitly.
+
+    Parity note: meepo's raw events are schemaless dicts, so drift is
+    invisible until a consumer breaks; an explicit by-name union with
+    null-filled columns is the engine-level contract that replaces it.
+    At 100 TB the same mechanism is `mergeSchema` on the event-store
+    read: parquet footers carry per-file schemas, the union is
+    logical, and no data is rewritten on upgrade."""
+    e = table(spark, sf_dir, "events")
+    v1 = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type", "value")
+        .withColumn("producer", F.lit("v1"))
+    )
+    v2 = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "event_type", "value", "props")
+        .withColumn("producer", F.lit("v2"))
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.groupBy("event_type", "producer").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("props").alias("n_with_props"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
     )

@@ -159,3 +159,76 @@ def dq2_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(delta + 1e-9, 3) + 0.0).alias("pct_change"),
         (F.abs(delta) > 0.5).alias("is_anomaly"),
     )
+
+
+@register(
+    "dq3_referential_integrity",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               COUNT(*) AS n_child,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', COUNT(*),
+               CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+               CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', COUNT(*),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation', COUNT(*),
+               CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'nation.n_regionkey->region', COUNT(*),
+               CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    ) t
+    """,
+)
+def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3: foreign-key orphan audit across the whole star schema —
+    one row per FK edge with child cardinality and orphan count.
+    Each edge is a left join + null-probe (Catalyst turns the small
+    parent sides into broadcasts, so each fact pass is map-side);
+    orphan detection is the DQ primitive every ingest gate needs
+    before CDC-applying a batch.
+
+    At 100 TB: each check is a single pass over the child with a
+    broadcast (or bloom-pruned) parent key set; the six checks union
+    into one job so the scheduler can share scans of lineitem."""
+
+    def check(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
+        j = child.select(F.col(ckey)).join(
+            F.broadcast(parent.select(F.col(pkey))), F.col(ckey) == F.col(pkey), "left"
+        )
+        return j.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0)).alias("n_orphans"),
+        ).select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    checks = [
+        check(l, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        check(l, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"),
+        check(l, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier"),
+        check(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        check(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"),
+        check(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

@@ -463,3 +463,59 @@ def w6_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.round(F.percentile("x", F.lit(0.5)).over(w) + 1e-9, 2).alias("med7"),
     )
+
+
+@register(
+    "e3_max_concurrency",
+    oracle="""
+    WITH sess AS (
+        SELECT event_type, ts AS t0, ts + INTERVAL 30 MINUTE AS t1
+        FROM events
+    ),
+    deltas AS (
+        SELECT event_type, t0 AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT event_type, t1 AS t, -1 AS delta FROM sess
+    ),
+    running AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t ASC, delta ASC
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM deltas
+    )
+    SELECT event_type,
+           CAST(MAX(live) AS BIGINT)  AS max_concurrent,
+           CAST(COUNT(*)/2 AS BIGINT) AS n_sessions
+    FROM running
+    GROUP BY event_type
+    """,
+)
+def e3_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: peak concurrency via the sweep-line pattern — every event
+    opens a 30-minute session; +1/-1 boundary deltas, sorted by
+    (time, delta) so a session ending at instant T closes before one
+    opening at T (half-open [t0, t1) intervals), running-sum, max.
+
+    Scale shape: the union doubles the row count map-side (no
+    shuffle); the one shuffle is the per-event_type window sort —
+    keyed, so it spreads across the cluster, and each partition's
+    running sum is a single sequential pass. This is the standard
+    O(n log n) answer to interval-overlap questions that a naive
+    self-join would make O(n^2)."""
+    e = table(spark, sf_dir, "events")
+    sess = e.select("event_type", F.col("ts").alias("t0"),
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"))
+    deltas = sess.select("event_type", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionByName(
+        sess.select("event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = deltas.select("event_type", F.sum("delta").over(w).alias("live"))
+    return running.groupBy("event_type").agg(
+        F.max("live").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )

@@ -250,3 +250,30 @@ def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     again, _, inertia2 = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=4)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got))
     assert inertia2 == inertia
+
+
+def test_pq_rerank_recall_at_5(spark, sf_dir):
+    """PQ/ADC shortlist (top-50) + exact re-rank must recover most of
+    the exact MIPS top-5 (measured 0.92 at sf0.01, higher at sf0.001
+    where the shortlist covers 10% of the corpus). Floor 0.7: a
+    codebook/encode/LUT indexing bug craters it far below. Ground
+    truth is brute-force numpy dot on the same fixture."""
+    import numpy as np
+
+    from meepo_spark.registry import QUERIES, load_all
+
+    load_all()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in emb])
+    X = np.stack([np.array(r.embedding, dtype="float64") for r in emb])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    exact = set()
+    for q in range(10):
+        dots = X @ X[q]
+        cand = sorted(zip(dots, ids), key=lambda t: (-t[0], t[1]))
+        exact |= {(q, i) for _, i in [c for c in cand if c[1] != q][:5]}
+    approx = {(r.q_id, r.c_id) for r in QUERIES["l3i_pq_topk"](spark, sf_dir).collect()}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ+rerank recall@5 too low: {recall}"
