@@ -545,3 +545,71 @@ def l4n_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "l4q_gopher_quality_gate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))                       AS n_words,
+               n_chars * 1.0 / len(string_split(text, ' '))      AS cpw,
+               len(list_distinct(string_split(lower(text), ' '))) * 1.0
+                   / len(string_split(text, ' '))                AS ttr,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','of','and','to','in','a','is','for','on','with'))) * 1.0
+                   / len(string_split(text, ' '))                AS sw_frac
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*)                                                            AS n_docs,
+           CAST(SUM(CASE WHEN n_words NOT BETWEEN 30 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+           CAST(SUM(CASE WHEN cpw NOT BETWEEN 4.8 AND 6.0 THEN 1 ELSE 0 END)   AS BIGINT) AS fail_wordlen,
+           CAST(SUM(CASE WHEN ttr < 0.35 THEN 1 ELSE 0 END)                    AS BIGINT) AS fail_ttr,
+           CAST(SUM(CASE WHEN sw_frac < 0.02 THEN 1 ELSE 0 END)                AS BIGINT) AS fail_stopwords,
+           CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 90 AND cpw BETWEEN 4.8 AND 6.0
+                          AND ttr >= 0.35 AND sw_frac >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           ROUND(AVG(ttr) + 1e-9, 4)                                           AS avg_ttr
+    FROM t
+    GROUP BY lang
+    """,
+)
+def l4q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: Gopher-style rule-based quality gate — the four classic
+    document filters (word-count bounds, mean-word-length band,
+    type-token-ratio floor as the repetition proxy, stopword-fraction
+    floor as the natural-language proxy), evaluated per doc and
+    reported as a per-lang pass/fail census. Thresholds are tuned so
+    every rule actually splits this fixture (149/6/99/~50 failures at
+    sf0.01) — no vacuous legs.
+
+    Scale shape: every rule is a map-side expression over one scan
+    (split once, reuse via lateral column aliases); the only shuffle
+    carries per-lang partial counts. All comparisons are on doubles
+    derived identically from integers, so both engines agree
+    bit-exactly — no rounding needed before the CASE."""
+    d = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    raw = F.split(F.col("text"), " ")
+    t = d.select(
+        "lang",
+        F.size(raw).alias("n_words"),
+        (F.col("n_chars") * 1.0 / F.size(raw)).alias("cpw"),
+        (F.size(F.array_distinct(toks)) * 1.0 / F.size(raw)).alias("ttr"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / F.size(raw)
+        ).alias("sw_frac"),
+    )
+    ok_words = F.col("n_words").between(30, 90)
+    ok_cpw = F.col("cpw").between(4.8, 6.0)
+    ok_ttr = F.col("ttr") >= 0.35
+    ok_sw = F.col("sw_frac") >= 0.02
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~ok_words, 1).otherwise(0)).alias("fail_words"),
+        F.sum(F.when(~ok_cpw, 1).otherwise(0)).alias("fail_wordlen"),
+        F.sum(F.when(~ok_ttr, 1).otherwise(0)).alias("fail_ttr"),
+        F.sum(F.when(~ok_sw, 1).otherwise(0)).alias("fail_stopwords"),
+        F.sum(F.when(ok_words & ok_cpw & ok_ttr & ok_sw, 1).otherwise(0)).alias("n_pass"),
+        F.round(F.avg("ttr") + F.lit(1e-9), 4).alias("avg_ttr"),
+    )

@@ -437,3 +437,57 @@ def a16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("props").alias("n_with_props"),
         F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
     )
+
+
+@register(
+    "a17_incremental_view",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)                                                   AS n_events,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S')                     AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a17_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: incremental view maintenance — the CDC consumer's core
+    trick. A materialized per-user aggregate built from the historical
+    log (ts < 2024-01-20) is REFRESHED by merging the partial
+    aggregate of only the delta events, never rescanning history:
+    decomposable aggregates (count, integer-cents sum, max) re-reduce
+    over the union of partials. The oracle recomputes from the full
+    log, so a hash match PROVES merge(old_state, delta) ==
+    recompute(all) — the invariant every incremental pipeline rests
+    on.
+
+    At 100 TB: the base aggregate is a stored table and each
+    micro-batch folds its partial in via foreachBatch MERGE; refresh
+    cost is O(delta), not O(history). Sums run over integer cents so
+    the merge is exactly associative — double sums would drift with
+    partition order."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("c"),
+            F.max("ts").alias("m"),
+        )
+
+    base = partial(e.filter(F.col("ts") < cutoff))      # the stored view
+    delta = partial(e.filter(F.col("ts") >= cutoff))    # the new micro-batch
+    merged = base.unionByName(delta).groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("c").alias("c"),
+        F.max("m").alias("m"),
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("c").cast("double") / 100.0, 2).alias("total_value"),
+        F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

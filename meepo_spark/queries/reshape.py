@@ -375,3 +375,108 @@ def v9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", "n_chars", F.col("rn").cast("int").alias("rn"))
     )
+
+
+@register(
+    "v10_winsorize",
+    oracle="""
+    WITH cents AS (
+        SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+        FROM customer
+    ),
+    bounds AS (
+        SELECT c_mktsegment,
+               quantile_cont(c, 0.05) AS lo,
+               quantile_cont(c, 0.95) AS hi
+        FROM cents GROUP BY c_mktsegment
+    )
+    SELECT t.c_mktsegment,
+           COUNT(*)                                                  AS n,
+           ROUND(AVG(t.c) / 100.0 + 1e-9, 2)                         AS avg_raw,
+           ROUND(AVG(GREATEST(LEAST(t.c * 1.0, b.hi), b.lo)) / 100.0 + 1e-9, 2) AS avg_winsor,
+           CAST(SUM(CASE WHEN t.c < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN t.c > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+    FROM cents t JOIN bounds b USING (c_mktsegment)
+    GROUP BY t.c_mktsegment
+    """,
+)
+def v10_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V10: per-group winsorization — clamp account balances to the
+    group's [p05, p95] band and report the robust vs raw mean plus
+    clamp counts. The outlier-capping primitive every feature pipeline
+    needs before a scale-sensitive model sees the data.
+
+    Determinism: percentiles interpolate over integer cents (exact in
+    IEEE doubles, same discipline as v4); the bounds are a 5-row
+    aggregate joined back broadcast, so the fact is scanned twice only
+    logically — at 100 TB you'd cache the scan or accept two passes,
+    never sort the whole fact (quantile via interpolation, not full
+    sort)."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.round(F.col("c_acctbal") * 100).cast("long").alias("c")
+    )
+    bounds = c.groupBy("c_mktsegment").agg(
+        F.percentile(F.col("c"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("c"), F.lit(0.95)).alias("hi"),
+    )
+    j = c.join(F.broadcast(bounds), "c_mktsegment")
+    clamped = F.greatest(F.least(F.col("c") * 1.0, F.col("hi")), F.col("lo"))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c") / 100.0 + F.lit(1e-9), 2).alias("avg_raw"),
+        F.round(F.avg(clamped) / 100.0 + F.lit(1e-9), 2).alias("avg_winsor"),
+        F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0)).alias("n_clamped_low"),
+        F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0)).alias("n_clamped_high"),
+    )
+
+
+@register(
+    "v11_equidepth_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    tiled AS (
+        SELECT l_returnflag, c,
+               NTILE(10) OVER (PARTITION BY l_returnflag
+                               ORDER BY c ASC, l_orderkey ASC, l_linenumber ASC) AS decile
+        FROM cents
+    )
+    SELECT l_returnflag,
+           CAST(decile AS BIGINT)       AS decile,
+           COUNT(*)                     AS n,
+           ROUND(MIN(c) / 100.0, 2)     AS lo,
+           ROUND(MAX(c) / 100.0, 2)     AS hi
+    FROM tiled
+    GROUP BY l_returnflag, decile
+    """,
+)
+def v11_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V11: equi-DEPTH histogram (complement of v8's equi-width):
+    NTILE(10) over a total order — (value, pk) so ties split
+    deterministically — yields per-decile counts and value bounds,
+    i.e. the distribution summary optimizers store as equi-height
+    histograms. The window sort is the one shuffle, keyed by
+    returnflag; at 100 TB you'd swap NTILE for interpolated
+    percentile boundaries (v4's shape) to avoid the full sort, at the
+    cost of exact equal-depth guarantees on ties."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        "l_orderkey", "l_linenumber",
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("c").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        l.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c") / 100.0, 2).alias("lo"),
+            F.round(F.max("c") / 100.0, 2).alias("hi"),
+        )
+    )
