@@ -289,3 +289,33 @@ def f5b_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ends_sum"),
     )
+
+
+@register(
+    "f13_bitwise_funcs",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(BIT_AND(CAST(l_quantity AS BIGINT)) AS BIGINT)  AS qty_and,
+           CAST(BIT_OR(CAST(l_quantity AS BIGINT)) AS BIGINT)   AS qty_or,
+           CAST(BIT_XOR(CAST(l_quantity AS BIGINT)) AS BIGINT)  AS qty_xor,
+           CAST(SUM(CAST(l_quantity AS BIGINT) << 2) AS BIGINT) AS qty_shl2,
+           CAST(SUM(bit_count(CAST(l_orderkey AS BIGINT))) AS BIGINT) AS popcount_sum
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def f13_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: bitwise surface — the aggregate forms (bit_and/or/xor)
+    plus shifts and popcount. Bitmask aggregation is how flag sets,
+    bloom-filter words, and permission vectors are folded at scale:
+    integer-exact, order-independent, map-side combinable (g8 builds
+    the event bitmask on top of exactly these)."""
+    l = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return l.groupBy("l_linenumber").agg(
+        F.bit_and(q).alias("qty_and"),
+        F.bit_or(q).alias("qty_or"),
+        F.bit_xor(q).alias("qty_xor"),
+        F.sum(F.shiftleft(q, 2).cast("long")).alias("qty_shl2"),
+        F.sum(F.bit_count(F.col("l_orderkey").cast("long"))).alias("popcount_sum"),
+    )

@@ -519,3 +519,60 @@ def e3_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )
+
+
+@register(
+    "e4_journey_paths",
+    oracle="""
+    WITH paths AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               STRING_AGG(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path,
+           COUNT(*)                               AS n_journeys,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_journeys DESC, path ASC
+    LIMIT 10
+    """,
+)
+def e4_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: user-journey reconstruction — each user-day's events in
+    (ts, event_id) order collapse into an ordered path string; the
+    top-10 most frequent journeys rank with a total order. The
+    path-analysis shape behind funnel exploration UIs.
+
+    Scale shape: collect_list + array_sort runs inside one (user,
+    day)-keyed aggregate — partitions are user-day islands, so the
+    state per group is one day of one user's events (bounded), never
+    a whole user history; the path-vocabulary re-aggregation is
+    map-side partial. Sorting inside the aggregate (array_sort of
+    (ts, event_id, type) structs) keeps the path deterministic at any
+    partitioning."""
+    e = table(spark, sf_dir, "events")
+    paths = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_journeys"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_journeys").desc(), F.col("path").asc())
+        .limit(10)
+    )
