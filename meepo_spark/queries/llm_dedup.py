@@ -274,3 +274,78 @@ def l2e_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+@register(
+    "l9_dedup_survivorship",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    dup_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM dup_pairs
+        UNION ALL
+        SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach AS (
+        WITH RECURSIVE r(id, seen) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.seen FROM edges e JOIN r ON e.b = r.id
+        )
+        SELECT id, MIN(seen) AS component FROM r GROUP BY id
+    ),
+    members AS (
+        SELECT rc.component, doc.doc_id, doc.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY rc.component
+                                  ORDER BY doc.n_chars DESC, doc.doc_id ASC) AS pick
+        FROM reach rc JOIN documents doc ON rc.id = doc.doc_id
+    )
+    SELECT CAST(component AS BIGINT)                        AS component,
+           CAST(MAX(CASE WHEN pick = 1 THEN doc_id END) AS BIGINT)  AS survivor_doc,
+           COUNT(*)                                         AS n_members,
+           CAST(MAX(n_chars) AS BIGINT)                     AS survivor_chars,
+           CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT)      AS chars_removed
+    FROM members
+    GROUP BY component
+    """,
+)
+def l9_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: dedup SURVIVORSHIP policy — after clustering near-dups
+    (l2e's MinHash-LSH → verify → connected components), pick each
+    cluster's canonical document by the keep-the-longest rule
+    (n_chars desc, doc_id asc tiebreak — the policy CommonCrawl-style
+    pipelines apply so boilerplate-trimmed fragments lose to their
+    fuller originals) and account exactly for what gets dropped.
+
+    Scale shape: adds only a broadcast-joinable (doc_id, n_chars)
+    lookup and a cluster-keyed max_by to the l2e pipeline; cluster
+    count ≪ corpus so the final aggregate is tiny. Integer-exact
+    (chars, ids) — the oracle recomputes the identical clusters from
+    exact Jaccard via recursive CTE."""
+    from meepo_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "text", "doc_id", threshold=0.6, shingle_k=3, num_hashes=96, bands=48
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs)  # (id, component)
+    members = comps.join(
+        F.broadcast(d.select(F.col("doc_id").alias("id"), "n_chars")), "id"
+    )
+    return members.groupBy("component").agg(
+        F.max_by("id", F.struct(F.col("n_chars"), -F.col("id"))).alias("survivor_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("survivor_chars"),
+        (F.sum("n_chars") - F.max("n_chars")).alias("chars_removed"),
+    ).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("survivor_doc").cast("long").alias("survivor_doc"),
+        "n_members",
+        "survivor_chars",
+        "chars_removed",
+    )

@@ -491,3 +491,69 @@ def a17_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c").cast("double") / 100.0, 2).alias("total_value"),
         F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@register(
+    "a18_pit_join",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('signup','view','click')
+                               THEN event_type END IGNORE NULLS) OVER w AS state_type,
+               LAST_VALUE(CASE WHEN event_type IN ('signup','view','click')
+                               THEN value END IGNORE NULLS) OVER w      AS state_value,
+               LAST_VALUE(CASE WHEN event_type IN ('signup','view','click')
+                               THEN ts END IGNORE NULLS) OVER w         AS state_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(user_id AS VARCHAR)                    AS pk,
+           event_id                                    AS offset,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S')           AS ts_s,
+           ROUND(value, 2)                             AS purchase_value,
+           COALESCE(state_type, 'none')                AS state_type,
+           ROUND(COALESCE(state_value, 0), 2)          AS state_value,
+           CAST(COALESCE(date_diff('second', state_ts, ts), -1) AS BIGINT) AS state_age_s
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+)
+def a18_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: point-in-time (feature-store) join — every purchase fact
+    is enriched with the profile state that was current STRICTLY AS OF
+    the purchase's position in the log, never a later version: the
+    training-data-leakage guard. Expressed as carried-forward state
+    (last_value IGNORE NULLS over the per-key log order) rather than
+    a range join, so the whole thing is ONE pk-keyed window pass —
+    the same single-Exchange shape as a12's SCD2 build, and at 100 TB
+    it beats the interval-join formulation (no valid_from/valid_to
+    materialization, no range-bucketing).
+
+    Parity note: this is what a11's rebuild + a12's history exist
+    FOR — the consumer-side query that must see versioned state, not
+    current state."""
+    e = table(spark, sf_dir, "events")
+    is_profile = F.col("event_type").isin("signup", "view", "click")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = e.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.last(F.when(is_profile, F.col("event_type")), ignorenulls=True).over(w).alias("state_type"),
+        F.last(F.when(is_profile, F.col("value")), ignorenulls=True).over(w).alias("state_value"),
+        F.last(F.when(is_profile, F.col("ts")), ignorenulls=True).over(w).alias("state_ts"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.col("event_id").alias("offset"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 2).alias("purchase_value"),
+        F.coalesce("state_type", F.lit("none")).alias("state_type"),
+        F.round(F.coalesce("state_value", F.lit(0.0)), 2).alias("state_value"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("state_ts"), F.lit(-1)
+        ).cast("long").alias("state_age_s"),
+    )
