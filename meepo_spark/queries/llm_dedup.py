@@ -349,3 +349,59 @@ def l9_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survivor_chars",
         "chars_removed",
     )
+
+
+@register(
+    "l10_incremental_dedup",
+    oracle="""
+    WITH existing AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 4
+    ),
+    incoming AS (
+        SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 5 = 4
+    ),
+    dedup_in_batch AS (
+        SELECT lang, h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        FROM incoming GROUP BY lang, h
+    )
+    SELECT d.lang,
+           CAST(SUM(d.n_copies) AS BIGINT)    AS n_incoming,
+           CAST(SUM(d.n_copies) - COUNT(*) AS BIGINT) AS n_dup_in_batch,
+           CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)     AS n_admitted
+    FROM dedup_in_batch d LEFT JOIN existing e ON d.h = e.h
+    GROUP BY d.lang
+    """,
+)
+def l10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: incremental corpus ingestion dedup — the arriving batch
+    (doc_id % 5 = 4 stands in for "today's crawl") first dedups
+    within itself (hash groupBy, min-id keeper), then probes the
+    EXISTING corpus's content-hash index with a left join; only
+    misses are admitted. This two-stage shape is what makes continuous
+    corpus building O(batch), not O(corpus): the corpus side is a
+    precomputed 128-bit digest index (bloom-filterable, broadcastable
+    when the batch is small), never the texts.
+
+    The within-batch and vs-corpus dup counts are reported separately
+    because real pipelines alert on them differently (self-dup =
+    crawler loop; corpus-dup = re-crawl)."""
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") % 5 != 4).select(F.md5("text").alias("h")).distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % 5 == 4).select(
+        "lang", "doc_id", F.md5("text").alias("h")
+    )
+    batch_dedup = incoming.groupBy("lang", "h").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+    probed = batch_dedup.join(
+        existing.withColumn("in_corpus", F.lit(1)), "h", "left"
+    )
+    return probed.groupBy("lang").agg(
+        F.sum("n_copies").alias("n_incoming"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_in_batch"),
+        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0)).alias("n_dup_vs_corpus"),
+        F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_admitted"),
+    )

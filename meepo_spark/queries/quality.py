@@ -232,3 +232,86 @@ def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+@register(
+    "dq4_drift_monitor",
+    oracle="""
+    WITH windowed AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 'baseline' ELSE 'current' END AS win,
+               CAST(ROUND(value * 100) AS BIGINT)       AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, win, COUNT(*) AS n,
+               SUM(cents) AS s, SUM(cents * cents) AS s2
+        FROM windowed GROUP BY event_type, win
+    ),
+    pivoted AS (
+        SELECT event_type,
+               MAX(CASE WHEN win = 'baseline' THEN n END)  AS n_base,
+               MAX(CASE WHEN win = 'current' THEN n END)   AS n_cur,
+               MAX(CASE WHEN win = 'baseline' THEN s END)  AS s_base,
+               MAX(CASE WHEN win = 'current' THEN s END)   AS s_cur,
+               MAX(CASE WHEN win = 'baseline' THEN s2 END) AS s2_base
+        FROM stats GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT)  AS n_cur,
+           ROUND((s_cur * 1.0 / n_cur - s_base * 1.0 / n_base) / 100.0 + 1e-9, 2) AS mean_shift,
+           ROUND(ABS(s_cur * 1.0 / n_cur - s_base * 1.0 / n_base)
+                 / SQRT((s2_base * 1.0 / n_base - (s_base * 1.0 / n_base) * (s_base * 1.0 / n_base))
+                        / n_cur) + 1e-9, 2) AS drift_z,
+           CASE WHEN n_cur * 1.0 / n_base NOT BETWEEN 0.5 AND 2.0
+                THEN 1 ELSE 0 END AS volume_alarm
+    FROM pivoted
+    """,
+)
+def dq4_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: distribution-drift monitor — per event_type, compare the
+    current window's mean value against the baseline window via a
+    z-score on the baseline's variance (the standard online drift
+    alarm) plus a volume-ratio alarm. Everything reduces to six
+    integer-exact moments (n, Σc, Σc²) per (type, window) — one scan,
+    one tiny shuffle — so the monitor costs one aggregation at any
+    scale, and the float math happens only on the 5-row result.
+
+    Moments run on integer cents: Σ and Σ² are exact, so both engines
+    derive identical doubles before the final rounding."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), "baseline")
+        .otherwise("current")
+        .alias("win"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stats = e.groupBy("event_type", "win").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    p = stats.groupBy("event_type").agg(
+        F.max(F.when(F.col("win") == "baseline", F.col("n"))).alias("n_base"),
+        F.max(F.when(F.col("win") == "current", F.col("n"))).alias("n_cur"),
+        F.max(F.when(F.col("win") == "baseline", F.col("s"))).alias("s_base"),
+        F.max(F.when(F.col("win") == "current", F.col("s"))).alias("s_cur"),
+        F.max(F.when(F.col("win") == "baseline", F.col("s2"))).alias("s2_base"),
+    )
+    mean_base = F.col("s_base") * 1.0 / F.col("n_base")
+    mean_cur = F.col("s_cur") * 1.0 / F.col("n_cur")
+    var_base = F.col("s2_base") * 1.0 / F.col("n_base") - mean_base * mean_base
+    return p.select(
+        "event_type",
+        "n_base",
+        "n_cur",
+        F.round((mean_cur - mean_base) / 100.0 + F.lit(1e-9), 2).alias("mean_shift"),
+        F.round(
+            F.abs(mean_cur - mean_base) / F.sqrt(var_base / F.col("n_cur")) + F.lit(1e-9), 2
+        ).alias("drift_z"),
+        F.when(
+            ~(F.col("n_cur") * 1.0 / F.col("n_base")).between(0.5, 2.0), 1
+        ).otherwise(0).alias("volume_alarm"),
+    )

@@ -480,3 +480,129 @@ def v11_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c") / 100.0, 2).alias("hi"),
         )
     )
+
+
+def _hex6_sql(expr: str) -> str:
+    """DuckDB: first 6 hex digits of md5(expr) as an integer in
+    [0, 16^6) — the same value Spark's conv(substring(md5,1,6),16,10)
+    yields, built from instr() digit decoding (DuckDB has no conv)."""
+    parts = []
+    for i in range(6):
+        parts.append(
+            f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (5 - i)}.0"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities) — the
+# SAME literals on both engines, so the per-(row, replicate) weights
+# are bit-identical everywhere.
+_POIS1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119,
+)
+_N_REPS = 16
+
+
+def _pois_case_sql(u: str) -> str:
+    cases = "".join(
+        f" WHEN {u} < {c} THEN {i}" for i, c in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE{cases} ELSE 7 END)"
+
+
+_V12_U = _hex6_sql(
+    "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(rep AS VARCHAR)"
+) + " / 16777216.0"
+
+_V12_ORACLE = f"""
+    WITH reps AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber, t.rep
+        FROM lineitem, range({_N_REPS}) t(rep)
+    ),
+    weighted AS (
+        SELECT rep, cents, {_pois_case_sql(_V12_U)} AS w
+        FROM reps
+    ),
+    rep_means AS (
+        SELECT rep,
+               CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
+        FROM weighted GROUP BY rep
+    ),
+    point AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) AS mean_cents
+        FROM lineitem
+    )
+    SELECT p.n_rows,
+           ROUND(p.mean_cents / 100.0 + 1e-9, 2)                        AS point_mean,
+           ROUND(quantile_cont(r.mean_cents, 0.025) / 100.0 + 1e-9, 2)  AS boot_lo,
+           ROUND(quantile_cont(r.mean_cents, 0.975) / 100.0 + 1e-9, 2)  AS boot_hi,
+           ROUND(stddev_samp(r.mean_cents) / 100.0 + 1e-9, 2)           AS boot_se
+    FROM rep_means r CROSS JOIN point p
+    GROUP BY p.n_rows, p.mean_cents
+"""
+
+
+@register("v12_poisson_bootstrap", oracle=_V12_ORACLE)
+def v12_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V12: Poisson bootstrap confidence interval for the mean — the
+    scalable bootstrap: instead of resampling n rows per replicate
+    (impossible distributed), every row draws an independent
+    Poisson(1) weight per replicate, so all 16 replicates are computed
+    in ONE pass over the fact with a (rep)-keyed aggregate. Weights
+    come from md5-derived uniforms through a shared inverse-CDF table,
+    making the resampling bit-reproducible across engines — a seeded
+    RNG could never be oracle-checked.
+
+    Scale shape: the explode multiplies the scan by n_reps map-side
+    (no shuffle amplification — the shuffle carries 16 partial
+    moment rows); at 100 TB you'd fold the weight draw into the same
+    scan as any other metric. Replicate means are integer-moment
+    ratios, so the only float ops happen on the 16-row result."""
+    l = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey", "l_linenumber",
+    )
+    reps = l.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_N_REPS - 1))))
+    key = F.concat_ws(
+        "-", F.col("l_orderkey"), F.col("l_linenumber"), F.col("rep")
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / 16777216.0
+    w = F.lit(7)
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[i], i).otherwise(w)
+    rep_means = (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_cents")
+        )
+    )
+    point = l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pmean"),
+    )
+    return (
+        rep_means.crossJoin(F.broadcast(point))
+        .groupBy("n_rows", "pmean")
+        .agg(
+            F.percentile(F.col("mean_cents"), F.lit(0.025)).alias("qlo"),
+            F.percentile(F.col("mean_cents"), F.lit(0.975)).alias("qhi"),
+            F.stddev_samp("mean_cents").alias("sd"),
+        )
+        .select(
+            "n_rows",
+            F.round(F.col("pmean") / 100.0 + F.lit(1e-9), 2).alias("point_mean"),
+            F.round(F.col("qlo") / 100.0 + F.lit(1e-9), 2).alias("boot_lo"),
+            F.round(F.col("qhi") / 100.0 + F.lit(1e-9), 2).alias("boot_hi"),
+            F.round(F.col("sd") / 100.0 + F.lit(1e-9), 2).alias("boot_se"),
+        )
+    )
