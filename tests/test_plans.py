@@ -256,3 +256,43 @@ def test_bench_flat_profile_guard():
     cap = max(10 * d["median"], 5.0)
     blown = {q: t for q, t in d["queries"].items() if t > cap}
     assert not blown, f"queries blew the {cap:.1f}s profile cap: {blown}"
+
+
+def test_a18_pit_join_is_one_window_pass(spark):
+    """A18: the point-in-time join must compile to ONE pk-keyed
+    Exchange feeding Window — no Join node at all. The carried-forward
+    formulation is the whole point: an interval-join formulation would
+    put a range join (or worse, BroadcastNestedLoopJoin) here."""
+    import re
+
+    plan = plan_of(QUERIES["a18_pit_join"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    # formatted explain lists each node twice (tree + detail) — count ids
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, n_exchanges
+
+
+def test_dq3_fk_audit_broadcasts_every_parent(spark):
+    """DQ3: all six FK checks must broadcast the parent key set —
+    a shuffle join in any branch would shuffle the child fact."""
+    plan = plan_of(QUERIES["dq3_referential_integrity"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+
+
+def test_g10_pagerank_stays_jvm_side(spark):
+    """G10: the PageRank query (fact reduction + 8 iterations) must
+    contain no Python evaluation node anywhere — it is pure DataFrame
+    algebra over built-ins."""
+    plan = plan_of(QUERIES["g10_pagerank_trade"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_l4n_bm25_broadcasts_stats_and_df(spark):
+    """L4n: BM25's term-df and corpus-stats sides are term-grain /
+    1-row — both must come back as broadcasts so the postings stream
+    is joined map-side."""
+    plan = plan_of(QUERIES["l4n_bm25_search"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
