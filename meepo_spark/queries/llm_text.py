@@ -613,3 +613,74 @@ def l4q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ok_words & ok_cpw & ok_ttr & ok_sw, 1).otherwise(0)).alias("n_pass"),
         F.round(F.avg("ttr") + F.lit(1e-9), 4).alias("avg_ttr"),
     )
+
+
+@register(
+    "l11_bigram_novelty",
+    oracle="""
+    WITH ref AS (
+        SELECT DISTINCT t.bg
+        FROM (
+            SELECT unnest(list_transform(
+                range(greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+                i -> array_to_string(string_split(lower(text), ' ')[i+1:i+2], ' '))) AS bg
+            FROM documents WHERE doc_id % 5 <> 4
+        ) t
+    ),
+    cand AS (
+        SELECT doc_id, lang, bg
+        FROM (
+            SELECT doc_id, lang, unnest(list_transform(
+                range(greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+                i -> array_to_string(string_split(lower(text), ' ')[i+1:i+2], ' '))) AS bg
+            FROM documents WHERE doc_id % 5 = 4
+        ) t
+    )
+    SELECT c.lang,
+           COUNT(*)                                               AS n_bigrams,
+           CAST(SUM(CASE WHEN r.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN r.bg IS NULL THEN 1.0 ELSE 0 END) / COUNT(*) + 1e-9, 4)
+               AS novelty_rate
+    FROM cand c LEFT JOIN ref r ON c.bg = r.bg
+    GROUP BY c.lang
+    """,
+)
+def l11_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: corpus-relative novelty — the candidate batch's bigram
+    out-of-vocabulary rate against the reference corpus's bigram set
+    (per lang). High novelty flags genuinely new content; near-zero
+    novelty flags paraphrase/recombination of what the corpus already
+    holds — the cheap LM-free complement to l4m's bigram-LM scoring.
+
+    Scale shape: the reference side reduces to its DISTINCT bigram
+    vocabulary once (vocabulary-sized, reusable across batches, bloom-
+    filterable); the probe is a left join keyed on the bigram. Window
+    slicing is map-side; the only corpus-sized shuffle carries
+    (bigram) keys."""
+    d = table(spark, sf_dir, "documents")
+
+    def bigrams_of(df: DataFrame):
+        toks = ws_tokens(F.col("text"))
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+        return df.select(
+            "doc_id", "lang",
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+            ).alias("bg"),
+        )
+
+    ref = (
+        bigrams_of(d.filter(F.col("doc_id") % 5 != 4))
+        .select("bg").distinct().withColumn("seen", F.lit(1))
+    )
+    cand = bigrams_of(d.filter(F.col("doc_id") % 5 == 4))
+    probed = cand.join(ref, "bg", "left")
+    return probed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("seen").isNull(), 1.0).otherwise(0.0)) / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("novelty_rate"),
+    )

@@ -195,3 +195,58 @@ def o3b_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "k", "n")
     )
     return ia.unionByName(ea)
+
+
+@register(
+    "o5_keyset_pagination",
+    oracle="""
+    WITH page_anchor AS (
+        SELECT o_totalprice AS ap, o_orderkey AS ak
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 1 OFFSET 49
+    )
+    SELECT o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           o.o_orderpriority
+    FROM orders o CROSS JOIN page_anchor a
+    WHERE (o.o_totalprice < a.ap)
+       OR (o.o_totalprice = a.ap AND o.o_orderkey > a.ak)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def o5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: keyset (seek-method) pagination — fetch the page AFTER a
+    known anchor row by filtering on the composite sort key instead of
+    OFFSET-scanning. The anchor here is derived in-query (row 50 of
+    the (price desc, key asc) order) to keep the query self-contained;
+    a real API passes the client's last-seen (price, key).
+
+    Scale shape: the anchor is a 1-row broadcast; the page filter
+    pushes into the scan (a range predicate on the sort key), so page
+    N costs the same as page 1 — the whole point vs OFFSET, which
+    reads and discards N×page rows. TopK (orderBy+limit) never sorts
+    the full table: Spark runs per-partition top-25 then merges."""
+    o = table(spark, sf_dir, "orders")
+    anchor = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak"))
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("o_totalprice") < F.col("ap"))
+            | ((F.col("o_totalprice") == F.col("ap")) & (F.col("o_orderkey") > F.col("ak")))
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderpriority",
+        )
+    )

@@ -402,3 +402,58 @@ def w7_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_7d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
     )
+
+
+@register(
+    "w8_count_since_event",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, event_type, ts,
+               COUNT(*) FILTER (WHERE event_type = 'purchase')
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchases_so_far
+        FROM events
+    )
+    SELECT user_id, event_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, purchases_so_far
+                                   ORDER BY ts ASC, event_id ASC) AS BIGINT)
+               - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS n_since_purchase
+    FROM marked
+    """,
+)
+def w8_count_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: conditional-reset running count — "events since the user's
+    last purchase", the session-less engagement feature. The reset is
+    expressed with the gaps-and-islands trick: a running purchase
+    count partitions each user's stream into islands, and a
+    row_number within (user, island) is the since-last counter (the
+    purchase itself reports 0 via the -1 correction).
+
+    Scale shape: two stacked windows over the SAME (user) ordering —
+    one Exchange, two Window nodes; no self-join, no recursion. The
+    island partition key (user, purchases_so_far) is a refinement of the
+    first, so no second shuffle is needed — Catalyst sees the
+    child ordering satisfies it."""
+    e = table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    marked = e.withColumn(
+        "purchases_so_far",
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(
+            w_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    w_island = W.partitionBy("user_id", "purchases_so_far").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        (
+            F.row_number().over(w_island).cast("long")
+            - F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_since_purchase"),
+    )
