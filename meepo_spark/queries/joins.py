@@ -246,3 +246,60 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_view_ts",
         F.round("view_value", 2).alias("view_value"),
     )
+
+
+@register(
+    "j10_band_join",
+    oracle="""
+    SELECT e.event_id                     AS error_id,
+           COUNT(*)                       AS n_purchases_30m,
+           ROUND(SUM(p.value) + 1e-9, 2)  AS purchased_value
+    FROM events e
+    JOIN events p
+      ON p.event_type = 'purchase'
+     AND p.ts >= e.ts
+     AND p.ts <  e.ts + INTERVAL 30 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def j10_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: band join with NO equi key — "purchases (any user) within
+    30 minutes after each error" — through the bucketed-range rewrite
+    (operators/joins.py range_join): both sides gain an equi bucket
+    key floor(unix_ts / width) (the interval side exploded to its two
+    straddled buckets), so Catalyst plans a HASH join on the bucket
+    instead of the nested-loop product a bare theta condition forces.
+    Pairs examined shrink from |errors|×|purchases| to pairs sharing
+    a 30-minute bucket — the SURVEY §4.3#4 rewrite, plan-asserted in
+    tests/test_plans.py.
+
+    The oracle runs the same join as a plain theta join — DuckDB's
+    IEJoin handles it natively, which is exactly the point: Spark
+    needs the rewrite, and gets the same answer with it."""
+    from meepo_spark.operators.joins import range_join
+
+    e = table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    cond = (F.col("p_ts") >= F.col("e_ts")) & (
+        F.col("p_ts") < F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")
+    )
+    joined = range_join(
+        purch,
+        errors,
+        cond,
+        bucket=(
+            F.unix_timestamp(F.col("p_ts")),
+            F.unix_timestamp(F.col("e_ts")),
+            "1800",
+        ),
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_30m"),
+        F.round(F.sum("p_value") + F.lit(1e-9), 2).alias("purchased_value"),
+    )

@@ -296,3 +296,13 @@ def test_l4n_bm25_broadcasts_stats_and_df(spark):
     plan = plan_of(QUERIES["l4n_bm25_search"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_j10_band_join_is_hash_not_nested_loop(spark):
+    """J10: the bucketed-range rewrite must produce a HASH join on the
+    bucket key — a bare theta condition would force
+    BroadcastNestedLoopJoin / CartesianProduct, whose pair count is
+    |left|×|right| at any scale."""
+    plan = plan_of(QUERIES["j10_band_join"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
