@@ -684,3 +684,47 @@ def l11_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("novelty_rate"),
     )
+
+
+@register(
+    "l12_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text, ' '))                                    AS n_words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*)                                        AS n_docs,
+           CAST(SUM(n_words) AS BIGINT)                    AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT)                      AS total_bpe_tokens,
+           ROUND(SUM(n_bpe) * 1.0 / SUM(n_words) + 1e-9, 4) AS fertility,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_bpe) + 1e-9, 4) AS chars_per_token
+    FROM t
+    GROUP BY lang
+    """,
+)
+def l12_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: tokenizer fertility per language — BPE-ish tokens per
+    whitespace word and chars per token, THE metric for judging how
+    well a tokenizer serves each language in the training mix (high
+    fertility = the language pays more sequence length per word, so
+    its effective context and its cost per document differ). Plain
+    map-side length arithmetic over one scan; the shuffle carries
+    per-lang integer partials."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe"),
+        "n_chars",
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_words") + F.lit(1e-9), 4).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_bpe") + F.lit(1e-9), 4).alias("chars_per_token"),
+    )

@@ -457,3 +457,64 @@ def w8_count_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("n_since_purchase"),
     )
+
+
+@register(
+    "g11_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT)                   AS qty,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) ASC,
+                            l_orderkey ASC, l_linenumber ASC
+                   ROWS UNBOUNDED PRECEDING)                AS cumw,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag)               AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(CASE WHEN 2 * cumw >= totw THEN cents END) / 100.0, 2) AS weighted_median,
+           CAST(MAX(totw) AS BIGINT) AS total_weight
+    FROM w
+    GROUP BY l_returnflag
+    """,
+)
+def g11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: weighted median — the smallest price whose cumulative
+    quantity weight reaches half the group's total (quantity-weighted
+    order statistic, what "median price paid" actually means when line
+    items carry different volumes). Integer cents + integer weights ⇒
+    the crossing test 2·cumw ≥ totw is exact on both engines; the tie
+    order (cents, pk) is total, so the cumulative sums agree row for
+    row.
+
+    Scale shape: one keyed window sort + one aggregate. The window
+    partition is the group key, so the sort spreads across the
+    cluster; no all-pairs, no global sort."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey", "l_linenumber",
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy(F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("l_returnflag")
+    marked = l.select(
+        "l_returnflag",
+        "cents",
+        F.sum("qty").over(w_cum).alias("cumw"),
+        F.sum("qty").over(w_tot).alias("totw"),
+    )
+    return marked.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))) / 100.0, 2
+        ).alias("weighted_median"),
+        F.max("totw").alias("total_weight"),
+    )
