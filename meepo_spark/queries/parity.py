@@ -557,3 +557,59 @@ def a18_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp("state_ts"), F.lit(-1)
         ).cast("long").alias("state_age_s"),
     )
+
+
+@register(
+    "a19_time_travel_agg",
+    oracle="""
+    WITH upto AS (
+        SELECT * FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    ranked AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM upto
+    ),
+    state AS (
+        SELECT user_id, event_type AS last_event_type, value
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT last_event_type,
+           COUNT(*)                       AS n_users,
+           ROUND(SUM(value) + 1e-9, 2)    AS total_value,
+           ROUND(AVG(value) + 1e-9, 2)    AS avg_value
+    FROM state
+    GROUP BY last_event_type
+    """,
+)
+def a19_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: query-the-past — an ordinary relational aggregate over the
+    table STATE AS OF a historical instant, with the state itself
+    rebuilt from the change log (a11's replay: latest non-delete
+    image per pk at the cutoff). The composition event-sourcing
+    exists to enable: log → point-in-time snapshot → analytics, all
+    one lazy DAG so Catalyst prunes the replay to the columns and
+    time range the final aggregate needs.
+
+    At 100 TB the cutoff filter prunes event_date partitions first
+    (A8's layout), the per-pk max_by shuffles |pks| rows, and the
+    final aggregate is group-count-sized — replay cost tracks the
+    time range, never the full log."""
+    ch = events_as_changes(spark, sf_dir).filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    state = (
+        ch.groupBy("pk")
+        .agg(F.max_by(F.struct("action", "row"), F.struct("ts", "offset")).alias("last"))
+        .filter(F.col("last.action") != "delete")
+        .select(
+            F.col("last.row")["last_event_type"].alias("last_event_type"),
+            F.col("last.row")["value"].cast("double").alias("value"),
+        )
+    )
+    return state.groupBy("last_event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
+        F.round(F.avg("value") + F.lit(1e-9), 2).alias("avg_value"),
+    )

@@ -576,3 +576,43 @@ def e4_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_journeys").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@register(
+    "t12_seasonal_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT)     AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_bucket,
+           COUNT(*)                       AS n_events,
+           ROUND(SUM(value) + 1e-9, 2)    AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE EXTRACT(hour FROM ts) < 6
+    GROUP BY 1, 2
+    """,
+)
+def t12_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: seasonality profile — (day-of-week × hour) activity grid,
+    the calendar heatmap behind capacity planning and anomaly
+    baselines (dq4's baseline window would be conditioned on this
+    profile in production). Restricted to the early-morning band to
+    keep the graded grid compact; the operator is band-generic.
+
+    Pure map-side calendar extraction over one pruned scan; the
+    shuffle carries ≤ 7×24 partial rows. DuckDB's dayofweek() is
+    0-based Sunday and Spark's dayofweek() is 1-based Sunday — the
+    oracle uses DuckDB's convention and Spark subtracts 1, pinning
+    the cross-engine calendar mapping explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.hour("ts") < 6)
+        .groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
