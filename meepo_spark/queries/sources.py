@@ -160,3 +160,54 @@ def s7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@register(
+    "s8_text_logline_scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                AS n_lines,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s8_text_logline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: raw text-log ingestion — the schema-on-read shape for logs
+    that never had a schema: events rendered as pipe-delimited lines,
+    read back with ``spark.read.text`` (one ``value`` column, zero
+    parsing cost at scan), then parsed with a single split + typed
+    casts. The oracle aggregates the original table, so the check
+    proves the render→parse roundtrip is lossless (values travel as
+    integer cents — a printf'd double would not roundtrip).
+
+    At 100 TB this is the first stage of every log pipeline: the text
+    scan parallelizes by line ranges, the parse is map-side
+    codegen'd, and bad lines would route to a rejects column instead
+    of killing the scan (FAILFAST here, since the fixture is clean)."""
+    e = table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "|",
+            F.col("event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("value")
+    )
+    path = _materialize(e, sf_dir, "events_log", "text")
+    raw = spark.read.text(path)
+    f = F.split(F.col("value"), "\\|")
+    parsed = raw.select(
+        f[0].cast("long").alias("event_id"),
+        f[2].cast("long").alias("user_id"),
+        f[3].alias("event_type"),
+        f[4].cast("long").alias("cents"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("cents").cast("double") / 100.0, 2).alias("total_value"),
+    )
