@@ -29,13 +29,26 @@ _SHINGLES_SQL = """
 @register(
     "l2_minhash_lsh_pairs",
     oracle=f"""
-    WITH d AS ({_SHINGLES_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+    WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored_pairs AS (
+        -- |A ∩ B| from the postings join (sh is a distinct set);
+        -- |A ∪ B| = |A| + |B| − |A ∩ B|: same Jaccard as the former
+        -- all-pairs list_intersect formulation, ~50× faster in DuckDB
+        SELECT s.id_a, s.id_b,
+               s.c * 1.0 / (la.ln + lb.ln - s.c) AS jaccard
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+    )
+    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+    FROM scored_pairs WHERE jaccard >= 0.6
     """,
 )
 def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,11 +75,25 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l2b_fuzzy_dedup_survivors",
     oracle=f"""
     WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored_pairs AS (
+        -- |A ∩ B| from the postings join (sh is a distinct set);
+        -- |A ∪ B| = |A| + |B| − |A ∩ B|: same Jaccard as the former
+        -- all-pairs list_intersect formulation, ~50× faster in DuckDB
+        SELECT s.id_a, s.id_b,
+               s.c * 1.0 / (la.ln + lb.ln - s.c) AS jaccard
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+    ),
     dup_pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        SELECT id_a, id_b FROM scored_pairs WHERE jaccard >= 0.6
     )
     SELECT lang, COUNT(*) AS n_survivors
     FROM documents
@@ -232,11 +259,25 @@ def l2d_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l2e_duplicate_clusters",
     oracle=f"""
     WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored_pairs AS (
+        -- |A ∩ B| from the postings join (sh is a distinct set);
+        -- |A ∪ B| = |A| + |B| − |A ∩ B|: same Jaccard as the former
+        -- all-pairs list_intersect formulation, ~50× faster in DuckDB
+        SELECT s.id_a, s.id_b,
+               s.c * 1.0 / (la.ln + lb.ln - s.c) AS jaccard
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+    ),
     dup_pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        SELECT id_a, id_b FROM scored_pairs WHERE jaccard >= 0.6
     ),
     edges AS (
         SELECT id_a AS a, id_b AS b FROM dup_pairs
@@ -280,11 +321,25 @@ def l2e_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l9_dedup_survivorship",
     oracle=f"""
     WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored_pairs AS (
+        -- |A ∩ B| from the postings join (sh is a distinct set);
+        -- |A ∪ B| = |A| + |B| − |A ∩ B|: same Jaccard as the former
+        -- all-pairs list_intersect formulation, ~50× faster in DuckDB
+        SELECT s.id_a, s.id_b,
+               s.c * 1.0 / (la.ln + lb.ln - s.c) AS jaccard
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+    ),
     dup_pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        SELECT id_a, id_b FROM scored_pairs WHERE jaccard >= 0.6
     ),
     edges AS (
         SELECT id_a AS a, id_b AS b FROM dup_pairs
