@@ -171,3 +171,22 @@ def test_count_min_sketch_overestimates_every_token():
         assert est >= n, (tok, est, n)
         # overcount bounded by colliding mass (trivially ≤ total - n)
         assert est - n <= sum(true_n.values()) - n
+
+
+def test_pagerank_is_a_probability_distribution(spark):
+    """g10 invariants: ranks form a probability distribution (sum ≈ 1
+    — damped PageRank with dangling-mass redistribution conserves
+    mass up to per-iteration rounding), every node holds at least the
+    teleport floor (1-d)/N, and pr_pos is a permutation of 1..N."""
+    from meepo_spark.registry import QUERIES, load_all
+
+    load_all()
+    from conftest import SF_DIR
+
+    rows = QUERIES["g10_pagerank_trade"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    floor = (1 - 0.85) / 25
+    assert all(r["pagerank"] >= floor - 1e-9 for r in rows)
+    assert sorted(r["pr_pos"] for r in rows) == list(range(1, 26))
