@@ -460,3 +460,71 @@ def l10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0)).alias("n_dup_vs_corpus"),
         F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_admitted"),
     )
+
+
+@register(
+    "l13_dedup_threshold_curve",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars // 50 AS len_bucket,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' '))) AS sh
+        FROM documents
+        WHERE doc_id < 2000
+    ),
+    scored AS (
+        SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j,
+               b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    ),
+    th AS (SELECT 0.5 + t.i * 0.1 AS thr FROM range(5) t(i))
+    SELECT ROUND(th.thr, 1)                                              AS threshold,
+           CAST(COUNT(CASE WHEN s.j >= th.thr THEN 1 END) AS BIGINT)     AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN s.j >= th.thr THEN s.id_b END) AS BIGINT)
+               AS n_docs_removed
+    FROM th LEFT JOIN scored s ON TRUE
+    GROUP BY th.thr
+    """,
+)
+def l13_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13: the dedup aggressiveness curve — candidate pairs and docs
+    removed (greedy min-id survivor rule) at thresholds 0.5…0.9, from
+    ONE similarity computation over l2c's length-blocked exact-Jaccard
+    pairs (bounded 2000-doc sample, so cost is constant at any corpus
+    scale): the operator tunes a dedup pipeline by showing what each
+    threshold costs before committing to a rerun. The 5-threshold
+    sweep is a tiny broadcast cross join over the scored pairs, not 5
+    recomputations.
+
+    Thresholds are exact decimal literals on both engines and the
+    Jaccard is an identical integer-ratio double, so the >= cut is
+    bit-deterministic."""
+    from meepo_spark.operators.dedup import exact_jaccard, shingle_hash_set
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    blocked = d.select(
+        "doc_id", F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket")
+    )
+    a = blocked.select(F.col("doc_id").alias("id_a"), F.col("len_bucket").alias("lb_a"))
+    b = blocked.select(F.col("doc_id").alias("id_b"), F.col("len_bucket").alias("lb_b"))
+    pairs = a.join(
+        b, (F.col("lb_a") == F.col("lb_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    scored = exact_jaccard(
+        pairs, d, "text", "doc_id", set_builder=lambda c: shingle_hash_set(c, 3)
+    ).select(F.col("jaccard").alias("j"), "id_b")
+    th = spark.range(5).select((0.5 + F.col("id") * 0.1).alias("thr"))
+    return (
+        scored.join(F.broadcast(th), F.lit(True), "right")
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("j") >= F.col("thr"), 1).otherwise(0)).alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("j") >= F.col("thr"), F.col("id_b"))
+            ).alias("n_docs_removed"),
+        )
+        .select(F.round("thr", 1).alias("threshold"), "n_pairs", "n_docs_removed")
+    )

@@ -613,3 +613,58 @@ def a19_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
         F.round(F.avg("value") + F.lit(1e-9), 2).alias("avg_value"),
     )
+
+
+@register(
+    "a20_out_of_order_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT 'users_' || CASE event_type
+                   WHEN 'signup' THEN 'write'
+                   WHEN 'error'  THEN 'delete'
+                   ELSE 'update' END AS topic,
+               ts,
+               LAG(ts) OVER (PARTITION BY CASE event_type
+                   WHEN 'signup' THEN 'write'
+                   WHEN 'error'  THEN 'delete'
+                   ELSE 'update' END ORDER BY event_id ASC) AS prev_ts
+        FROM events
+    )
+    SELECT topic,
+           COUNT(*)                                                       AS n_events,
+           CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT)  AS n_inversions,
+           ROUND(SUM(CASE WHEN prev_ts > ts THEN 1.0 ELSE 0 END) / COUNT(*) + 1e-9, 4)
+               AS disorder_rate,
+           CAST(MAX(CASE WHEN prev_ts > ts
+                         THEN date_diff('second', ts, prev_ts) ELSE 0 END) AS BIGINT)
+               AS max_regression_s
+    FROM seq
+    GROUP BY topic
+    """,
+)
+def a20_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: stream-disorder audit — per topic, how often arrival order
+    (offset) disagrees with event time, and by how much. THE input to
+    watermark sizing: `withWatermark(ts, X)` silently drops rows whose
+    lateness exceeds X, so X must dominate max_regression_s. meepo has
+    no notion of this (synchronous dispatch can't reorder); an engine
+    that buffers and parallelizes must measure it.
+
+    One topic-keyed window pass in arrival order, then per-topic
+    integer counts — the same single-Exchange shape as a12/a18."""
+    ch = topic(events_as_changes(spark, sf_dir))
+    w = W.partitionBy("topic").orderBy(F.col("offset").asc())
+    seq = ch.select(
+        "topic", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    late = F.col("prev_ts") > F.col("ts")
+    return seq.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_inversions"),
+        F.round(
+            F.sum(F.when(late, 1.0).otherwise(0.0)) / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("disorder_rate"),
+        F.max(
+            F.when(late, F.unix_timestamp("prev_ts") - F.unix_timestamp("ts")).otherwise(0)
+        ).cast("long").alias("max_regression_s"),
+    )
