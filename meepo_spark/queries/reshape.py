@@ -482,22 +482,21 @@ def v11_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hex6_sql(expr: str) -> str:
-    """DuckDB: first 6 hex digits of md5(expr) as an integer in
-    [0, 16^6) — the same value Spark's conv(substring(md5,1,6),16,10)
-    yields, built from instr() digit decoding (DuckDB has no conv)."""
-    parts = []
-    for i in range(6):
-        parts.append(
-            f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
-            f" * {16 ** (5 - i)}.0"
-        )
-    return "(" + " + ".join(parts) + ")"
+def _hex2_sql(h: str, rep: str) -> str:
+    """DuckDB: hex digits (2*rep+1, 2*rep+2) of an md5 hex string as an
+    integer in [0, 256) — the same value Spark's
+    conv(substring(h, 2*rep+1, 2), 16, 10) yields."""
+    d1 = f"(instr('0123456789abcdef', substr({h}, 2*{rep} + 1, 1)) - 1)"
+    d2 = f"(instr('0123456789abcdef', substr({h}, 2*{rep} + 2, 1)) - 1)"
+    return f"({d1} * 16.0 + {d2})"
 
 
 # Poisson(1) inverse-CDF thresholds (cumulative probabilities) — the
 # SAME literals on both engines, so the per-(row, replicate) weights
-# are bit-identical everywhere.
+# are bit-identical everywhere. u is quantized to 8 bits (one md5 per
+# ROW serves all 16 replicates, 2 hex digits each); the ~0.2% CDF
+# quantization bias is identical on both engines and immaterial for a
+# bootstrap, while cutting the hash cost 16×.
 _POIS1_CDF = (
     0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
@@ -513,19 +512,17 @@ def _pois_case_sql(u: str) -> str:
     return f"(CASE{cases} ELSE 7 END)"
 
 
-_V12_U = _hex6_sql(
-    "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(rep AS VARCHAR)"
-) + " / 16777216.0"
+_V12_U = _hex2_sql("h", "rep") + " / 256.0"
 
 _V12_ORACLE = f"""
-    WITH reps AS (
+    WITH hashed AS (
         SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
-               l_orderkey, l_linenumber, t.rep
-        FROM lineitem, range({_N_REPS}) t(rep)
+               md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS h
+        FROM lineitem
     ),
     weighted AS (
-        SELECT rep, cents, {_pois_case_sql(_V12_U)} AS w
-        FROM reps
+        SELECT t.rep, cents, {_pois_case_sql(_V12_U)} AS w
+        FROM hashed, range({_N_REPS}) t(rep)
     ),
     rep_means AS (
         SELECT rep,
@@ -534,9 +531,8 @@ _V12_ORACLE = f"""
     ),
     point AS (
         SELECT COUNT(*) AS n_rows,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
-                   / COUNT(*) AS mean_cents
-        FROM lineitem
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+        FROM hashed
     )
     SELECT p.n_rows,
            ROUND(p.mean_cents / 100.0 + 1e-9, 2)                        AS point_mean,
@@ -557,7 +553,11 @@ def v12_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE pass over the fact with a (rep)-keyed aggregate. Weights
     come from md5-derived uniforms through a shared inverse-CDF table,
     making the resampling bit-reproducible across engines — a seeded
-    RNG could never be oracle-checked.
+    RNG could never be oracle-checked. ONE md5 per row serves all 16
+    replicates (2 hex digits each — the explode-of-array barrier pins
+    the digest before the replicate explode so CollapseProject cannot
+    inline it 16×); the 8-bit uniform's CDF quantization is identical
+    on both engines.
 
     Scale shape: the explode multiplies the scan by n_reps map-side
     (no shuffle amplification — the shuffle carries 16 partial
@@ -568,11 +568,18 @@ def v12_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         "l_orderkey", "l_linenumber",
     )
-    reps = l.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_N_REPS - 1))))
-    key = F.concat_ws(
-        "-", F.col("l_orderkey"), F.col("l_linenumber"), F.col("rep")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    # Generate-node barrier: without it the md5 would be inlined into
+    # the post-explode projection and recomputed per replicate.
+    # spread(): the fixture arrives as few byte-sized scan splits, which
+    # would serialize the 16× explode+CASE kernel on a few cores.
+    from meepo_spark.catalog import spread
+
+    hashed = spread(l, "l_orderkey").select(
+        "cents", F.explode(F.array(F.md5(key))).alias("h")
     )
-    u = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("double") / 16777216.0
+    reps = hashed.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_N_REPS - 1))))
+    u = F.conv(F.substring(F.col("h"), 2 * F.col("rep") + 1, 2), 16, 10).cast("double") / 256.0
     w = F.lit(7)
     for i in range(len(_POIS1_CDF) - 1, -1, -1):
         w = F.when(u < _POIS1_CDF[i], i).otherwise(w)
@@ -586,7 +593,7 @@ def v12_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cents")
         )
     )
-    point = l.agg(
+    point = hashed.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pmean"),
     )
