@@ -177,3 +177,70 @@ def sql5_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution survives in the physical plan."""
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "sql6_pivot_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(COALESCE("O", 0), 2) AS open_total,
+           ROUND(COALESCE("F", 0), 2) AS finished_total,
+           ROUND(COALESCE("P", 0), 2) AS partial_total
+    FROM (
+        SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+    ) PIVOT (SUM(o_totalprice) FOR o_orderstatus IN ('O' AS "O", 'F' AS "F", 'P' AS "P"))
+    """,
+)
+def sql6_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT syntax (vs v1's DataFrame .pivot()) — the declared
+    value list is what keeps PIVOT scale-safe: no distinct-scan to
+    discover columns, one partial-agg pass, output width fixed at
+    plan time. Both engines support the same clause; the oracle
+    differs only in identifier quoting."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(COALESCE(O, 0), 2) AS open_total,
+               ROUND(COALESCE(F, 0), 2) AS finished_total,
+               ROUND(COALESCE(P, 0), 2) AS partial_total
+        FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        ) PIVOT (SUM(o_totalprice) FOR o_orderstatus IN ('O' AS O, 'F' AS F, 'P' AS P))
+        """
+    )
+
+
+@register(
+    "sql7_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice * (1 - CASE WHEN o_orderstatus = 'F' THEN 0.02 ELSE 0.0 END)), 2)
+               AS adj_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql7_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (CREATE TEMPORARY FUNCTION ...
+    RETURN expr) used inside an aggregate — the governed-expression
+    path: analysts share one vetted formula, and because the body is
+    SQL (not Python) Catalyst inlines it into codegen with zero
+    boundary cost (plan shows no Python node; the inlining is the
+    point vs a Python UDF). The oracle inlines the same expression
+    manually."""
+    load_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION settle_price(p DOUBLE, s STRING) "
+        "RETURN p * (1 - CASE WHEN s = 'F' THEN 0.02 ELSE 0.0 END)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(settle_price(o_totalprice, o_orderstatus)), 2) AS adj_revenue
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
