@@ -616,3 +616,108 @@ def t12_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "t13_linear_interpolation",
+    oracle="""
+    WITH grid AS (
+        SELECT u.user_id, g.t
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                          TIMESTAMP '2024-01-07 23:00:00',
+                                          INTERVAL 1 HOUR)) AS t
+        ) g
+    ),
+    pts AS (
+        SELECT user_id, ts AS t, value, 0 AS is_grid FROM events
+        UNION ALL
+        SELECT user_id, t, NULL, 1 FROM grid
+    ),
+    m AS (
+        SELECT user_id, t, is_grid,
+               LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wp AS pv,
+               LAST_VALUE(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp     AS pt,
+               FIRST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wf AS nv,
+               FIRST_VALUE(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wf     AS nt
+        FROM pts
+        WINDOW wp AS (PARTITION BY user_id ORDER BY t ASC, is_grid ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY t ASC, is_grid ASC
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           STRFTIME(t, '%Y-%m-%d %H:%M:%S') AS t_s,
+           ROUND(pv + (nv - pv) * date_diff('second', pt, t)
+                 / NULLIF(date_diff('second', pt, nt), 0) + 1e-9, 4) AS v_interp
+    FROM m
+    WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+    """,
+)
+def t13_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: irregular→regular resampling with LINEAR interpolation —
+    each user's irregular event series is sampled onto a fixed hourly
+    grid, every grid point valued by the line between its nearest
+    events (t8's gap-fill carries values forward; this interpolates).
+    The union-then-two-windows formulation (grid points and events in
+    ONE ordered stream, carried-forward previous + first-following
+    next) does it with a single pk-keyed Exchange feeding two Window
+    nodes — no as-of join, no range join, no per-grid-point probe.
+
+    A grid point colliding exactly with an event degenerates to that
+    event's value (dt=0 numerator); the seconds arithmetic is integer
+    so both engines interpolate identically."""
+    e = table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(timestamp'2024-01-02 00:00:00',"
+                " timestamp'2024-01-07 23:00:00', interval 1 hour)"
+            )
+        ).alias("t"),
+    )
+    pts = e.select(
+        "user_id", F.col("ts").alias("t"), "value", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id", "t", F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ev_val = F.when(F.col("is_grid") == 0, F.col("value"))
+    ev_t = F.when(F.col("is_grid") == 0, F.col("t"))
+    m = pts.select(
+        "user_id", "t", "is_grid",
+        F.last(ev_val, ignorenulls=True).over(wp).alias("pv"),
+        F.last(ev_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first(ev_val, ignorenulls=True).over(wf).alias("nv"),
+        F.first(ev_t, ignorenulls=True).over(wf).alias("nt"),
+    )
+    ds = F.unix_timestamp("t") - F.unix_timestamp("pt")
+    dt = F.unix_timestamp("nt") - F.unix_timestamp("pt")
+    return (
+        m.filter((F.col("is_grid") == 1) & F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            "user_id",
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t_s"),
+            F.round(
+                F.col("pv")
+                + (F.col("nv") - F.col("pv")) * ds / F.nullif(dt, F.lit(0))
+                + F.lit(1e-9),
+                4,
+            ).alias("v_interp"),
+        )
+    )
