@@ -579,3 +579,138 @@ def l8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "l14_hybrid_retrieval",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT t.doc_id, t.token, COUNT(*) AS tf, ANY_VALUE(b.dl) AS dl
+        FROM tok t JOIN base b ON t.doc_id = b.doc_id
+        WHERE t.token IN ('query', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY 1),
+    bm25 AS (
+        SELECT doc_id,
+               ROUND(SUM(LN(1 + (s.n_docs - df.doc_freq + 0.5) / (df.doc_freq + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) + 1e-9, 4) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN stats s
+        GROUP BY doc_id
+    ),
+    ra AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM bm25
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    rb AS (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC,
+                            e.vec_id ASC) AS r
+        FROM embeddings e CROSS JOIN qv q
+    ),
+    fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60 + a.r), 0) + COALESCE(1.0 / (60 + b.r), 0), 6) AS rrf,
+               a.r AS bm25_rank, b.r AS cos_rank
+        FROM (SELECT * FROM ra WHERE r <= 50) a
+        FULL OUTER JOIN (SELECT * FROM rb WHERE r <= 50) b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(cos_rank AS BIGINT)  AS cos_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def l14_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: hybrid retrieval with reciprocal-rank fusion — the modern
+    RAG retrieval shape: a lexical ranker (BM25, l4n's scorer) and a
+    dense ranker (exact cosine vs doc 0's embedding, l3's kernel)
+    each produce a top-50, fused by RRF(60): score = Σ 1/(60+rank).
+    Rank fusion needs no score calibration between rankers — exactly
+    why production hybrid search uses it — and is integer-reciprocal
+    arithmetic, so the fused ordering is bit-deterministic.
+
+    Scale shape: each ranker is its own bounded pipeline (BM25's
+    postings prefilter, cosine's one corpus scan vs a broadcast query
+    vector); the fusion join touches 2×50 rows. The global
+    row_number windows run over ranker outputs (candidate-sized, not
+    corpus-sized) — per-query partitioning replaces them under a
+    query batch."""
+    from meepo_spark.functions.vectors import cosine_with_norms, norm
+    from meepo_spark.functions.text import ws_tokens
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    # --- lexical ranker (l4n's BM25) ---
+    base = d.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"),
+        F.size(ws_tokens(F.col("text"))).alias("dl"),
+    )
+    stats = base.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.filter(F.col("token").isin("query", "join", "vector"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5))
+    per_term = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    bm25 = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term) + F.lit(1e-9), 4).alias("score"))
+    )
+    ra = bm25.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc())).alias("r"),
+    ).filter(F.col("r") <= 50)
+
+    # --- dense ranker (l3's cosine kernel) ---
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"), norm(F.col("embedding")).alias("qn")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_with_norms(
+            F.col("q_vec"), F.col("embedding"), F.col("qn"), norm(F.col("embedding"))
+        ).alias("cos"),
+    )
+    rb = scored.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc())).alias("r"),
+    ).filter(F.col("r") <= 50)
+
+    fused = (
+        ra.withColumnRenamed("r", "bm25_rank")
+        .join(rb.withColumnRenamed("r", "cos_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("cos_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("cos_rank").cast("long").alias("cos_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(15)
