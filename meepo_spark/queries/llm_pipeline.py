@@ -714,3 +714,42 @@ def l14_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(15)
+
+
+@register(
+    "l15_dataset_card",
+    oracle="""
+    SELECT COUNT(*)                                          AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT)              AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT)            AS n_sources,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT)         AS n_distinct_texts,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*) + 1e-9, 4)
+               AS exact_dup_rate,
+           ROUND(AVG(n_chars) + 1e-9, 2)                     AS avg_chars
+    FROM documents
+    """,
+)
+def l15_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15: the dataset card — the one-row corpus summary every
+    published dataset ships (docs, language/source diversity, token
+    volume, exact-dup rate, length profile). One scan, all counts
+    integer-exact; the dup rate hashes content (128-bit digests, the
+    same key the dedup pipeline shuffles on).
+
+    At 100 TB this is the cheap always-on census the curation DAG
+    (l6) re-derives per release; distinct counts would switch to the
+    mergeable HLL sketches (g3b) when exactness stops being worth the
+    distinct-shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_ws_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) * 1.0 / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("exact_dup_rate"),
+        F.round(F.avg("n_chars") + F.lit(1e-9), 2).alias("avg_chars"),
+    )

@@ -315,3 +315,84 @@ def dq4_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~(F.col("n_cur") * 1.0 / F.col("n_base")).between(0.5, 2.0), 1
         ).otherwise(0).alias("volume_alarm"),
     )
+
+
+@register(
+    "v13_ks_test",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS is_base
+        FROM events
+    ),
+    per_value AS (
+        SELECT event_type, cents,
+               SUM(is_base)     AS nb,
+               SUM(1 - is_base) AS nc
+        FROM pts GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               SUM(nb) OVER w AS cb, SUM(nc) OVER w AS cc,
+               SUM(nb) OVER (PARTITION BY event_type) AS tb,
+               SUM(nc) OVER (PARTITION BY event_type) AS tc
+        FROM per_value
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(MAX(tb) AS BIGINT) AS n_base,
+           CAST(MAX(tc) AS BIGINT) AS n_current,
+           ROUND(MAX(ABS(cb * 1.0 / tb - cc * 1.0 / tc)) + 1e-9, 6) AS ks_stat
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def v13_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13: two-sample Kolmogorov–Smirnov statistic per event_type —
+    the nonparametric distribution-drift test (complements dq4's
+    moment-based z-score: KS catches shape changes a mean test
+    can't). Exact formulation: aggregate to per-value counts first
+    (ties collapse, CDF evaluated right-continuously), then one
+    keyed window cumsum and a max of CDF gaps — integer counts
+    throughout, the only floats are the two final ratios.
+
+    Scale shape: per-value aggregation bounds the window input at
+    |distinct values| per group (map-side combined); no sort of the
+    raw fact, no all-pairs. The same shape computes any
+    ECDF-functional (Cramér–von Mises, Anderson–Darling weights)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 1
+        ).otherwise(0).alias("is_base"),
+    )
+    per_value = e.groupBy("event_type", "cents").agg(
+        F.sum("is_base").alias("nb"), F.sum(1 - F.col("is_base")).alias("nc")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("cents").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("nc").over(w).alias("cc"),
+        F.sum("nb").over(wt).alias("tb"),
+        F.sum("nc").over(wt).alias("tc"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("tb").alias("n_base"),
+        F.max("tc").alias("n_current"),
+        F.round(
+            F.max(F.abs(F.col("cb") * 1.0 / F.col("tb") - F.col("cc") * 1.0 / F.col("tc")))
+            + F.lit(1e-9),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -250,3 +250,62 @@ def o5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+@register(
+    "o6_null_ordering",
+    oracle="""
+    WITH t AS (
+        SELECT DISTINCT l_returnflag, l_orderkey, l_linenumber,
+               NULLIF(l_discount, 0.0) AS disc
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           ROUND(COALESCE(disc, -1), 2) AS disc_or_sentinel,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY disc ASC NULLS FIRST,
+                                            l_orderkey ASC, l_linenumber ASC) AS BIGINT)
+               AS rn_nulls_first,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY disc DESC NULLS LAST,
+                                            l_orderkey ASC, l_linenumber ASC) AS BIGINT)
+               AS rn_nulls_last
+    FROM t
+    QUALIFY rn_nulls_first <= 5 OR rn_nulls_last <= 5
+    """,
+)
+def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: explicit NULLS FIRST / NULLS LAST ordering — the portability
+    trap: Spark defaults ASC to nulls-first while DuckDB (and most
+    warehouses) default to nulls-last, so any ORDER BY on a nullable
+    key MUST pin null placement explicitly or results silently differ
+    between engines. Both rankings run in one pass over the DISTINCT
+    tuple set (the fixture's (orderkey, linenumber) is NOT unique —
+    ranking duplicate tuples under two different windows would pair
+    their row_numbers nondeterministically)."""
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"),
+        )
+        .distinct()
+    )
+    w_nf = W.partitionBy("l_returnflag").orderBy(
+        F.col("disc").asc_nulls_first(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    w_nl = W.partitionBy("l_returnflag").orderBy(
+        F.col("disc").desc_nulls_last(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    ranked = l.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "disc",
+        F.row_number().over(w_nf).cast("long").alias("rn_nulls_first"),
+        F.row_number().over(w_nl).cast("long").alias("rn_nulls_last"),
+    )
+    return ranked.filter(
+        (F.col("rn_nulls_first") <= 5) | (F.col("rn_nulls_last") <= 5)
+    ).select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.round(F.coalesce("disc", F.lit(-1.0)), 2).alias("disc_or_sentinel"),
+        "rn_nulls_first", "rn_nulls_last",
+    )

@@ -518,3 +518,54 @@ def g11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median"),
         F.max("totw").alias("total_weight"),
     )
+
+
+@register(
+    "g12_mad",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag, quantile_cont(c, 0.5) AS m
+        FROM cents GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT t.l_returnflag, ABS(t.c - d.m) AS ad
+        FROM cents t JOIN med d USING (l_returnflag)
+    )
+    SELECT v.l_returnflag,
+           ROUND(d.m / 100.0, 2)                         AS median_price,
+           ROUND(quantile_cont(v.ad, 0.5) / 100.0, 2)    AS mad_price,
+           COUNT(*)                                       AS n
+    FROM dev v JOIN med d USING (l_returnflag)
+    GROUP BY v.l_returnflag, d.m
+    """,
+)
+def g12_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: median absolute deviation — the robust dispersion measure
+    (50% breakdown point vs variance's 0%): MAD = median(|x − median|)
+    per group. Two interpolated percentile passes over integer cents;
+    absolute deviations are exact k or k+0.5 doubles (binary-exact),
+    so the second interpolation agrees bit-for-bit across engines.
+
+    Scale shape: the group medians are a tiny aggregate broadcast back
+    for the deviation pass — two scans, no sort of the fact (the
+    percentile is a value-map aggregate, not an orderBy)."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    med = l.groupBy("l_returnflag").agg(F.percentile(F.col("c"), F.lit(0.5)).alias("m"))
+    dev = l.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "m", F.abs(F.col("c") - F.col("m")).alias("ad")
+    )
+    return dev.groupBy("l_returnflag", "m").agg(
+        F.round(F.percentile(F.col("ad"), F.lit(0.5)) / 100.0, 2).alias("mad_price"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("m") / 100.0, 2).alias("median_price"),
+        "mad_price",
+        "n",
+    )
