@@ -753,3 +753,109 @@ def l15_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_rate"),
         F.round(F.avg("n_chars") + F.lit(1e-9), 2).alias("avg_chars"),
     )
+
+
+@register(
+    "l16_perplexity_filter",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, lang, bg
+        FROM (
+            SELECT doc_id, lang, unnest(list_transform(
+                range(greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+                i -> array_to_string(string_split(lower(text), ' ')[i+1:i+2], ' '))) AS bg
+            FROM documents
+        ) t
+    ),
+    ref_counts AS (
+        SELECT bg, COUNT(*) AS n FROM bg WHERE doc_id % 5 <> 4 GROUP BY bg
+    ),
+    ref_tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM ref_counts
+    ),
+    scored AS (
+        SELECT c.doc_id, c.lang,
+               -LN((COALESCE(r.n, 0) + 1.0) / (t.total + t.vocab + 1.0)) AS nll
+        FROM bg c
+        LEFT JOIN ref_counts r ON c.bg = r.bg
+        CROSS JOIN ref_tot t
+        WHERE c.doc_id % 5 = 4
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id)                           AS n_docs,
+           ROUND(AVG(nll) + 1e-9, 4)                        AS avg_cross_entropy,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id IN (
+               SELECT doc_id FROM scored GROUP BY doc_id HAVING AVG(nll) > 6.85
+           ) THEN doc_id END) AS BIGINT)                    AS n_flagged
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def l16_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16: LM-perplexity quality filtering (the CCNet/Wiki-LM recipe):
+    an add-one-smoothed bigram LM is "trained" on the reference corpus
+    (doc_id %5 != 4) as plain counts, and each candidate-batch doc is
+    scored by its average negative log-likelihood; docs above the
+    cross-entropy threshold get flagged as out-of-distribution. The LM
+    IS two count tables + a broadcast join — no model artifact, which
+    is exactly how distributed perplexity filtering shards at 100 TB
+    (the n-gram table is the only shared state, and it's
+    equi-joinable/bloom-prunable).
+
+    Float discipline: per-bigram NLL is ln() of one identical integer
+    ratio; per-doc averages sum ≤ ~100 such terms (1e-14 noise vs 4dp
+    rounding), and the 6.85 flag threshold keeps a >=1e-4
+    margin to every fixture score at all SFs (measured), so boundary
+    flips can't occur."""
+    d = table(spark, sf_dir, "documents")
+
+    def bigrams_of(df: DataFrame):
+        toks = ws_tokens(F.col("text"))
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+        return df.select(
+            "doc_id", "lang",
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+            ).alias("bg"),
+        )
+
+    all_bg = bigrams_of(d)
+    ref = all_bg.filter(F.col("doc_id") % 5 != 4).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ref_tot = ref.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    cand = all_bg.filter(F.col("doc_id") % 5 == 4)
+    scored = (
+        cand.join(F.broadcast(ref), "bg", "left")
+        .crossJoin(F.broadcast(ref_tot))
+        .select(
+            "doc_id", "lang",
+            (-F.log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                / (F.col("total") + F.col("vocab") + 1.0)
+            )).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(F.avg("nll").alias("doc_ce"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.avg("nll") + F.lit(1e-9), 4).alias("avg_cross_entropy"),
+        )
+        .join(
+            per_doc.filter(F.col("doc_ce") > 6.85)
+            .groupBy("lang")
+            .agg(F.countDistinct("doc_id").alias("n_flagged")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang", "n_docs", "avg_cross_entropy",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        )
+    )

@@ -569,3 +569,44 @@ def g12_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_price",
         "n",
     )
+
+
+@register(
+    "g13_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, n, SUM(n) OVER (PARTITION BY user_id) AS t
+        FROM counts
+    )
+    SELECT user_id,
+           CAST(MAX(t) AS BIGINT)                                    AS n_events,
+           COUNT(*)                                                  AS n_types,
+           ROUND(-SUM((n * 1.0 / t) * LN(n * 1.0 / t)) + 1e-9, 4)    AS entropy_nats
+    FROM tot
+    GROUP BY user_id
+    """,
+)
+def g13_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: Shannon entropy of each user's event-type distribution —
+    the behavioral-diversity feature (0 = monomaniac, ln(5) ≈ 1.609 =
+    uniform over the 5 types). Two stacked aggregates over integer
+    counts; ln() of identical integer ratios is the only float op, and
+    the ≤5-term sum rounds at 4dp far above ulp noise.
+
+    The same shape computes any f-divergence profile (KL vs the
+    global distribution, Gini impurity) — swap the summand."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.withColumn(
+        "t", F.sum("n").over(W.partitionBy("user_id"))
+    )
+    p = F.col("n") * 1.0 / F.col("t")
+    return tot.groupBy("user_id").agg(
+        F.max("t").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(-F.sum(p * F.log(p)) + F.lit(1e-9), 4).alias("entropy_nats"),
+    )
