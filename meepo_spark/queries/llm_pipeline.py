@@ -859,3 +859,139 @@ def l16_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
         )
     )
+
+
+@register(
+    "l17_epoch_shuffle",
+    oracle="""
+    WITH sched AS (
+        SELECT e.epoch, d.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) ASC,
+                            d.doc_id ASC) AS pos
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(3)) AS epoch) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(pos AS BIGINT)   AS pos,
+           doc_id
+    FROM sched WHERE pos <= 5
+    """,
+)
+def l17_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17: reproducible multi-epoch data ordering — every epoch is an
+    independent deterministic permutation of the corpus, keyed by
+    md5(epoch:doc_id). THE training-pipeline requirement a plain
+    .orderBy(rand()) cannot meet: re-running epoch 7 after a crash
+    must replay byte-identical order on any cluster size, and two
+    epochs must decorrelate. Graded output: each epoch's first five
+    scheduled docs.
+
+    Scale shape: the permutation is sort-by-hash — distributed
+    range-partitioned sort, no driver-side shuffle state; in
+    production the sort feeds directly into packed-sequence writing
+    (l8) and the hash doubles as the shard assignment."""
+    d = table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").alias("epoch"))
+    sched = d.select("doc_id").crossJoin(F.broadcast(epochs))
+    h = F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
+    w = W.partitionBy("epoch").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        sched.select("epoch", "doc_id", F.row_number().over(w).cast("long").alias("pos"))
+        .filter(F.col("pos") <= 5)
+        .select("epoch", "pos", "doc_id")
+    )
+
+
+@register(
+    "l18_dedup_signal_agreement",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' '))) AS sh
+        FROM documents WHERE doc_id < 200
+    ),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    text_pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s JOIN lens la ON s.id_a = la.doc_id JOIN lens lb ON s.id_b = lb.doc_id
+        WHERE s.c * 1.0 / (la.ln + lb.ln - s.c) >= 0.6
+    ),
+    embed_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    ),
+    joined AS (
+        SELECT CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+                    WHEN t.id_a IS NOT NULL THEN 'text_only'
+                    ELSE 'embedding_only' END AS signal
+        FROM text_pairs t FULL OUTER JOIN embed_pairs e
+          ON t.id_a = e.id_a AND t.id_b = e.id_b
+    )
+    SELECT signal, COUNT(*) AS n_pairs
+    FROM joined GROUP BY signal
+    """,
+)
+def l18_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: multi-signal dedup agreement matrix — near-dup pairs found
+    by the lexical signal (exact shingle Jaccard >= 0.6 on a bounded
+    200-doc block) vs the semantic signal (embedding cosine >= 0.3 on
+    the same id range), full-outer joined and bucketed into
+    both / text_only / embedding_only. The audit every multi-signal
+    dedup pipeline runs before trusting one signal to gate the other:
+    disagreement volume is the tuning target.
+
+    Both pair generators reuse the graded operators' exact
+    formulations (text: postings-join Jaccard; embeddings: sequential
+    -fold cosine), so the matrix is integer-exact."""
+    from meepo_spark.functions.vectors import cosine_with_norms, norm
+    from meepo_spark.operators.dedup import exact_jaccard, shingle_hash_set
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ids = d.select("doc_id")
+    cand = ids.alias("x").join(
+        ids.alias("y"), F.col("x.doc_id") < F.col("y.doc_id")
+    ).select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    text_pairs = (
+        exact_jaccard(cand, d, "text", "doc_id", set_builder=lambda c: shingle_hash_set(c, 3))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b")
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    ea = emb.select(F.col("vec_id").alias("ea"), F.col("embedding").alias("va")).withColumn(
+        "na", norm(F.col("va"))
+    )
+    eb = emb.select(F.col("vec_id").alias("eb"), F.col("embedding").alias("vb")).withColumn(
+        "nb", norm(F.col("vb"))
+    )
+    embed_pairs = (
+        ea.join(eb, F.col("ea") < F.col("eb"))
+        .filter(
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= 0.3
+        )
+        .select(F.col("ea").alias("id_a"), F.col("eb").alias("id_b"))
+    )
+
+    joined = text_pairs.withColumn("t", F.lit(1)).join(
+        embed_pairs.withColumn("e", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    signal = (
+        F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), "both")
+        .when(F.col("t").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return joined.select(signal.alias("signal")).groupBy("signal").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
