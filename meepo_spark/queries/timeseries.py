@@ -721,3 +721,84 @@ def t13_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v_interp"),
         )
     )
+
+
+@register(
+    "e6_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    spend AS (
+        SELECT f.cohort,
+               date_diff('week', f.cohort, date_trunc('week', e.ts)) AS age_w,
+               CAST(ROUND(e.value * 100) AS BIGINT)                  AS cents
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    by_age AS (
+        SELECT cohort, age_w, SUM(cents) AS c, COUNT(*) AS n
+        FROM spend GROUP BY cohort, age_w
+    ),
+    sized AS (
+        SELECT cohort, COUNT(*) AS cohort_users FROM firsts GROUP BY cohort
+    )
+    SELECT STRFTIME(b.cohort, '%Y-%m-%d')  AS cohort_week,
+           CAST(b.age_w AS BIGINT)          AS age_w,
+           CAST(s.cohort_users AS BIGINT)   AS cohort_users,
+           ROUND(CAST(SUM(b.c) OVER (PARTITION BY b.cohort ORDER BY b.age_w
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / 100.0 / s.cohort_users + 1e-9, 2) AS cum_ltv_per_user
+    FROM by_age b JOIN sized s ON b.cohort = s.cohort
+    """,
+)
+def e6_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: cohort lifetime-value curves — users grouped by first-seen
+    week, purchase value accumulated per cohort-age week, normalized
+    per cohort member: the growth-analytics complement to e2's
+    retention matrix (how much each cohort is WORTH over time, not
+    just whether it returns).
+
+    Scale shape: first-seen is one per-user aggregate (broadcast back
+    — user-dim-sized); the age rollup collapses the fact to
+    (cohort × age) cells before the cumulative window, so the window
+    input is weeks², not events. Integer cents throughout; division
+    happens once per output cell."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+            ).cast("long").alias("age_w"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    by_age = spend.groupBy("cohort", "age_w").agg(
+        F.sum("cents").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    sized = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    w = (
+        W.partitionBy("cohort")
+        .orderBy(F.col("age_w").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        by_age.join(F.broadcast(sized), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "age_w",
+            "cohort_users",
+            F.round(
+                F.sum("c").over(w).cast("double") / 100.0 / F.col("cohort_users")
+                + F.lit(1e-9),
+                2,
+            ).alias("cum_ltv_per_user"),
+        )
+    )

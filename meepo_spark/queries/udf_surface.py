@@ -203,3 +203,44 @@ def u5_arrow_batch_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("digest_prefix").alias("n_digest_prefixes"),
     )
+
+
+@register(
+    "u2_grouped_map_normalize",
+    oracle="""
+    SELECT lang, doc_id,
+           ROUND(CASE WHEN MAX(n_chars) OVER w = MIN(n_chars) OVER w THEN 0.5
+                      ELSE (n_chars - MIN(n_chars) OVER w) * 1.0
+                           / (MAX(n_chars) OVER w - MIN(n_chars) OVER w)
+                 END + 1e-9, 6) AS scaled
+    FROM documents
+    WINDOW w AS (PARTITION BY lang)
+    """,
+)
+def u2_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: grouped-map applyInPandas — per-language min-max scaling
+    where each group's WHOLE frame lands in one Arrow batch and the
+    kernel sees it as a pandas DataFrame (the API for logic that
+    genuinely needs the full group: per-group model fits, group-wise
+    imputation). The oracle is the equivalent window formulation —
+    which is also the honest scale note: when the per-group logic IS
+    expressible as window algebra, windows win (no Python boundary,
+    no group-must-fit-in-memory constraint); applyInPandas is for
+    when it isn't. Completes the graded UDF ladder u1-u5.
+
+    The integer-ratio scaling is bit-identical in pandas and SQL;
+    ties in the constant-group case pin to 0.5 on both engines."""
+    import pandas as pd
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["n_chars"].min(), pdf["n_chars"].max()
+        if hi == lo:
+            s = pd.Series(0.5, index=pdf.index)
+        else:
+            s = (pdf["n_chars"] - lo) * 1.0 / (hi - lo)
+        return pd.DataFrame(
+            {"lang": pdf["lang"], "doc_id": pdf["doc_id"], "scaled": (s + 1e-9).round(6)}
+        )
+
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return d.groupBy("lang").applyInPandas(scale, "lang string, doc_id long, scaled double")
