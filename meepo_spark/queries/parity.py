@@ -668,3 +668,55 @@ def a20_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(late, F.unix_timestamp("prev_ts") - F.unix_timestamp("ts")).otherwise(0)
         ).cast("long").alias("max_regression_s"),
     )
+
+
+@register(
+    "a21_log_compaction",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    latest AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT CAST(user_id AS VARCHAR) AS pk,
+           CASE WHEN event_type = 'error' THEN 'tombstone' ELSE 'value' END AS kind,
+           CASE WHEN event_type = 'error' THEN NULL ELSE event_type END     AS last_event_type,
+           ROUND(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 2) AS last_value,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S')                                AS last_ts
+    FROM latest
+    WHERE event_type <> 'error'
+       OR ts >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def a21_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: log compaction with TOMBSTONE RETENTION — the semantics
+    a7's compaction simplifies away: a delete's tombstone must survive
+    compaction for a retention window (Kafka's delete.retention.ms)
+    so that lagging consumers still observe the deletion; only
+    tombstones older than the horizon vanish entirely. Latest record
+    per pk, keeping recent tombstones as explicit 'tombstone' rows
+    with nulled payload, dropping expired ones.
+
+    Same single max_by shuffle as a7 — the retention rule is a
+    post-aggregation filter, so tombstone retention costs nothing
+    extra at 100 TB (the expiry itself rides the event_date partition
+    drop, EventStore.expire)."""
+    ch = events_as_changes(spark, sf_dir)
+    latest = ch.groupBy("pk").agg(
+        F.max_by(F.struct("action", "row", "ts"), F.struct("ts", "offset")).alias("last")
+    )
+    horizon = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    is_tomb = F.col("last.action") == "delete"
+    return latest.filter(~is_tomb | (F.col("last.ts") >= horizon)).select(
+        "pk",
+        F.when(is_tomb, "tombstone").otherwise("value").alias("kind"),
+        F.when(is_tomb, F.lit(None)).otherwise(
+            F.col("last.row")["last_event_type"]
+        ).alias("last_event_type"),
+        F.round(
+            F.when(is_tomb, F.lit(None)).otherwise(F.col("last.row")["value"]).cast("double"), 2
+        ).alias("last_value"),
+        F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -610,3 +610,42 @@ def g13_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.round(-F.sum(p * F.log(p)) + F.lit(1e-9), 4).alias("entropy_nats"),
     )
+
+
+@register(
+    "w9_numeric_range_frame",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal,
+           CAST(COUNT(*) OVER w - 1 AS BIGINT)                    AS n_peers_within_500,
+           ROUND(AVG(c_acctbal) OVER w + 1e-9, 2)                 AS peer_avg
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC
+                 RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+    """,
+)
+def w9_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: VALUE-range window frame on a numeric key (w7 covers the
+    time-interval flavor) — each customer's peer group is everyone in
+    the segment within ±500 of their balance, regardless of row
+    distance: the 'similar accounts' aggregation a ROWS frame cannot
+    express when values cluster unevenly. RANGE frames need no
+    distinct-value bucketing or self-join — the sorted partition is
+    scanned once with two moving frame pointers.
+
+    peer_avg sums doubles over a value-dependent frame; both engines
+    accumulate the same ordered run, and 2dp rounding with the 1e-9
+    nudge absorbs the half-boundary cases."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").asc())
+        .rangeBetween(-500, 500)
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_peers_within_500"),
+        F.round(F.avg("c_acctbal").over(w) + F.lit(1e-9), 2).alias("peer_avg"),
+    )
