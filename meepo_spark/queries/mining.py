@@ -418,3 +418,80 @@ def m4_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pattern").asc())
         .limit(15)
     )
+
+
+@register(
+    "m5_association_rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    totals AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1),
+    n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    pairs AS (
+        SELECT a.l_partkey AS ant, b.l_partkey AS con, COUNT(*) AS n_both
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT p.ant, p.con,
+               CAST(p.n_both AS BIGINT)                    AS n_both,
+               ROUND(p.n_both * 1.0 / ta.n_item + 1e-9, 4) AS confidence,
+               ROUND((1.0 - tc.n_item * 1.0 / o.n)
+                     / (1.0 - p.n_both * 1.0 / ta.n_item) + 1e-9, 4) AS conviction
+        FROM pairs p
+        JOIN totals ta ON p.ant = ta.l_partkey
+        JOIN totals tc ON p.con = tc.l_partkey
+        CROSS JOIN n_ord o
+        WHERE p.n_both >= 2
+          AND 10 * p.n_both >= ta.n_item  -- conf >= 0.1, integer-exact
+          AND p.n_both < ta.n_item        -- conf < 1 so conviction is finite
+    )
+    SELECT * FROM rules
+    ORDER BY confidence DESC, ant ASC, con ASC
+    LIMIT 25
+    """,
+)
+def m5_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: directed association rules A→B with confidence P(B|A) and
+    conviction (1−P(B))/(1−conf) — the measures m1's symmetric
+    support+lift can't give (direction matters: bread→butter and
+    butter→bread share lift but not confidence). The confidence
+    threshold is the INTEGER predicate 10·n_both ≥ n_item, so the cut
+    can never straddle a float boundary between engines; conf = 1
+    rules are excluded to keep conviction finite; top-25 under a
+    total order.
+
+    Scale shape: identical anatomy to m1 — pair counts from one
+    basket-keyed shuffle, item totals and the basket count broadcast
+    back; the rule measures are arithmetic on the same aggregates —
+    one mining pass serves every measure."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    totals = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    n_ord = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ant"))
+    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("con"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("ant") != F.col("con")))
+        .groupBy("ant", "con")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    conf = F.col("n_both") * 1.0 / F.col("na")
+    pb = F.col("nc") * 1.0 / F.col("n")
+    return (
+        pairs.join(F.broadcast(totals.select(F.col("l_partkey").alias("ant"), F.col("n_item").alias("na"))), "ant")
+        .join(F.broadcast(totals.select(F.col("l_partkey").alias("con"), F.col("n_item").alias("nc"))), "con")
+        .crossJoin(F.broadcast(n_ord))
+        .filter(
+            (F.col("n_both") >= 2)
+            & (10 * F.col("n_both") >= F.col("na"))
+            & (F.col("n_both") < F.col("na"))
+        )
+        .select(
+            "ant", "con", "n_both",
+            F.round(conf + F.lit(1e-9), 4).alias("confidence"),
+            F.round((1.0 - pb) / (1.0 - conf) + F.lit(1e-9), 4).alias("conviction"),
+        )
+        .orderBy(F.col("confidence").desc(), F.col("ant").asc(), F.col("con").asc())
+        .limit(25)
+    )
