@@ -319,3 +319,58 @@ def f13_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.shiftleft(q, 2).cast("long")).alias("qty_shl2"),
         F.sum(F.bit_count(F.col("l_orderkey").cast("long"))).alias("popcount_sum"),
     )
+
+
+@register(
+    "f14_datetime_construction",
+    oracle="""
+    WITH parts AS (
+        SELECT EXTRACT(year FROM o_orderdate)  AS y,
+               EXTRACT(month FROM o_orderdate) AS m,
+               EXTRACT(day FROM o_orderdate)   AS d,
+               o_totalprice
+        FROM orders
+    )
+    SELECT STRFTIME(make_date(CAST(y AS INT), CAST(m AS INT), 1), '%Y-%m-%d')
+               AS month_start,
+           STRFTIME(make_timestamp(CAST(y AS INT), CAST(m AS INT), CAST(d AS INT),
+                                   12, 0, 0.0), '%Y-%m-%d %H:%M:%S')
+               AS noon_ts_sample,
+           COUNT(*)                        AS n_orders,
+           ROUND(SUM(o_totalprice), 2)     AS total_price
+    FROM parts
+    GROUP BY 1, 2
+    """,
+)
+def f14_datetime_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: date/timestamp CONSTRUCTION from parts (make_date /
+    make_timestamp) — the inverse of F2's extraction family, needed
+    whenever calendar keys arrive as separate columns (CSV exports,
+    partitioning schemes). Deconstruct each order date and rebuild
+    both a month-start date and a noon timestamp; the group-by proves
+    the rebuilt values are lossless keys."""
+    o = table(spark, sf_dir, "orders")
+    parts = o.select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        "o_totalprice",
+    )
+    return (
+        parts.groupBy(
+            F.date_format(
+                F.make_date(F.col("y"), F.col("m"), F.lit(1)), "yyyy-MM-dd"
+            ).alias("month_start"),
+            F.date_format(
+                F.make_timestamp(
+                    F.col("y"), F.col("m"), F.col("d"),
+                    F.lit(12), F.lit(0), F.lit(0.0),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("noon_ts_sample"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
