@@ -303,3 +303,45 @@ def j10_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases_30m"),
         F.round(F.sum("p_value") + F.lit(1e-9), 2).alias("purchased_value"),
     )
+
+
+@register(
+    "j11_salted_skew_join",
+    oracle="""
+    SELECT s.s_nationkey                              AS nationkey,
+           COUNT(*)                                   AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: skew-resistant salted equi-join, graded. The fact side's
+    join key is split across 8 random salt sub-keys and the dimension
+    side is replicated once per salt value, so a pathologically hot
+    supplier key spreads over 8 tasks instead of stalling one
+    straggler (operators/joins.py:salted_join; equality with the
+    plain join is also Hypothesis property-tested).
+
+    The oracle is the UNsalted join — the whole point of salting is
+    that the result set is identical, and the hash match proves it.
+    Salt never escapes: it is projected away before the aggregate,
+    and the aggregate itself re-shuffles on s_nationkey only. Use
+    this shape when the skew is known ahead of time or sits on the
+    build side where AQE's runtime skew split cannot help."""
+    from meepo_spark.operators.joins import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, on="l_suppkey", salt=8)
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

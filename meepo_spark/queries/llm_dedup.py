@@ -528,3 +528,82 @@ def l13_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.round("thr", 1).alias("threshold"), "n_pairs", "n_docs_removed")
     )
+
+
+@register(
+    "l19_substring_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source, g
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(w) - 6),
+                          i -> md5(array_to_string(w[i:i+7], ' ')))) AS g
+            FROM toks
+            WHERE len(w) >= 8
+        )
+    ),
+    freq AS (SELECT g, COUNT(*) AS n_docs_g FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT doc_id, any_value(source) AS source,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.n_docs_g >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM grams JOIN freq f USING (g)
+        GROUP BY doc_id
+    )
+    SELECT source,
+           COUNT(*)                          AS n_docs,
+           CAST(SUM(CASE WHEN n_dup * 1.0 / n_grams >= 0.2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(AVG(n_dup * 1.0 / n_grams), 2)   AS avg_dup_frac
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def l19_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19: exact substring-level dedup — duplicated 8-token windows
+    across documents (the Lee-et-al-2022 exact-substring method at
+    window grain). Per document: the fraction of its distinct 8-gram
+    windows that also occur in at least one other document; per
+    source: how many docs exceed a 0.2 duplicated-span budget.
+
+    Scale shape: windows are md5'd BEFORE the shuffle, so the
+    exchange moves 32-byte digests, never 8-token strings; per-gram
+    doc-frequency comes from a window count over the gram hash (one
+    shuffle), and the per-doc rollup re-shuffles only (doc_id, flag)
+    pairs. Nothing is all-pairs: cost is O(total tokens) rows through
+    two exchanges, which survives 100 TB. The oracle recomputes the
+    identical md5 windows in DuckDB, so the hash match covers the
+    tokenization, the windowing, and both rollups."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    grams_col = F.when(
+        F.size(w) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 7),
+            lambda i: F.md5(F.array_join(F.slice(w, i, 8), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams_col)).alias("g")
+    )
+    with_freq = grams.withColumn(
+        "n_docs_g", F.count("*").over(Window.partitionBy("g"))
+    )
+    per_doc = with_freq.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("n_docs_g") >= 2).cast("int")).alias("n_dup"),
+    )
+    frac = F.col("n_dup") / F.col("n_grams")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((frac >= 0.2).cast("int")).cast("long").alias("n_flagged"),
+        F.round(F.avg(frac), 2).alias("avg_dup_frac"),
+    )

@@ -728,3 +728,64 @@ def l12_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_bpe") * 1.0 / F.sum("n_words") + F.lit(1e-9), 4).alias("fertility"),
         F.round(F.sum("n_chars") * 1.0 / F.sum("n_bpe") + F.lit(1e-9), 4).alias("chars_per_token"),
     )
+
+
+@register(
+    "l20_classifier_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(list_sum(list_transform(toks, x ->
+                   CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                       % 2001 - 1000)), 0) AS BIGINT) AS score_sum
+        FROM t
+    )
+    SELECT doc_id, n_tokens, score_sum, score_sum > 0 AS keep
+    FROM scored
+    """,
+)
+def l20_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: model-based quality filtering — a hashed bag-of-words
+    linear classifier (the fastText-style shape used for production
+    quality/domain filters) scored entirely JVM-side. Each token maps
+    to a fixed weight derived from its md5 digest (integer in
+    [-1000, 1000], i.e. millis of a [-1, 1] weight); the document
+    score is the exact integer sum, and keep = score > 0.
+
+    The weight table is deterministic hashing rather than learned
+    floats so (a) the DuckDB oracle reproduces every weight exactly
+    and (b) the sum is integer arithmetic — no accumulation-order
+    drift between engines. Swapping in a real trained model changes
+    only the token->weight expression (a broadcast map lookup), not
+    the plan.
+
+    Scale shape: filter -> transform -> aggregate are all
+    higher-order array functions on the scan — a pure narrow map
+    with NO shuffle and NO Python. Classifier scoring over 100 TB is
+    embarrassingly parallel and this plan keeps it that way."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+    )
+    wts = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % 2001
+        - 1000,
+    )
+    score = F.coalesce(
+        F.aggregate(wts, F.lit(0).cast("long"), lambda a, x: a + x),
+        F.lit(0).cast("long"),
+    )
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_sum"),
+        (score > 0).alias("keep"),
+    )
