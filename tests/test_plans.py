@@ -306,3 +306,22 @@ def test_j10_band_join_is_hash_not_nested_loop(spark):
     plan = plan_of(QUERIES["j10_band_join"](spark, SF_DIR))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_l20_classifier_is_shuffle_free(spark):
+    """L20: classifier scoring is a pure narrow map — any Exchange in
+    this plan means a refactor turned an embarrassingly parallel scan
+    into a shuffle, which at 100 TB is the whole job's cost."""
+    plan = plan_of(QUERIES["l20_classifier_filter"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_l19_substring_dedup_hashes_before_shuffle(spark):
+    """L19: the gram digest (md5, 32 bytes) must be computed map-side
+    so the exchanges move digests, never raw 8-token strings; the
+    plan's first Exchange partitions on the digest column, and no
+    Python appears anywhere."""
+    plan = plan_of(QUERIES["l19_substring_dedup"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(g#" in plan or "hashpartitioning(g " in plan
