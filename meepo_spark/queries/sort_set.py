@@ -309,3 +309,62 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("disc", F.lit(-1.0)), 2).alias("disc_or_sentinel"),
         "rn_nulls_first", "rn_nulls_last",
     )
+
+
+@register(
+    "o7_global_enumeration",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS total,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def o7_global_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: global row enumeration WITHOUT the single-partition sort.
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses
+    the whole table into one task — the canonical Spark scale trap for
+    assigning training-example ordinals. The scale plan: assign each
+    row a deterministic, key-ordered bucket (equal-width over the key
+    range, whose min/max come from a 1-row broadcast aggregate), count
+    rows per bucket (a tiny aggregate), turn the counts into running
+    offsets, broadcast them back, and add a per-bucket row_number to
+    its bucket's offset. Every wide stage is parallel across 32+
+    buckets; the only global structure is the bucket-count vector.
+
+    The bucket MUST be an expression of the key, not
+    ``spark_partition_id()`` after ``repartitionByRange`` — range
+    boundaries are re-sampled per consumer of the plan, so physical
+    pids seen by the count branch and the enumeration branch can
+    disagree (that variant mis-numbered rows by exactly the boundary
+    drift). Equal-width buckets trade balance for determinism; a
+    skewed key wants sampled-quantile boundaries computed once and
+    broadcast the same way.
+
+    The oracle IS the naive global ROW_NUMBER — the hash match proves
+    the parallel enumeration equals the single-task one. o_orderkey is
+    unique, so ordinals are reproducible under any bucketing."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rng = o.agg(
+        F.min("o_orderkey").alias("__lo"), F.max("o_orderkey").alias("__hi")
+    )
+    width = F.greatest(
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / 32), F.lit(1)
+    )
+    p = o.crossJoin(F.broadcast(rng)).withColumn(
+        "__pid", F.floor((F.col("o_orderkey") - F.col("__lo")) / width)
+    )
+    counts = p.groupBy("__pid").agg(F.count("*").alias("__n"))
+    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    rn_w = W.partitionBy("__pid").orderBy("o_orderkey")
+    return (
+        p.join(F.broadcast(offsets), "__pid")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            (F.row_number().over(rn_w) + F.col("__off")).cast("long").alias("rn"),
+        )
+    )

@@ -325,3 +325,13 @@ def test_l19_substring_dedup_hashes_before_shuffle(spark):
     plan = plan_of(QUERIES["l19_substring_dedup"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(g#" in plan or "hashpartitioning(g " in plan
+
+
+def test_o7_enumeration_avoids_global_sort_of_the_fact(spark):
+    """O7: the per-row enumeration must shuffle the fact by bucket
+    (hashpartitioning on __pid), never into a single partition — the
+    only SinglePartition structure allowed is the 32-row offset
+    vector's own window."""
+    plan = plan_of(QUERIES["o7_global_enumeration"](spark, SF_DIR))
+    assert "hashpartitioning(__pid" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
