@@ -163,3 +163,105 @@ def g10_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_name", "pagerank", F.row_number().over(pos).cast("long").alias("pr_pos")
     )
+
+
+@register(
+    "g14_triangle_count",
+    oracle="""
+    WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e e1
+                 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         verts AS (SELECT x AS p FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+    SELECT p AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p) AS BIGINT)
+             AS tri_rank
+    FROM verts GROUP BY p ORDER BY tri_rank LIMIT 20
+    """,
+)
+def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: triangle counting on the co-purchase graph (parts joined
+    by appearing in the same order), reporting the 20 parts that sit
+    in the most triangles — the classic cohesion/community signal.
+
+    Scale shape — the textbook two-join plan explodes on wedges
+    (sum of deg^2); the fix is DEGREE ORIENTATION: point every edge
+    from its lower-(degree, id) endpoint to the higher one, making the
+    orientation acyclic with out-degree <= sqrt(2m) per node, so the
+    wedge join is bounded by m^1.5 instead of sum-deg^2 (Suri-Vassilvitskii
+    "Counting triangles and the curse of the last reducer", WWW'11).
+    Each triangle then closes from exactly ONE center (its
+    orientation-minimal vertex) with its two out-neighbours, so no
+    dedup or /3 correction is needed. The edge list itself comes from
+    the per-order basket expansion (bounded by basket size, the
+    m1_basket_pairs discipline), partial-aggregated before the one
+    distinct shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.alias("s")
+        .join(li.alias("t"), "l_orderkey")
+        .where(F.col("s.l_partkey") < F.col("t.l_partkey"))
+        .select(
+            F.col("s.l_partkey").alias("a"), F.col("t.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge low-(degree,id) -> high-(degree,id)
+    ed = (
+        e0.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    ed = ed.localCheckpoint()  # reused 3x below; keep lineage O(1)
+    # canonical wedge: two out-edges of the same center, dst1 < dst2
+    w1 = ed.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    w2 = ed.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "c").where(F.col("x") < F.col("y"))
+    # closure: the (x, y) edge exists in the UNDIRECTED set = e0 with
+    # a < b; (x, y) is already min < max by construction
+    closing = ed.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    verts = (
+        tri.select(F.col("c").alias("p"))
+        .unionAll(tri.select(F.col("x").alias("p")))
+        .unionAll(tri.select(F.col("y").alias("p")))
+    )
+    pos = W.orderBy(F.col("n_tri").desc(), F.col("p").asc())
+    return (
+        verts.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+        .select(
+            F.col("p").alias("partkey"),
+            "n_tri",
+            F.row_number().over(pos).cast("long").alias("tri_rank"),
+        )
+        .where(F.col("tri_rank") <= 20)
+        .orderBy("tri_rank")
+    )

@@ -276,7 +276,60 @@ def l3f_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l3g_kmeans_clusters")
+@register(
+    "l3g_kmeans_clusters",
+    # Lloyd with a FIXED iteration count unrolls into plain SQL: each
+    # E-step is an argmin over k centroids, each M-step a per-dimension
+    # AVG. iters=2 in kmeans_fit means assign(seed) -> 2 x (update,
+    # reassign), i.e. 3 assignment passes and 2 mean updates.
+    # COALESCE keeps an empty cluster's previous centroid, matching the
+    # operator's fallback. Argmin stability across engines holds
+    # because distances are float64 with margins >> the ~1e-12 drift
+    # from summation-order differences (validated at all three SFs).
+    oracle="""
+    WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+         c0 AS (SELECT id AS cid, v AS cv FROM pts ORDER BY id LIMIT 8),
+         a0 AS (SELECT id, cid AS cluster FROM (
+                  SELECT p.id, c.cid,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY p.id
+                           ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+                  FROM pts p CROSS JOIN c0 c) WHERE rn = 1),
+         m1 AS (SELECT a0.cluster AS cid, t.i, AVG(p.v[t.i + 1]) AS m
+                FROM a0 JOIN pts p USING (id) CROSS JOIN range(64) t(i)
+                GROUP BY a0.cluster, t.i),
+         c1 AS (SELECT c0.cid,
+                       COALESCE(n.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN (SELECT cid, LIST(m ORDER BY i) AS cv
+                                   FROM m1 GROUP BY cid) n USING (cid)),
+         a1 AS (SELECT id, cid AS cluster FROM (
+                  SELECT p.id, c.cid,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY p.id
+                           ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+                  FROM pts p CROSS JOIN c1 c) WHERE rn = 1),
+         m2 AS (SELECT a1.cluster AS cid, t.i, AVG(p.v[t.i + 1]) AS m
+                FROM a1 JOIN pts p USING (id) CROSS JOIN range(64) t(i)
+                GROUP BY a1.cluster, t.i),
+         c2 AS (SELECT c1.cid,
+                       COALESCE(n.cv, c1.cv) AS cv
+                FROM c1 LEFT JOIN (SELECT cid, LIST(m ORDER BY i) AS cv
+                                   FROM m2 GROUP BY cid) n USING (cid)),
+         a2 AS (SELECT id, cid AS cluster FROM (
+                  SELECT p.id, c.cid,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY p.id
+                           ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+                  FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+         tot AS (SELECT COUNT(*) AS n FROM pts)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot) + 1e-9,
+                 4) AS share
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+)
 def l3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3g: semantic clustering profile — distributed Lloyd k-means
     (operators/clustering.py) over the embedding corpus, reporting
@@ -285,10 +338,12 @@ def l3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity-aware sampling (keep N per cluster), and the profile is
     the sanity report you'd publish alongside the index.
 
-    No SQL oracle: Lloyd iteration is not SQL-expressible (rows-only
-    check here); the algorithm's invariants — inertia monotonicity,
-    full partitioning, run-to-run determinism — are property-tested
-    in test_llm.py. Determinism makes the rows-only check stable."""
+    Oracle: Lloyd with a FIXED iteration budget IS SQL-expressible by
+    unrolling — the registered DuckDB SQL replays seed-assign plus two
+    (mean-update, reassign) rounds and must reproduce the exact
+    cluster census. The engine-side invariants that SQL can't see —
+    inertia monotonicity, run-to-run determinism, O(1) lineage via
+    localCheckpoint — stay property-tested in test_llm.py."""
     emb = table(spark, sf_dir, "embeddings")
     from meepo_spark.operators.clustering import kmeans_fit
 
@@ -398,3 +453,68 @@ def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, c, dim=DIM, k=5, m=16, ksub=16, rerank=50,
         pair_filter=F.col("q_id") != F.col("c_id"),
     ).select("q_id", "c_id", F.round("dotp", 4).alias("dot_r"), "rank")
+
+
+@register(
+    "l3j_kmeans_assign",
+    oracle="""
+    WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM pts WHERE vec_id < 8),
+         d AS (SELECT p.vec_id, c.cid,
+                      POWER(list_distance(p.v, c.cv), 2) AS sqd
+               FROM pts p CROSS JOIN cent c),
+         best AS (SELECT vec_id, cid, sqd,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY sqd, cid) AS rn
+                  FROM d)
+    SELECT cid AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(sqd), 6) AS avg_sqdist,
+           ROUND(MAX(sqd), 6) AS max_sqdist,
+           ARG_MAX(vec_id, sqd) AS farthest_id
+    FROM best WHERE rn = 1
+    GROUP BY cid ORDER BY cluster
+    """,
+)
+def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3j: the Lloyd ASSIGNMENT kernel as an exactly-graded query —
+    every vector assigned to the nearest of the k=8 lowest-id seed
+    centroids (squared Euclidean, ties to the lowest centroid id),
+    profiled per cluster (size, mean/max squared distance, farthest
+    member). This is the oracle-checked half of l3g's iterative
+    k-means: the E-step math is verified bit-for-bit here (sequential
+    float64 fold = DuckDB's list_distance), while l3g composes the
+    same kernel across M-step iterations that SQL cannot express.
+
+    Scale shape: the k x dim centroid table broadcasts; the corpus is
+    scanned once, each row scoring k candidates map-side; the only
+    shuffle carries one (cluster, partial-agg) row per partition —
+    identical to the Arrow-matmul path in operators/clustering.py but
+    in pure codegen (no Python), which is the right trade at k = 8.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sqd = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = pts.crossJoin(F.broadcast(cent)).select("vec_id", "cid", sqd.alias("sqd"))
+    w = Window.partitionBy("vec_id").orderBy("sqd", "cid")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("sqd"), 6).alias("avg_sqdist"),
+            F.round(F.max("sqd"), 6).alias("max_sqdist"),
+            F.max_by("vec_id", F.col("sqd")).alias("farthest_id"),
+        )
+        .orderBy("cluster")
+    )

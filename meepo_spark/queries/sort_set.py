@@ -368,3 +368,69 @@ def o7_global_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(rn_w) + F.col("__off")).cast("long").alias("rn"),
         )
     )
+
+
+@register(
+    "o8_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey,
+           ROUND(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS BIGINT) AS psize
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    ORDER BY price, psize, p.p_partkey
+    """,
+)
+def o8_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: 2-D skyline (Pareto frontier) — parts not dominated on
+    (retail price, size): no other part is <= on both axes and < on at
+    least one. The oracle is the quadratic NOT EXISTS definition; the
+    engine plan is the SORT-based linear formulation:
+
+      * per-price minimum size (one hash agg — the only full shuffle,
+        and it carries one row per DISTINCT price, not per part);
+      * running strict-prefix min over the per-price frame ordered by
+        price (rowsBetween(unboundedPreceding, -1) — a frame over
+        |distinct prices| rows, not |parts|);
+      * a part survives iff it achieves its price's min size AND beats
+        every cheaper price's min (strictly — equal size at a lower
+        price dominates). Equal (price, size) duplicates all survive:
+        domination requires strictness on one axis.
+
+    At 100 TB the agg output (distinct prices) is small enough to
+    broadcast back onto the base scan, so the whole skyline costs one
+    shuffle + one broadcast join — never the O(n^2) self-join the
+    definition suggests. The same prefix-min trick is the d=2 case of
+    the block-nested-loop skyline literature (Borzsony/Kossmann/Stocker
+    ICDE'01); higher d wants the grid/sample prefilter instead.
+    """
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("min_size")
+    )
+    pw = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    frontier_prices = per_price.select(
+        "p_retailprice",
+        "min_size",
+        F.min("min_size").over(pw).alias("prefix_min"),
+    ).where(
+        F.col("prefix_min").isNull() | (F.col("min_size") < F.col("prefix_min"))
+    )
+    return (
+        part.join(
+            F.broadcast(frontier_prices), "p_retailprice"
+        )
+        .where(F.col("p_size") == F.col("min_size"))
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("bigint").alias("psize"),
+        )
+        .orderBy("price", "psize", "p_partkey")
+    )
