@@ -335,3 +335,23 @@ def test_o7_enumeration_avoids_global_sort_of_the_fact(spark):
     plan = plan_of(QUERIES["o7_global_enumeration"](spark, SF_DIR))
     assert "hashpartitioning(__pid" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_o8_skyline_broadcasts_the_frontier(spark):
+    """O8: the skyline filter comes back onto the base scan as a
+    broadcast of the per-price frontier — the quadratic NOT EXISTS
+    shape (CartesianProduct / NestedLoop against the full table) must
+    never appear; the only wide ops are one price agg and the tiny
+    distinct-price window."""
+    plan = plan_of(QUERIES["o8_pareto_frontier"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_g14_triangles_join_oriented_edges_by_hash(spark):
+    """G14: the wedge and closure joins are equi-joins on (center) and
+    (x, y) — hash/sort-merge only. A NestedLoop here would mean the
+    orientation rewrite regressed to the all-pairs formulation."""
+    plan = plan_of(QUERIES["g14_triangle_count"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
