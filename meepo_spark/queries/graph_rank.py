@@ -165,11 +165,15 @@ def g10_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "g14_triangle_count",
     oracle="""
-    WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-               FROM lineitem a JOIN lineitem b
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= DATE '1995-01-01'
+                  AND l_shipdate <  DATE '1997-01-01'),
+         e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+               FROM li a JOIN li b
                  ON a.l_orderkey = b.l_orderkey
                 AND a.l_partkey < b.l_partkey),
          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -187,32 +191,52 @@ def g10_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G14: triangle counting on the co-purchase graph (parts joined
-    by appearing in the same order), reporting the 20 parts that sit
-    in the most triangles — the classic cohesion/community signal.
+    """G14: triangle counting on the 1995-96 co-purchase graph (parts
+    linked by shipping in the same order within the window), reporting
+    the 20 parts in the most triangles — the classic cohesion signal.
 
-    Scale shape — the textbook two-join plan explodes on wedges
-    (sum of deg^2); the fix is DEGREE ORIENTATION: point every edge
-    from its lower-(degree, id) endpoint to the higher one, making the
-    orientation acyclic with out-degree <= sqrt(2m) per node, so the
-    wedge join is bounded by m^1.5 instead of sum-deg^2 (Suri-Vassilvitskii
-    "Counting triangles and the curse of the last reducer", WWW'11).
-    Each triangle then closes from exactly ONE center (its
-    orientation-minimal vertex) with its two out-neighbours, so no
-    dedup or /3 correction is needed. The edge list itself comes from
-    the per-order basket expansion (bounded by basket size, the
-    m1_basket_pairs discipline), partial-aggregated before the one
-    distinct shuffle.
+    Scale shape — three mechanisms stack so the plan never touches
+    the quadratic formulations the oracle uses:
+      * edges come from the per-order basket expansion (pairs
+        generated map-side inside codegen, bounded by basket size —
+        the m1_basket_pairs discipline), not a fact self-join;
+      * DEGREE ORIENTATION (Suri-Vassilvitskii WWW'11): every edge
+        points from its lower-(degree, id) endpoint to the higher one,
+        an acyclic orientation with out-degree <= sqrt(2m), so
+        per-vertex neighbour lists are bounded no matter how skewed
+        the raw degree distribution is;
+      * EDGE-CENTRIC INTERSECTION: each triangle is counted exactly
+        once at its base edge as |N+(u) /\\ N+(v)| — the bounded
+        out-adjacency table broadcasts (|V| rows, lists <= sqrt(2m)),
+        and the intersection runs map-side over the edge stream.
+        The m^1.5 wedge set is never materialized or shuffled; when
+        |adj| outgrows the broadcast budget the same plan degrades to
+        a shuffled hash join on src, wedge-free either way.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e0 = (
-        li.alias("s")
-        .join(li.alias("t"), "l_orderkey")
-        .where(F.col("s.l_partkey") < F.col("t.l_partkey"))
-        .select(
-            F.col("s.l_partkey").alias("a"), F.col("t.l_partkey").alias("b")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    idx = F.sequence(F.lit(0), F.size("ps") - 2)
+    pair_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda q: F.struct(
+                    F.element_at("ps", i + 1).alias("a"), q.alias("b")
+                ),
+            ),
         )
+    )
+    e0 = (
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode(pair_arr).alias("e"))
+        .select("e.a", "e.b")
         .distinct()
+        .localCheckpoint()  # reused by deg, orientation, and the edge stream
     )
     deg = (
         e0.select(F.col("a").alias("v"))
@@ -220,10 +244,10 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # orient each edge low-(degree,id) -> high-(degree,id)
+    # orient each edge low-(degree, id) -> high-(degree, id)
     ed = (
-        e0.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        e0.join(F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))), "b")
         .select(
             F.when(
                 (F.col("da") < F.col("db"))
@@ -236,27 +260,31 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("o")
         )
         .select("o.src", "o.dst")
+        .localCheckpoint()  # feeds both the adjacency build and the probe
     )
-    ed = ed.localCheckpoint()  # reused 3x below; keep lineage O(1)
-    # canonical wedge: two out-edges of the same center, dst1 < dst2
-    w1 = ed.select(F.col("src").alias("c"), F.col("dst").alias("x"))
-    w2 = ed.select(F.col("src").alias("c"), F.col("dst").alias("y"))
-    wedges = w1.join(w2, "c").where(F.col("x") < F.col("y"))
-    # closure: the (x, y) edge exists in the UNDIRECTED set = e0 with
-    # a < b; (x, y) is already min < max by construction
-    closing = ed.select(
-        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    adj = ed.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    base = (
+        ed.join(
+            F.broadcast(adj.select(F.col("src").alias("u_"), F.col("nb").alias("nu"))),
+            F.col("src") == F.col("u_"),
+        )
+        .join(
+            F.broadcast(adj.select(F.col("src").alias("v_"), F.col("nb").alias("nv"))),
+            F.col("dst") == F.col("v_"),
+        )
+        .select("src", "dst", F.array_intersect("nu", "nv").alias("ws"))
+        .where(F.size("ws") > 0)
+        .localCheckpoint()  # read 3x by the vertex census below
     )
-    tri = wedges.join(closing, ["x", "y"])
     verts = (
-        tri.select(F.col("c").alias("p"))
-        .unionAll(tri.select(F.col("x").alias("p")))
-        .unionAll(tri.select(F.col("y").alias("p")))
+        base.select(F.col("src").alias("p"), F.size("ws").alias("n"))
+        .unionAll(base.select(F.col("dst").alias("p"), F.size("ws").alias("n")))
+        .unionAll(base.select(F.explode("ws").alias("p"), F.lit(1).alias("n")))
     )
     pos = W.orderBy(F.col("n_tri").desc(), F.col("p").asc())
     return (
         verts.groupBy("p")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+        .agg(F.sum("n").cast("bigint").alias("n_tri"))
         .select(
             F.col("p").alias("partkey"),
             "n_tri",
