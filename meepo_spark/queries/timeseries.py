@@ -802,3 +802,70 @@ def e6_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@register(
+    "t14_sliding_distinct",
+    oracle="""
+    WITH hu AS (SELECT date_trunc('hour', ts) AS h, user_id,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+         hours AS (SELECT DISTINCT h FROM hu),
+         j AS (SELECT t.h AS th, hu.user_id, hu.n
+               FROM hours t JOIN hu
+                 ON hu.h BETWEEN t.h - INTERVAL 23 HOUR AND t.h)
+    SELECT STRFTIME(th, '%Y-%m-%d %H:00') AS hr,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_24h,
+           CAST(SUM(n) AS BIGINT) AS events_24h
+    FROM j GROUP BY th ORDER BY hr
+    """,
+)
+def t14_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: trailing-24-hour rolling DISTINCT users (and event count)
+    per hour — the classic non-decomposable sliding aggregate. A
+    distinct count cannot be composed from per-hour partials the way
+    a SUM can, so `COUNT(DISTINCT) OVER (RANGE ...)` does not exist
+    in either engine, and the naive fix is a range self-join
+    (hours x activity — the oracle's quadratic formulation).
+
+    The engine plan is WINDOW REPLICATION: reduce the fact to
+    (hour, user, n) — one hash agg, the only pass over the fact —
+    then explode each row to the <= 24 target hours it contributes
+    to and re-aggregate with countDistinct + sum in one grouped
+    pass. Cost is bounded at (window/slide) x |hourly actives|,
+    linear in the data and independent of the raw event volume; the
+    same shape serves any sliding window whose slide divides its
+    width (cf. the t3 sliding window on the streaming side). The
+    decomposable events_24h rides along in the same aggregate,
+    contrasting the two aggregate classes (the t9 theme).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    hu = ev.groupBy("h", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    tgt = hu.select(
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 23 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("th"),
+        "user_id",
+        "n",
+    )
+    spine = hu.select("h").distinct().withColumnRenamed("h", "th")
+    return (
+        tgt.join(spine, "th")
+        .groupBy("th")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("active_24h"),
+            F.sum("n").cast("bigint").alias("events_24h"),
+        )
+        .select(
+            F.date_format("th", "yyyy-MM-dd HH:00").alias("hr"),
+            "active_24h",
+            "events_24h",
+        )
+        .orderBy("hr")
+    )
