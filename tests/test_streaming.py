@@ -605,3 +605,70 @@ def test_a17_streaming_ivm_merge_equals_recompute(spark, events, tmp_path):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in expect.collect()}
     assert got == want
+
+
+def test_t14_sliding_distinct_streams_exactly(spark, events, tmp_path):
+    """T14\'s rolling-24h EXACT distinct is streamable: the sliding
+    window(24h, 1h) replicates each event into its <= 24 windows,
+    dropDuplicates([w, user_id]) dedups per window, and a windowed
+    count emits the exact distinct — two CHAINED stateful operators
+    (dedup -> agg), the Spark-3.4+ multi-stateful pipeline, driven to
+    completion under availableNow. Every hour the batch t14 query
+    reports whose full trailing window lies inside the replay must be
+    reproduced exactly by the stream (window [start, start+24h)
+    relabeled by its inclusive last hour, start+23h).
+
+    Trap this test documents: do NOT filter the flush sentinel before
+    the aggregation — Catalyst pushes a deterministic filter BELOW the
+    EventTimeWatermark node, so the sentinel row is dropped before it
+    can advance the watermark and the tail windows never emit. The
+    sentinel must flow through the pipeline and be excluded from the
+    comparison instead (its windows sit 30 days past the data)."""
+    import datetime
+
+    from conftest import SF_DIR
+    from meepo_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    src = str(tmp_path / "t14_src")
+    replay_as_files(events, src, n_chunks=4)
+
+    def sliding_distinct(s):
+        return (
+            s.withWatermark("ts", "1 minute")
+            .select(F.window("ts", "24 hours", "1 hour").alias("w"), "user_id")
+            .dropDuplicates(["w", "user_id"])
+            .groupBy("w")
+            .count()
+        )
+
+    streamed = run_streaming(
+        spark, src, sliding_distinct, str(tmp_path / "ck_t14")
+    )
+    got_by_hr = {
+        (r["w"]["start"] + datetime.timedelta(hours=23)).strftime(
+            "%Y-%m-%d %H:00"
+        ): r["count"]
+        for r in streamed.collect()
+    }
+    assert got_by_hr, "stream emitted nothing"
+
+    batch = QUERIES["t14_sliding_distinct"](spark, SF_DIR)
+    lo, hi = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo_hr = lo.replace(minute=0, second=0, microsecond=0)
+    hi_hr = hi.replace(minute=0, second=0, microsecond=0)
+    checked = 0
+    for r in batch.collect():
+        hr_ts = datetime.datetime.strptime(r["hr"], "%Y-%m-%d %H:00")
+        # only hours whose full 24h trailing window lies inside the
+        # replay (earlier hours see partial data on the batch side too,
+        # but the stream never saw pre-replay events)
+        if hr_ts - datetime.timedelta(hours=23) < lo_hr or hr_ts > hi_hr:
+            continue
+        assert got_by_hr.get(r["hr"]) == r["active_24h"], (
+            "hour %s: stream=%s batch=%s"
+            % (r["hr"], got_by_hr.get(r["hr"]), r["active_24h"])
+        )
+        checked += 1
+    assert checked > 10, "only %d fully-covered hours compared" % checked
