@@ -518,3 +518,115 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "l3k_ivf_seeded_topk",
+    # IVF with a FIXED seed quantizer (16 lowest-id vectors as cell
+    # centroids) is exactly SQL-expressible: assignment and probe
+    # selection are argmins over k centroids, the cell-pruned search
+    # is an equi-join. Completes the ANN family's oracle coverage:
+    # the trained-quantizer variants (l3d IVF, l3i PQ) stay rows-only
+    # because Lloyd-trained codebooks are not SQL-reproducible, but
+    # the IVF *mechanism* is verified bit-for-bit here.
+    oracle="""
+    WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM pts WHERE vec_id < 16),
+         assign AS (SELECT vec_id, cid AS cell FROM (
+                      SELECT p.vec_id, c.cid,
+                             ROW_NUMBER() OVER (
+                               PARTITION BY p.vec_id
+                               ORDER BY list_distance(p.v, c.cv), c.cid)
+                               AS rn
+                      FROM pts p CROSS JOIN cent c) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM pts
+               WHERE vec_id BETWEEN 30 AND 39),
+         probes AS (SELECT q_id, cid AS cell FROM (
+                      SELECT q.q_id, c.cid,
+                             ROW_NUMBER() OVER (
+                               PARTITION BY q.q_id
+                               ORDER BY list_distance(q.qv, c.cv), c.cid)
+                               AS rn
+                      FROM q CROSS JOIN cent c) WHERE rn <= 2),
+         cand AS (SELECT pr.q_id, a.vec_id AS c_id
+                  FROM probes pr JOIN assign a ON a.cell = pr.cell
+                  WHERE a.vec_id <> pr.q_id),
+         scored AS (SELECT cand.q_id, cand.c_id,
+                           list_dot_product(q.qv, p.v) AS dot
+                    FROM cand
+                    JOIN q ON q.q_id = cand.q_id
+                    JOIN pts p ON p.vec_id = cand.c_id)
+    SELECT q_id, c_id, ROUND(dot, 6) AS dot_r,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT q_id, c_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY dot DESC, c_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3k: IVF (inverted-file) ANN with a fixed seed quantizer,
+    oracle-checked end to end — corpus vectors are assigned to the
+    nearest of 16 seed cells, each of 10 query vectors probes its 2
+    nearest cells, and the exact dot-product top-5 is computed over
+    the probed cells only (~1/8 of the corpus touched per query:
+    IVF's cost/recall dial made graded and reproducible).
+
+    Scale shape: assignment is one broadcast(k x dim) + codegen-fold
+    pass over the corpus (the l3j kernel); the probe table is
+    queries x nprobe rows and broadcasts; the search is an equi-join
+    on cell — the scan prunes to probed cells instead of the full
+    corpus, which is the entire point of IVF. All floating math is
+    sequential float64 folds, bit-matching DuckDB's list functions
+    (the l3/l3h convention)."""
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def sqd(vc, cc):
+        return F.aggregate(
+            F.zip_with(vc, cc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    aw = Window.partitionBy("vec_id").orderBy("sqd", "cid")
+    assign = (
+        pts.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", sqd(F.col("v"), F.col("cv")).alias("sqd"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    q = pts.filter(F.col("vec_id").between(30, 39)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pw = Window.partitionBy("q_id").orderBy("sqd", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "qv", "cid", sqd(F.col("qv"), F.col("cv")).alias("sqd"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "qv", F.col("cid").alias("cell"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    return (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("dot"))
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", F.round("dot", 6).alias("dot_r"), "rank")
+        .orderBy("q_id", "rank")
+    )
