@@ -7,6 +7,14 @@ Spark's own ``_SUCCESS`` marker), then reads it back with an
 inference pass is a full extra scan, and on streaming sources it is
 impossible. The oracle reads the original parquet view, so the check
 proves the text roundtrip is lossless under the declared schema.
+
+Format coverage note: parquet (catalog), csv, json here, ORC in
+tests/test_sources, text loglines (s8), and a custom Python
+DataSource (s7). Avro is NOT exercised: spark-avro is an external
+module since Spark 2.4 and this container has no network to fetch it
+(verified: ``format("avro")`` raises "Failed to find data source").
+The csv/json pattern above (explicit schema, lossless-roundtrip
+oracle) transfers to it unchanged once the jar is on the classpath.
 """
 
 from __future__ import annotations
