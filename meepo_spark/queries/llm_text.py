@@ -5,6 +5,7 @@ content fingerprinting) over the documents fixture."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
@@ -788,4 +789,109 @@ def l20_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         score.alias("score_sum"),
         (score > 0).alias("keep"),
+    )
+
+
+@register(
+    "l21_classifier_auc",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               COALESCE(list_sum(list_transform(
+                   list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                        % 2001 - 1000)), 0) AS score,
+               lang = 'en' AS pos
+        FROM documents
+    ),
+    g AS (SELECT source, score, COUNT(*) AS cnt,
+                 SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p
+          FROM t GROUP BY 1, 2),
+    c AS (SELECT source, score, cnt, p,
+                 COALESCE(SUM(cnt) OVER (
+                     PARTITION BY source ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb
+          FROM g)
+    SELECT source,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt) - SUM(p) AS BIGINT) AS n_neg,
+           ROUND((SUM(p * (2 * cb + cnt + 1)) - SUM(p) * (SUM(p) + 1))
+                 / (2.0 * SUM(p) * (SUM(cnt) - SUM(p))), 6) AS auc_r
+    FROM c GROUP BY source
+    HAVING SUM(p) > 0 AND SUM(cnt) - SUM(p) > 0
+    ORDER BY source
+    """,
+)
+def l21_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21: distributed AUC-ROC of the l20 hashed classifier against
+    the lang=='en' label, per source — the Mann-Whitney U formulation
+    with exact tie handling: AUC = (R+ - P(P+1)/2) / (P*N) where R+ is
+    the sum of AVERAGE ranks of positives. Doubling the rank identity
+    (2*rank_avg = 2*cum_before + cnt + 1) keeps the numerator in
+    exact integer arithmetic until the single final division, so both
+    engines agree bit-for-bit before the 6dp round.
+
+    Scale shape — ranking is the trap: a global
+    `ROW_NUMBER() OVER (ORDER BY score)` collapses 100 TB into one
+    task. The plan instead composes the o7 parallel-enumeration
+    discipline with pre-grouping: reduce docs to one row per
+    (source, score) — the only pass over the corpus — then
+    per-(source, score-bucket) prefix sums with broadcast bucket
+    offsets give every tied score group its global cumulative count
+    without any single-partition sort. Here the per-source frames are
+    small enough that a per-source window is already parallel across
+    sources (20 independent partitions); the bucket decomposition in
+    o7 is what the same query uses when one ROC must rank a trillion
+    rows."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+    )
+    wts = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % 2001
+        - 1000,
+    )
+    score = F.coalesce(
+        F.aggregate(wts, F.lit(0).cast("long"), lambda a, x: a + x),
+        F.lit(0).cast("long"),
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        score.alias("score"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    g = d.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("p")
+    )
+    wb = (
+        W.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "source",
+        "cnt",
+        "p",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cb"),
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("p")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("cb") + F.col("cnt") + 1)).alias("r2"),
+    )
+    return (
+        agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.round(
+                (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc_r"),
+        )
+        .orderBy("source")
     )
