@@ -216,24 +216,14 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
     ).select("l_orderkey", "l_partkey")
+    from meepo_spark.operators.dedup import ordered_pairs
+
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    idx = F.sequence(F.lit(0), F.size("ps") - 2)
-    pair_arr = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size("ps")),
-                lambda q: F.struct(
-                    F.element_at("ps", i + 1).alias("a"), q.alias("b")
-                ),
-            ),
-        )
+        F.collect_set("l_partkey").alias("ps")
     )
     e0 = (
         baskets.where(F.size("ps") >= 2)
-        .select(F.explode(pair_arr).alias("e"))
+        .select(F.explode(ordered_pairs(F.col("ps"))).alias("e"))
         .select("e.a", "e.b")
         .distinct()
         .localCheckpoint()  # reused by deg, orientation, and the edge stream
