@@ -24,6 +24,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as a sequential float64 fold —
+    bit-matches DuckDB's list_distance² (modulo its sqrt roundtrip),
+    the property the k-means/IVF oracles (l3g/l3j/l3k) rely on."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)

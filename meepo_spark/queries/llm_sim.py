@@ -492,6 +492,8 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the Arrow-matmul path in operators/clustering.py but
     in pure codegen (no Python), which is the right trade at k = 8.
     """
+    from meepo_spark.functions.vectors import sq_dist
+
     emb = table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",
@@ -500,12 +502,9 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = pts.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    sqd = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    d = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", sq_dist(F.col("v"), F.col("cv")).alias("sqd")
     )
-    d = pts.crossJoin(F.broadcast(cent)).select("vec_id", "cid", sqd.alias("sqd"))
     w = Window.partitionBy("vec_id").orderBy("sqd", "cid")
     best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
@@ -589,17 +588,13 @@ def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
 
-    def sqd(vc, cc):
-        return F.aggregate(
-            F.zip_with(vc, cc, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    from meepo_spark.functions.vectors import dot as vdot
+    from meepo_spark.functions.vectors import sq_dist
 
     aw = Window.partitionBy("vec_id").orderBy("sqd", "cid")
     assign = (
         pts.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", sqd(F.col("v"), F.col("cv")).alias("sqd"))
+        .select("vec_id", "v", "cid", sq_dist(F.col("v"), F.col("cv")).alias("sqd"))
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("cid").alias("cell"))
@@ -610,21 +605,20 @@ def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = Window.partitionBy("q_id").orderBy("sqd", "cid")
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select("q_id", "qv", "cid", sqd(F.col("qv"), F.col("cv")).alias("sqd"))
+        .select("q_id", "qv", "cid", sq_dist(F.col("qv"), F.col("cv")).alias("sqd"))
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= 2)
         .select("q_id", "qv", F.col("cid").alias("cell"))
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
     rw = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
     return (
         assign.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("dot"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            vdot(F.col("qv"), F.col("v")).alias("dot"),
+        )
         .withColumn("rank", F.row_number().over(rw).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("q_id", "c_id", F.round("dot", 6).alias("dot_r"), "rank")
