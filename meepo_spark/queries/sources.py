@@ -8,9 +8,9 @@ inference pass is a full extra scan, and on streaming sources it is
 impossible. The oracle reads the original parquet view, so the check
 proves the text roundtrip is lossless under the declared schema.
 
-Format coverage note: parquet (catalog), csv, json here, ORC in
-tests/test_sources, text loglines (s8), and a custom Python
-DataSource (s7). Avro is NOT exercised: spark-avro is an external
+Format coverage note: parquet (catalog), csv, json here, XML (s9 —
+Spark 4's native reader), ORC in tests/test_sources, text loglines
+(s8), and a custom Python DataSource (s7). Avro is NOT exercised: spark-avro is an external
 module since Spark 2.4 and this container has no network to fetch it
 (verified: ``format("avro")`` raises "Failed to find data source").
 The csv/json pattern above (explicit schema, lossless-roundtrip
@@ -218,4 +218,67 @@ def s8_text_logline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("cents").cast("double") / 100.0, 2).alias("total_value"),
+    )
+
+
+SUPPLIER_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.LongType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "s9_xml_scan",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal,
+           MIN(s_name) AS first_name
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def s9_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: XML source — Spark 4's native XML reader (the spark-xml
+    package folded into core), same discipline as s2: materialize the
+    supplier table as XML once, read it back with an EXPLICIT schema
+    and an explicit rowTag, aggregate; the oracle reads the original
+    parquet, so the hash match proves the XML roundtrip is lossless
+    under the declared schema (Java's shortest-roundtrip double
+    formatting makes s_acctbal exact). Schema inference is banned for
+    the same reason as csv/json: on 100 TB it is a full extra scan.
+    """
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), "supplier_xml"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            sup.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .save(out)
+        )
+    back = (
+        spark.read.schema(SUPPLIER_XML_SCHEMA)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
     )
