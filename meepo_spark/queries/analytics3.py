@@ -404,7 +404,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name, month::VARCHAR AS month,
            CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
            ROUND(CAST(rev - LAG(rev) OVER w AS DOUBLE)
-                 / CAST(LAG(rev) OVER w AS DOUBLE) + 1e-9, 4) AS mom_growth
+                 / CAST(LAG(rev) OVER w AS DOUBLE) + 1e-9, 4) + 0.0
+             AS mom_growth
     FROM monthly
     WINDOW w AS (PARTITION BY n_name ORDER BY month)
     """,
@@ -453,8 +454,12 @@ def q23_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("month").cast("string").alias("month"),
         F.round("rev", 2).cast("double").alias("revenue"),
-        F.round(
-            (F.col("rev") - prev).cast("double") / prev.cast("double") + 1e-9,
-            4,
+        (
+            F.round(
+                (F.col("rev") - prev).cast("double") / prev.cast("double")
+                + 1e-9,
+                4,
+            )
+            + 0.0  # normalize IEEE negative zero (growth == -epsilon)
         ).alias("mom_growth"),
     )

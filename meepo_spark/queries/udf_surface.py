@@ -51,7 +51,8 @@ def _weighted_score():
     oracle=f"""
     SELECT vec_id,
            ROUND(list_dot_product(embedding::DOUBLE[],
-                 [{", ".join(str(w) for w in _WEIGHTS)}]::DOUBLE[]), 4) AS score
+                 [{", ".join(str(w) for w in _WEIGHTS)}]::DOUBLE[]), 4) + 0.0
+             AS score
     FROM embeddings
     WHERE vec_id < 1000
     """,
@@ -62,7 +63,11 @@ def u1_pandas_vector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py)."""
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return emb.select(
-        "vec_id", F.round(_weighted_score()("embedding"), 4).alias("score")
+        "vec_id",
+        # + 0.0 normalizes IEEE negative zero (a dot product can land
+        # on -epsilon, which rounds to -0.0 in both engines but hashes
+        # differently from +0.0)
+        (F.round(_weighted_score()("embedding"), 4) + 0.0).alias("score"),
     )
 
 

@@ -141,45 +141,63 @@ def g3_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g3b_hll_merge",
     oracle="""
-    SELECT lang, TRUE AS merge_matches_direct, TRUE AS within_10pct
+    SELECT lang, TRUE AS merge_consistent_2pct, TRUE AS within_10pct
     FROM documents
     GROUP BY lang
     """,
 )
 def g3b_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: MERGEABLE distinct-count sketches (datasketches HLL) — the
-    100 TB rollup pattern: sketch each (lang, source) shard once,
-    store the binary sketch, union sketches later without rescanning
-    the data. The graded check asserts two properties per lang group
-    (oracle emits the expected TRUE pair): the shard-merged estimate
-    EQUALS the single-pass estimate bit-for-bit (HLL union is a
-    register-wise max — associative, partition-order-invariant), and
-    it lands within 10% of the exact distinct count.
+    100 TB rollup pattern: sketch each shard once, store the binary
+    sketch, union sketches later without rescanning the data. The
+    graded check asserts two properties per lang group (oracle emits
+    the expected TRUE pair):
+
+      * MERGE CONSISTENCY: unioning per-(lang, source) sketches and
+        unioning per-(lang, hash-bucket) sketches — two different
+        shardings of the same rows — agree within 2% relative. NOT
+        asserted bit-equal, and measured not to be: datasketches HLL
+        shards below ~k distincts stay in sparse (exact-coupon) mode
+        while bigger shards densify, so different groupings cross the
+        mode boundary differently and the estimates drift by a
+        fraction of the sketch's own error (max 0.9% measured at
+        sf0.1, 0% at sf0.01 where everything stays sparse). The
+        practical rollup contract is agreement within sketch error,
+        and that is what is graded.
+      * the merged estimate lands within 10% of the exact distinct.
 
     Same two-level shuffle as a partial+final aggregate, except the
     partial state is a fixed-size sketch (2^12 registers) instead of
     a distinct-values hash set — shuffle bytes are O(shards), not
     O(distincts)."""
     d = table(spark, sf_dir, "documents")
-    per_shard = d.groupBy("lang", "source").agg(
-        F.hll_sketch_agg(F.col("text"), F.lit(12)).alias("sk")
+    merged_a = (
+        d.groupBy("lang", "source")
+        .agg(F.hll_sketch_agg(F.col("text"), F.lit(12)).alias("sk"))
+        .groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_a"))
     )
-    merged = per_shard.groupBy("lang").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    merged_b = (
+        d.groupBy("lang", (F.abs(F.hash("doc_id")) % 7).alias("bucket"))
+        .agg(F.hll_sketch_agg(F.col("text"), F.lit(12)).alias("sk"))
+        .groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_b"))
     )
-    direct = d.groupBy("lang").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("text"), F.lit(12))).alias(
-            "direct_est"
-        ),
-        F.countDistinct("text").alias("exact"),
-    )
-    return merged.join(direct, "lang").select(
-        "lang",
-        (F.col("merged_est") == F.col("direct_est")).alias("merge_matches_direct"),
-        (
-            (F.col("merged_est") >= F.col("exact") * 0.9)
-            & (F.col("merged_est") <= F.col("exact") * 1.1)
-        ).alias("within_10pct"),
+    exact = d.groupBy("lang").agg(F.countDistinct("text").alias("exact"))
+    return (
+        merged_a.join(merged_b, "lang")
+        .join(exact, "lang")
+        .select(
+            "lang",
+            (
+                F.abs(F.col("est_a") - F.col("est_b"))
+                <= F.col("exact") * 0.02
+            ).alias("merge_consistent_2pct"),
+            (
+                (F.col("est_a") >= F.col("exact") * 0.9)
+                & (F.col("est_a") <= F.col("exact") * 1.1)
+            ).alias("within_10pct"),
+        )
     )
 
 
@@ -372,7 +390,8 @@ def g4c_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS v_7d,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
     """,
 )
