@@ -888,17 +888,49 @@ def l17_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs must decorrelate. Graded output: each epoch's first five
     scheduled docs.
 
-    Scale shape: the permutation is sort-by-hash — distributed
-    range-partitioned sort, no driver-side shuffle state; in
-    production the sort feeds directly into packed-sequence writing
-    (l8) and the hash doubles as the shard assignment."""
+    Scale shape (r3, per VERDICT r2 #1): the o7 bucketed-enumeration
+    discipline replaces the per-epoch window — hash-prefix buckets
+    (256/epoch), per-bucket counts -> broadcast running offsets ->
+    within-bucket row_number + offset. Each WindowExec partition holds
+    ~N/256 rows (and only off<5 buckets reach it for the graded top-5),
+    vs the old plan's whole-corpus-per-epoch single task. The hash
+    doubles as the shard assignment for packed-sequence writing (l8)."""
     d = table(spark, sf_dir, "documents")
     epochs = spark.range(3).select(F.col("id").alias("epoch"))
-    sched = d.select("doc_id").crossJoin(F.broadcast(epochs))
-    h = F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
-    w = W.partitionBy("epoch").orderBy(h.asc(), F.col("doc_id").asc())
+    sched = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))).alias("__h"),
+    )
+    # Bucket = first 2 hex chars of the hash (256 buckets/epoch). md5 is
+    # lowercase hex, so lexicographic order of the full hash refines the
+    # prefix order: bucket boundaries are consistent with the sort key,
+    # and the bucket is an EXPRESSION of the key (the o7 rule — never a
+    # physical partition id). At 100 TB widen the prefix (3 chars = 4096
+    # buckets); offsets stay a tiny broadcast either way.
+    b = sched.withColumn("__b", F.substring("__h", 1, 2))
+    counts = b.groupBy("epoch", "__b").agg(F.count("*").alias("__n"))
+    off_w = (
+        W.partitionBy("epoch").orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch", "__b",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    # pos = within-bucket rank + bucket offset; pos<=5 needs off<5, so
+    # only ~1 bucket per epoch ever reaches the window — the WindowExec
+    # partition holds N/256 rows, not N.
+    rn_w = W.partitionBy("epoch", "__b").orderBy(
+        F.col("__h").asc(), F.col("doc_id").asc()
+    )
     return (
-        sched.select("epoch", "doc_id", F.row_number().over(w).cast("long").alias("pos"))
+        b.join(F.broadcast(offsets), ["epoch", "__b"])
+        .filter(F.col("__off") < 5)
+        .select(
+            "epoch", "doc_id",
+            (F.row_number().over(rn_w) + F.col("__off")).cast("long").alias("pos"),
+        )
         .filter(F.col("pos") <= 5)
         .select("epoch", "pos", "doc_id")
     )

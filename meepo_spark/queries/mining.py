@@ -210,14 +210,17 @@ def m3_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend), reported as segment sizes and average spend. The standard
     CRM / marketing-audience cut of a customer base.
 
-    Scale shape: the fact scan reduces to ONE row per customer before
-    any window runs; the three NTILEs then rank the customer
-    *aggregate* (|customers| rows, not |orders|). NTILE over an
-    unpartitioned window is a single-partition sort of that small
-    aggregate — acceptable because it is the segmentation contract
-    (global quartiles); ties break on custkey so both engines cut
-    identical quartile boundaries. Monetary sums stay DECIMAL until
-    the final rounded ratio."""
+    Scale shape (r3, per VERDICT r2 #3): the fact scan reduces to ONE
+    row per customer, then each NTILE becomes an o7 bucketed global
+    rank — equal-width buckets over a numeric key monotone with the
+    sort order, per-bucket counts -> broadcast running offsets ->
+    per-bucket row_number + offset — and NTILE(4) is recovered as a
+    pure function of (global rank, N): the first N%4 tiles take
+    ceil(N/4) rows, the rest floor(N/4). No unpartitioned window ever
+    sees |customers| rows; the only global structures are the 32-entry
+    offset vectors and the 1-row (lo, hi, N) aggregate. Ties break on
+    custkey so both engines cut identical quartile boundaries.
+    Monetary sums stay DECIMAL until the final rounded ratio."""
     cm = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -229,18 +232,52 @@ def m3_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = cm.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4)
-        .over(W.orderBy(F.col("last_day").desc(), "o_custkey"))
-        .alias("r"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("freq").desc(), "o_custkey"))
-        .alias("f"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m"),
+
+    def _ntile4(df: DataFrame, key_asc, order_cols, out: str) -> DataFrame:
+        """NTILE(4) OVER (ORDER BY order_cols) without the global sort.
+
+        ``key_asc`` is a numeric expression ascending-monotone with the
+        ordering's primary key (ties land in the same bucket, so any
+        monotone non-decreasing map — including a lossy double cast —
+        keeps bucket boundaries consistent with the sort)."""
+        k = key_asc.cast("double")
+        rng = df.agg(
+            F.min(k).alias("__lo"), F.max(k).alias("__hi"),
+            F.count(F.lit(1)).alias("__N"),
+        )
+        width = (F.col("__hi") - F.col("__lo")) / 32 + F.lit(1e-12)
+        p = df.crossJoin(F.broadcast(rng)).withColumn(
+            "__pid", F.least(F.floor((k - F.col("__lo")) / width), F.lit(31))
+        )
+        counts = p.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+        offsets = counts.select(
+            "__pid",
+            F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+        )
+        rn_w = W.partitionBy("__pid").orderBy(*order_cols)
+        ranked = p.join(F.broadcast(offsets), "__pid").withColumn(
+            "__rn", F.row_number().over(rn_w) + F.col("__off")
+        )
+        q, r = F.floor(F.col("__N") / 4), F.col("__N") % 4
+        big = r * (q + 1)  # rows covered by the r larger tiles
+        tile = F.when(
+            F.col("__rn") <= big, F.floor((F.col("__rn") - 1) / (q + 1)) + 1
+        ).otherwise(r + F.floor((F.col("__rn") - big - 1) / q) + 1)
+        return ranked.withColumn(out, tile.cast("int")).drop(
+            "__pid", "__off", "__rn", "__lo", "__hi", "__N"
+        )
+
+    scored = _ntile4(
+        cm, -F.datediff("last_day", F.lit("1970-01-01")),
+        [F.col("last_day").desc(), F.col("o_custkey")], "r",
+    )
+    scored = _ntile4(
+        scored, -F.col("freq"), [F.col("freq").desc(), F.col("o_custkey")], "f"
+    )
+    scored = _ntile4(
+        scored, -F.col("monetary"),
+        [F.col("monetary").desc(), F.col("o_custkey")], "m",
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -497,24 +497,46 @@ def e3_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (time, delta) so a session ending at instant T closes before one
     opening at T (half-open [t0, t1) intervals), running-sum, max.
 
-    Scale shape: the union doubles the row count map-side (no
-    shuffle); the one shuffle is the per-event_type window sort —
-    keyed, so it spreads across the cluster, and each partition's
-    running sum is a single sequential pass. This is the standard
-    O(n log n) answer to interval-overlap questions that a naive
-    self-join would make O(n^2)."""
+    Scale shape (r3, per VERDICT r2 #4): event_type has ~5 values, so
+    a window partitioned only by type is a near-global sort in
+    disguise. The two-level composition: (1) per-(type, hour-bucket)
+    delta sums — a tiny aggregate, |types| x |hours| rows; (2) running
+    offsets per type over those buckets (bounded window over the tiny
+    frame); (3) broadcast the offsets back and run the within-bucket
+    running sum — each WindowExec partition is one (type, hour), so
+    partition count scales with the time span, not the type
+    cardinality. Offsets make the within-bucket prefix sums exactly
+    the global ones. Still the O(n log n) sweep-line answer to
+    interval overlap that a self-join would make O(n^2)."""
     e = table(spark, sf_dir, "events")
     sess = e.select("event_type", F.col("ts").alias("t0"),
                     (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"))
     deltas = sess.select("event_type", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionByName(
         sess.select("event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
     )
-    w = (
-        W.partitionBy("event_type")
+    # Bucket = hour(t): an expression of the sort key (o7 rule), monotone
+    # with t, so per-bucket order + cross-bucket offsets = global order.
+    b = deltas.withColumn("__b", F.date_trunc("hour", F.col("t")))
+    counts = b.groupBy("event_type", "__b").agg(
+        F.sum("delta").alias("__bsum"), F.count(F.lit(1)).alias("__bn")
+    )
+    off_w = (
+        W.partitionBy("event_type").orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "event_type", "__b",
+        F.coalesce(F.sum("__bsum").over(off_w), F.lit(0)).alias("__off"),
+    )
+    in_w = (
+        W.partitionBy("event_type", "__b")
         .orderBy(F.col("t").asc(), F.col("delta").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    running = deltas.select("event_type", F.sum("delta").over(w).alias("live"))
+    running = b.join(F.broadcast(offsets), ["event_type", "__b"]).select(
+        "event_type",
+        (F.sum("delta").over(in_w) + F.col("__off")).alias("live"),
+    )
     return running.groupBy("event_type").agg(
         F.max("live").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
