@@ -206,12 +206,14 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         per-vertex neighbour lists are bounded no matter how skewed
         the raw degree distribution is;
       * EDGE-CENTRIC INTERSECTION: each triangle is counted exactly
-        once at its base edge as |N+(u) /\\ N+(v)| — the bounded
-        out-adjacency table broadcasts (|V| rows, lists <= sqrt(2m)),
-        and the intersection runs map-side over the edge stream.
-        The m^1.5 wedge set is never materialized or shuffled; when
-        |adj| outgrows the broadcast budget the same plan degrades to
-        a shuffled hash join on src, wedge-free either way.
+        once at its base edge as |N+(u) /\\ N+(v)| — the out-adjacency
+        joins carry NO broadcast hint (ADVICE r2: a hint is honored
+        regardless of size, which at 100 TB is a driver OOM, not a
+        degradation), so AQE broadcasts |adj| while it fits and
+        switches to a shuffled hash join on src/dst when it doesn't —
+        wedge-free either way. Only the per-vertex degree table, a
+        dimension-bounded long per vertex, keeps its explicit hint.
+        The m^1.5 wedge set is never materialized or shuffled.
     """
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
@@ -255,11 +257,11 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = ed.groupBy("src").agg(F.collect_list("dst").alias("nb"))
     base = (
         ed.join(
-            F.broadcast(adj.select(F.col("src").alias("u_"), F.col("nb").alias("nu"))),
+            adj.select(F.col("src").alias("u_"), F.col("nb").alias("nu")),
             F.col("src") == F.col("u_"),
         )
         .join(
-            F.broadcast(adj.select(F.col("src").alias("v_"), F.col("nb").alias("nv"))),
+            adj.select(F.col("src").alias("v_"), F.col("nb").alias("nv")),
             F.col("dst") == F.col("v_"),
         )
         .select("src", "dst", F.array_intersect("nu", "nv").alias("ws"))

@@ -294,7 +294,7 @@ def l3f_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SELECT p.id, c.cid,
                          ROW_NUMBER() OVER (
                            PARTITION BY p.id
-                           ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+                           ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
                   FROM pts p CROSS JOIN c0 c) WHERE rn = 1),
          m1 AS (SELECT a0.cluster AS cid, t.i, AVG(p.v[t.i + 1]) AS m
                 FROM a0 JOIN pts p USING (id) CROSS JOIN range(64) t(i)
@@ -307,7 +307,7 @@ def l3f_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SELECT p.id, c.cid,
                          ROW_NUMBER() OVER (
                            PARTITION BY p.id
-                           ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+                           ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
                   FROM pts p CROSS JOIN c1 c) WHERE rn = 1),
          m2 AS (SELECT a1.cluster AS cid, t.i, AVG(p.v[t.i + 1]) AS m
                 FROM a1 JOIN pts p USING (id) CROSS JOIN range(64) t(i)
@@ -320,7 +320,7 @@ def l3f_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SELECT p.id, c.cid,
                          ROW_NUMBER() OVER (
                            PARTITION BY p.id
-                           ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+                           ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
                   FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
          tot AS (SELECT COUNT(*) AS n FROM pts)
     SELECT cluster,
@@ -457,23 +457,34 @@ def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l3j_kmeans_assign",
+    # sqd is the exact per-dim squared-diff fold (bit-matches the
+    # engine's sq_dist; POWER(list_distance,2) is off by an ulp — the
+    # ADVICE r2 sqrt-roundtrip trap). farthest_id ties break to the
+    # LOWEST vec_id via an explicit max-join, mirrored engine-side.
     oracle="""
     WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cid, v AS cv FROM pts WHERE vec_id < 8),
          d AS (SELECT p.vec_id, c.cid,
-                      POWER(list_distance(p.v, c.cv), 2) AS sqd
+                      list_sum(list_transform(list_zip(p.v, c.cv),
+                               x -> (x[1]-x[2])*(x[1]-x[2]))) AS sqd
                FROM pts p CROSS JOIN cent c),
          best AS (SELECT vec_id, cid, sqd,
                          ROW_NUMBER() OVER (PARTITION BY vec_id
                                             ORDER BY sqd, cid) AS rn
-                  FROM d)
-    SELECT cid AS cluster,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           ROUND(AVG(sqd), 6) AS avg_sqdist,
-           ROUND(MAX(sqd), 6) AS max_sqdist,
-           ARG_MAX(vec_id, sqd) AS farthest_id
-    FROM best WHERE rn = 1
-    GROUP BY cid ORDER BY cluster
+                  FROM d),
+         agg AS (SELECT cid AS cluster,
+                        CAST(COUNT(*) AS BIGINT) AS n_members,
+                        ROUND(AVG(sqd), 6) AS avg_sqdist,
+                        ROUND(MAX(sqd), 6) AS max_sqdist,
+                        MAX(sqd) AS mx
+                 FROM best WHERE rn = 1 GROUP BY cid),
+         far AS (SELECT b.cid AS cluster, MIN(b.vec_id) AS farthest_id
+                 FROM best b JOIN agg ON agg.cluster = b.cid
+                                     AND b.sqd = agg.mx
+                 WHERE b.rn = 1 GROUP BY b.cid)
+    SELECT a.cluster, a.n_members, a.avg_sqdist, a.max_sqdist,
+           f.farthest_id
+    FROM agg a JOIN far f USING (cluster) ORDER BY cluster
     """,
 )
 def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,14 +518,26 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy("sqd", "cid")
     best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return (
-        best.groupBy(F.col("cid").alias("cluster"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.round(F.avg("sqd"), 6).alias("avg_sqdist"),
-            F.round(F.max("sqd"), 6).alias("max_sqdist"),
-            F.max_by("vec_id", F.col("sqd")).alias("farthest_id"),
+    # farthest_id ties (duplicate embeddings exist by fixture design)
+    # break to the LOWEST vec_id: join back on sqd == per-cluster max
+    # (bit-exact doubles on both engines) and take MIN(vec_id).
+    agg = best.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.avg("sqd"), 6).alias("avg_sqdist"),
+        F.round(F.max("sqd"), 6).alias("max_sqdist"),
+        F.max("sqd").alias("__mx"),
+    )
+    far = (
+        best.join(
+            F.broadcast(agg.select("cluster", "__mx")),
+            (best["cid"] == F.col("cluster")) & (best["sqd"] == F.col("__mx")),
         )
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("farthest_id"))
+    )
+    return (
+        agg.drop("__mx")
+        .join(F.broadcast(far), "cluster")
         .orderBy("cluster")
     )
 
@@ -535,7 +558,7 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                       SELECT p.vec_id, c.cid,
                              ROW_NUMBER() OVER (
                                PARTITION BY p.vec_id
-                               ORDER BY list_distance(p.v, c.cv), c.cid)
+                               ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid)
                                AS rn
                       FROM pts p CROSS JOIN cent c) WHERE rn = 1),
          q AS (SELECT vec_id AS q_id, v AS qv FROM pts
@@ -544,7 +567,7 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                       SELECT q.q_id, c.cid,
                              ROW_NUMBER() OVER (
                                PARTITION BY q.q_id
-                               ORDER BY list_distance(q.qv, c.cv), c.cid)
+                               ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid)
                                AS rn
                       FROM q CROSS JOIN cent c) WHERE rn <= 2),
          cand AS (SELECT pr.q_id, a.vec_id AS c_id
