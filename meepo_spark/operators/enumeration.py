@@ -1,0 +1,72 @@
+"""Distributed row enumeration — global (or per-group) ``row_number``
+without the single-task sort.
+
+``row_number() OVER (ORDER BY ...)`` with no partition — or partitioned
+by a tiny-cardinality key — collapses the input into one WindowExec
+task per key: the canonical Spark scale trap (VERDICT r2 #1–#4). The
+fix used across the registry (o7, m3, v11, l17, e3, a8, o6) is the
+bucketed enumeration discipline:
+
+  1. assign each row a deterministic bucket that is an EXPRESSION of
+     the leading sort key and monotone with the target ordering
+     (equal-width key ranges, md5 prefixes, calendar truncations —
+     never ``spark_partition_id()`` after ``repartitionByRange``,
+     whose sampled boundaries differ per plan consumer);
+  2. count rows per (group, bucket) — a tiny hash aggregate;
+  3. turn counts into per-group running offsets with a window over the
+     BUCKET AGGREGATE (bounded: one row per bucket), broadcast back;
+  4. per-(group, bucket) ``row_number`` + offset = the exact global
+     ordinal under the full ordering.
+
+Every wide stage parallelizes across buckets; the only global
+structure is the offset vector. ``tools/plancheck.py`` red-flags the
+unpartitioned/tiny-key window class and waives the bounded offset
+windows this helper emits.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_row_number"]
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: Sequence[Column],
+    part_cols: Sequence[str] = (),
+    out: str = "rn",
+    bucket_asc: bool = True,
+) -> DataFrame:
+    """Add ``out`` = row_number over (PARTITION BY part_cols ORDER BY
+    order_cols) computed via the bucketed-enumeration discipline.
+
+    ``bucket`` must be monotone (non-decreasing if ``bucket_asc``,
+    non-increasing otherwise) with the leading ``order_cols`` key, and
+    rows that tie on the leading key must share a bucket — both hold
+    automatically when the bucket is a deterministic function of that
+    key (floor-division, md5 prefix, date_trunc).
+    """
+    part = list(part_cols)
+    b = df.withColumn("__bkt", bucket)
+    counts = b.groupBy(*part, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    ob = F.col("__bkt").asc() if bucket_asc else F.col("__bkt").desc()
+    off_w = (
+        (W.partitionBy(*part) if part else W).orderBy(ob)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part, "__bkt",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    rn_w = W.partitionBy(*part, "__bkt").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), [*part, "__bkt"])
+        .withColumn(out, F.row_number().over(rn_w) + F.col("__off"))
+        .drop("__bkt", "__off")
+    )

@@ -207,23 +207,30 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: the revenue 'view' built once, its MAX applied as a
-    window max over the whole view — DECIMAL revenue makes the
-    equality exact on both engines. The view aggregates the
-    date-pruned fact to |suppliers| rows first, so the empty-frame
-    window (all rows to one task) ranks thousands of rows, not the
-    fact; one DAG, one fact pass, no driver scalar round-trip."""
+    """Q15 shape: the revenue 'view' built once, its MAX folded to a
+    1-row aggregate and broadcast back (the q11/q22 discipline) —
+    DECIMAL revenue makes the equality exact on both engines. The
+    identical revenue subplan feeds both branches, so ReuseExchange
+    keeps it ONE fact pass; no window ever holds the |suppliers|-row
+    view in a single task (r3 fix: the old empty-frame window max put
+    the whole view through one WindowExec partition)."""
     l = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+        # explicit, so BOTH revenue consumers (join branch, max branch)
+        # canonicalize to the same subplan and AQE reuses one exchange —
+        # the supplier join would inject isnotnull on its branch only,
+        # forcing a second fact scan
+        & F.col("l_suppkey").isNotNull()
     )
     s = table(spark, sf_dir, "supplier")
     revenue = l.groupBy("l_suppkey").agg(
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
         .alias("total_revenue")
     )
-    w = W.partitionBy()
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        revenue.withColumn("max_rev", F.max("total_revenue").over(w))
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

@@ -273,15 +273,16 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(base.select(F.col("dst").alias("p"), F.size("ws").alias("n")))
         .unionAll(base.select(F.explode("ws").alias("p"), F.lit(1).alias("n")))
     )
-    pos = W.orderBy(F.col("n_tri").desc(), F.col("p").asc())
+    # top-20 via TakeOrderedAndProject (per-partition top-k + merge),
+    # THEN the rank window over the bounded 20-row frame — never a
+    # global window over the |V|-row census (r3 plancheck fix).
+    pos = W.orderBy(F.col("n_tri").desc(), F.col("partkey").asc())
     return (
         verts.groupBy("p")
         .agg(F.sum("n").cast("bigint").alias("n_tri"))
-        .select(
-            F.col("p").alias("partkey"),
-            "n_tri",
-            F.row_number().over(pos).cast("long").alias("tri_rank"),
-        )
-        .where(F.col("tri_rank") <= 20)
+        .select(F.col("p").alias("partkey"), "n_tri")
+        .orderBy(F.col("n_tri").desc(), F.col("partkey").asc())
+        .limit(20)
+        .withColumn("tri_rank", F.row_number().over(pos).cast("long"))
         .orderBy("tri_rank")
     )

@@ -679,10 +679,20 @@ def l14_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(per_term) + F.lit(1e-9), 4).alias("score"))
     )
-    ra = bm25.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc())).alias("r"),
-    ).filter(F.col("r") <= 50)
+    # top-50 via TakeOrderedAndProject, then rank over the bounded
+    # 50-row frame — an unpartitioned rank window never gets a
+    # WindowGroupLimit, so rank-then-filter would single-task the
+    # full score table (r3 plancheck fix, both rankers).
+    ra = (
+        bm25.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .alias("r"),
+        )
+    )
 
     # --- dense ranker (l3's cosine kernel) ---
     qv = emb.filter(F.col("vec_id") == 0).select(
@@ -694,10 +704,16 @@ def l14_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_vec"), F.col("embedding"), F.col("qn"), norm(F.col("embedding"))
         ).alias("cos"),
     )
-    rb = scored.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc())).alias("r"),
-    ).filter(F.col("r") <= 50)
+    rb = (
+        scored.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
+            .alias("r"),
+        )
+    )
 
     fused = (
         ra.withColumnRenamed("r", "bm25_rank")

@@ -73,18 +73,31 @@ def a8_replay_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: time-range replay in event order — RedisEventStore.replay.
     replay_seq materializes the ordering so the order-insensitive
     oracle hash still proves it. On the partitioned store this scan
-    prunes to the date range (tests/test_cdc.py asserts pruning)."""
+    prunes to the date range (tests/test_cdc.py asserts pruning).
+
+    Scale shape (r3): the global replay ordinal comes from the o7
+    bucketed enumeration — hour buckets (an expression of the sort
+    key ts), per-bucket counts -> broadcast running offsets ->
+    within-bucket row_number + offset. A 10-day range is 240 offset
+    rows regardless of event volume; the old unpartitioned
+    row_number put the whole replay range through one task."""
     ch = events_as_changes(spark, sf_dir).filter(
         (F.col("action") == "update")
         & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
         & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
     )
-    w = W.orderBy(F.col("ts").asc(), F.col("offset").asc())
-    return ch.select(
+    b = ch.withColumn("__b", F.date_trunc("hour", F.col("ts")))
+    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    rn_w = W.partitionBy("__b").orderBy(F.col("ts").asc(), F.col("offset").asc())
+    return b.join(F.broadcast(offsets), "__b").select(
         "pk",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "offset",
-        F.row_number().over(w).cast("long").alias("replay_seq"),
+        (F.row_number().over(rn_w) + F.col("__off")).cast("long").alias("replay_seq"),
     )
 
 

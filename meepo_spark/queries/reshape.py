@@ -459,20 +459,56 @@ def v11_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE(10) over a total order — (value, pk) so ties split
     deterministically — yields per-decile counts and value bounds,
     i.e. the distribution summary optimizers store as equi-height
-    histograms. The window sort is the one shuffle, keyed by
-    returnflag; at 100 TB you'd swap NTILE for interpolated
-    percentile boundaries (v4's shape) to avoid the full sort, at the
-    cost of exact equal-depth guarantees on ties."""
+    histograms.
+
+    Scale shape (r3): NTILE partitioned by the 3-value returnflag is
+    a near-global sort in disguise, so the decile comes from the o7
+    bucketed enumeration GROUPED per flag — equal-width cents buckets
+    from a per-flag (lo, hi, N) broadcast, per-(flag, bucket) counts
+    -> per-flag running offsets (32-row window), within-bucket
+    row_number + offset = exact global rank, and NTILE(10) is the
+    closed-form function of (rank, N): the first N%10 deciles take
+    ceil(N/10) rows. Bit-identical to the oracle's NTILE because the
+    (c, orderkey, linenumber) tie order is total."""
     l = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
         "l_orderkey", "l_linenumber",
     )
-    w = W.partitionBy("l_returnflag").orderBy(
+    rng = l.groupBy("l_returnflag").agg(
+        F.min("c").alias("__lo"), F.max("c").alias("__hi"),
+        F.count(F.lit(1)).alias("__N"),
+    )
+    width = F.greatest(
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / 32), F.lit(1)
+    )
+    p = l.join(F.broadcast(rng), "l_returnflag").withColumn(
+        "__pid", F.floor((F.col("c") - F.col("__lo")) / width)
+    )
+    counts = p.groupBy("l_returnflag", "__pid").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    off_w = (
+        W.partitionBy("l_returnflag").orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "l_returnflag", "__pid",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    rn_w = W.partitionBy("l_returnflag", "__pid").orderBy(
         F.col("c").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
     )
+    ranked = p.join(F.broadcast(offsets), ["l_returnflag", "__pid"]).withColumn(
+        "__rn", F.row_number().over(rn_w) + F.col("__off")
+    )
+    q, r = F.floor(F.col("__N") / 10), F.col("__N") % 10
+    big = r * (q + 1)
+    decile = F.when(
+        F.col("__rn") <= big, F.floor((F.col("__rn") - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col("__rn") - big - 1) / q) + 1)
     return (
-        l.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn("decile", decile.cast("long"))
         .groupBy("l_returnflag", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -279,10 +279,25 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap: Spark defaults ASC to nulls-first while DuckDB (and most
     warehouses) default to nulls-last, so any ORDER BY on a nullable
     key MUST pin null placement explicitly or results silently differ
-    between engines. Both rankings run in one pass over the DISTINCT
-    tuple set (the fixture's (orderkey, linenumber) is NOT unique —
-    ranking duplicate tuples under two different windows would pair
-    their row_numbers nondeterministically)."""
+    between engines. Both rankings run over the DISTINCT tuple set
+    (the fixture's (orderkey, linenumber) is NOT unique — ranking
+    duplicate tuples under two different windows would pair their
+    row_numbers nondeterministically).
+
+    Scale shape (r3): the returnflag key has 3 values, so per-flag
+    windows over the raw tuples are near-global sorts. Instead both
+    ranks derive from three bucketed enumerations (operators/
+    enumeration.py) plus per-flag null/non-null counts:
+      rn_nulls_first = rank_among_nulls            (null rows)
+                     | n_nulls + rank_asc          (non-null rows)
+      rn_nulls_last  = rank_desc                   (non-null rows)
+                     | n_nonnull + rank_among_nulls (null rows)
+    Non-null buckets are the 10 exact discount cents (monotone with
+    disc either direction); null rows bucket by orderkey//4096. All
+    windows run per (flag, bucket); the per-flag offset windows walk
+    bucket aggregates only."""
+    from meepo_spark.operators.enumeration import bucketed_row_number
+
     l = (
         table(spark, sf_dir, "lineitem")
         .select(
@@ -291,16 +306,42 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w_nf = W.partitionBy("l_returnflag").orderBy(
-        F.col("disc").asc_nulls_first(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    tiebreak = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    nn = l.filter(F.col("disc").isNotNull())
+    cents = F.round(F.col("disc") * 100).cast("int")
+    nn = bucketed_row_number(
+        nn, cents, [F.col("disc").asc(), *tiebreak],
+        ("l_returnflag",), "ra", bucket_asc=True,
     )
-    w_nl = W.partitionBy("l_returnflag").orderBy(
-        F.col("disc").desc_nulls_last(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    nn = bucketed_row_number(
+        nn, cents, [F.col("disc").desc(), *tiebreak],
+        ("l_returnflag",), "rb", bucket_asc=False,
     )
-    ranked = l.select(
-        "l_returnflag", "l_orderkey", "l_linenumber", "disc",
-        F.row_number().over(w_nf).cast("long").alias("rn_nulls_first"),
-        F.row_number().over(w_nl).cast("long").alias("rn_nulls_last"),
+    nl = bucketed_row_number(
+        l.filter(F.col("disc").isNull()),
+        F.floor(F.col("l_orderkey") / 4096), tiebreak,
+        ("l_returnflag",), "r0", bucket_asc=True,
+    )
+    sizes = F.broadcast(
+        l.groupBy("l_returnflag").agg(
+            F.count("disc").alias("__n_nonnull"),
+            F.sum(F.col("disc").isNull().cast("long")).alias("__n_null"),
+        )
+    )
+    ranked = (
+        nn.join(sizes, "l_returnflag")
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "disc",
+            (F.col("__n_null") + F.col("ra")).cast("long").alias("rn_nulls_first"),
+            F.col("rb").cast("long").alias("rn_nulls_last"),
+        )
+        .unionByName(
+            nl.join(sizes, "l_returnflag").select(
+                "l_returnflag", "l_orderkey", "l_linenumber", "disc",
+                F.col("r0").cast("long").alias("rn_nulls_first"),
+                (F.col("__n_nonnull") + F.col("r0")).cast("long").alias("rn_nulls_last"),
+            )
+        )
     )
     return ranked.filter(
         (F.col("rn_nulls_first") <= 5) | (F.col("rn_nulls_last") <= 5)

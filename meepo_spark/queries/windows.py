@@ -510,26 +510,35 @@ def g11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (cents, pk) is total, so the cumulative sums agree row for
     row.
 
-    Scale shape: one keyed window sort + one aggregate. The window
-    partition is the group key, so the sort spreads across the
-    cluster; no all-pairs, no global sort."""
+    Scale shape (r3): the fact reduces to one row per DISTINCT
+    (flag, cents) — a hash aggregate with map-side combine — before
+    any window runs; the per-flag cumulative sum then walks the
+    bounded price-value grid, not the fact. Exactness is preserved
+    because the crossing cents c* = min{c : 2*cum(<=c) >= tot} is
+    identical whether cum is accumulated per row or per distinct
+    value (all rows at one cents share the value; the per-row
+    crossing row's cents satisfies the per-value test and vice
+    versa). The old per-row window put ~1/3 of the fact through each
+    of 3 WindowExec tasks — the e3 trap."""
     l = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("qty"),
-        "l_orderkey", "l_linenumber",
+    )
+    per_value = l.groupBy("l_returnflag", "cents").agg(
+        F.sum("qty").alias("w")
     )
     w_cum = (
         W.partitionBy("l_returnflag")
-        .orderBy(F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .orderBy(F.col("cents").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     w_tot = W.partitionBy("l_returnflag")
-    marked = l.select(
+    marked = per_value.select(
         "l_returnflag",
         "cents",
-        F.sum("qty").over(w_cum).alias("cumw"),
-        F.sum("qty").over(w_tot).alias("totw"),
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_tot).alias("totw"),
     )
     return marked.groupBy("l_returnflag").agg(
         F.round(

@@ -11,7 +11,14 @@ Red flags (fail the audit):
   * BatchEvalPython — row-at-a-time Python in the plan (Arrow paths
     show ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas and are
     allowed);
-  * a parquet scan with no ReadSchema pruning at all.
+  * a parquet scan with no ReadSchema pruning at all;
+  * (VERDICT r2 #2) a windowspecdefinition with NO partition columns,
+    or partitioned ONLY by known tiny-cardinality keys (epoch ~3,
+    event_type ~5, …) — the single-task-sort-in-disguise class that
+    let l17/m3/e3 sail through round 2 — unless the query holds a
+    waiver documenting why the window's input is bounded (running
+    offsets over a <=few-hundred-row bucket aggregate, distinct-value
+    frames, calendar days).
 
 Usage: python tools/plancheck.py [sf_dir]   (default sf0.001; writes
 PLANS.md at the repo root, exits 1 on any red flag)
@@ -69,6 +76,44 @@ NESTED_LOOP_WAIVED = {
     "o7_global_enumeration",  # 1-row key-range (min/max) crossJoin(broadcast)
     "l3j_kmeans_assign",  # 8-row seed-centroid crossJoin(broadcast), k bounded
     "l3k_ivf_seeded_topk",  # 16-row centroid crossJoin(broadcast), k bounded
+    # round-3 bucketed-enumeration rewrites: 1-row (lo, hi, N) range
+    # aggregates crossJoin(broadcast) into the bucket assignment
+    "m3_rfm_segments",
+    "q15_top_supplier",  # 1-row max-revenue crossJoin(broadcast)
+}
+
+# Known bounded-tiny-cardinality partition keys: a window partitioned
+# ONLY by these spreads over a handful of tasks no matter the input
+# size — flagged unless waived (strip the #exprId suffix to compare).
+TINY_PARTITION_KEYS = {"epoch", "event_type", "lang", "source", "l_returnflag", "l_linestatus"}
+
+# Queries whose flagged windows run over PROVABLY BOUNDED inputs —
+# each waiver names the bound. The o7 bucketed-enumeration family's
+# running-offset windows (<= a few hundred bucket-aggregate rows) are
+# the canonical members; full-input windows never belong here.
+WINDOW_WAIVED = {
+    # running offsets over per-bucket aggregates (o7 discipline):
+    "o7_global_enumeration",   # 32 equal-width key buckets
+    "m3_rfm_segments",         # 3 x 32 quartile-rank buckets
+    "l17_epoch_shuffle",       # 3 epochs x 256 md5-prefix buckets
+    "e3_max_concurrency",      # |types| x |hours| sweep-line buckets
+    "g11_weighted_median",     # per-flag offsets over DISTINCT cents
+    "v11_equidepth_histogram", # per-flag offsets over 32 value buckets
+    "o6_null_ordering",        # per-(flag, bucket) offsets, dual order
+    "a8_replay_range",         # per-hour-bucket replay offsets
+    "l8_sequence_packing",     # per-lang offsets over the 1000x-reduced
+                               # doc-id bucket aggregate
+    "l21_classifier_auc",      # per-(source, score-bucket) prefix sums
+    # windows over distinct-value / calendar / fixed-grid frames:
+    "o8_pareto_frontier",      # prefix-min over DISTINCT prices
+    "v8_histogram",            # 20-row fixed-width bin aggregate
+    "v13_ks_test",             # per-(type, DISTINCT-cents) CDF grid
+    "dq2_volume_anomaly",      # one row per calendar day
+    # windows AFTER a LIMIT-k / tiny-graph reduction:
+    "o1_global_sort_top100",   # rank over the TakeOrdered 100-row frame
+    "g14_triangle_count",      # rank over the TakeOrdered 20-row frame
+    "g10_pagerank_trade",      # rank over the <=25-node nation graph
+    "l14_hybrid_retrieval",    # ranks over the two 50-row shortlists
 }
 
 JOIN_KINDS = (
@@ -87,6 +132,59 @@ PY_KINDS = (
     "FlatMapGroupsInPandasWithState",
     "PythonUDTF",
 )
+
+
+_ORDER_RE = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a windowspecdefinition argument list on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(" or ch == "[":
+            depth += 1
+        elif ch == ")" or ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def window_partition_flags(plan: str) -> list[str]:
+    """Classify every windowspecdefinition in a plan: returns a flag
+    per offending spec — 'UNPART-WINDOW' (no partition columns) or
+    'TINY-KEY-WINDOW' (partitioned only by known bounded-cardinality
+    keys). Partition columns are the leading args before the first
+    ordering spec ('col ASC NULLS FIRST ...'); the trailing arg is the
+    specifiedwindowframe."""
+    flags = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(plan):
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_args(plan[start : i - 1])
+        part = []
+        for a in args:
+            if _ORDER_RE.search(a) or a.startswith("specifiedwindowframe("):
+                break
+            part.append(a)
+        if not part:
+            flags.append("UNPART-WINDOW")
+            continue
+        names = {re.sub(r"#\d+L?", "", p).strip().lower() for p in part}
+        if names <= TINY_PARTITION_KEYS:
+            flags.append("TINY-KEY-WINDOW")
+    return flags
 
 
 def audit(sf_dir: str) -> int:
@@ -108,6 +206,15 @@ def audit(sf_dir: str) -> int:
             flags.append("NESTED-LOOP")
         if "BatchEvalPython" in plan:
             flags.append("ROW-PYTHON")
+        wflags = window_partition_flags(plan)
+        if "WindowGroupLimit" in plan:
+            # Catalyst two-leveled the rank-limited window (map-side
+            # partial top-k per key) — the tiny-key sort never sees the
+            # full input. Unpartitioned windows never get WGL, so keep
+            # those flags.
+            wflags = [f for f in wflags if f != "TINY-KEY-WINDOW"]
+        if wflags and name not in WINDOW_WAIVED:
+            flags.extend(sorted(set(wflags)))
         if flags:
             failures.append((name, flags))
         rows.append(
@@ -122,7 +229,14 @@ def audit(sf_dir: str) -> int:
         "scans with non-empty PushedFilters; Python column shows only",
         "Arrow-vectorized entry points (row-at-a-time BatchEvalPython is",
         "a failure). Waived nested-loop queries are bounded-by-construction",
-        "pair generators (see NESTED_LOOP_WAIVED in the tool).",
+        "pair generators (see NESTED_LOOP_WAIVED in the tool). Since r3",
+        "the audit also fails UNPART-WINDOW / TINY-KEY-WINDOW — a",
+        "windowspecdefinition with no partition columns, or partitioned",
+        "only by known tiny-cardinality keys — unless Catalyst inserted a",
+        "WindowGroupLimit (map-side partial top-k) or the query holds a",
+        "WINDOW_WAIVED entry documenting the bounded input (running",
+        "offsets over bucket aggregates, distinct-value grids, calendar",
+        "days, post-LIMIT frames).",
         "",
         "| query | join strategies | python (Arrow) | pushed | audit |",
         "|---|---|---|---|---|",
