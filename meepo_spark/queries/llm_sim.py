@@ -647,3 +647,163 @@ def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", F.round("dot", 6).alias("dot_r"), "rank")
         .orderBy("q_id", "rank")
     )
+
+@register(
+    "l3l_pq_seeded_topk",
+    # PQ with FIXED seed codebooks (VERDICT r2 #5, mirroring l3k's
+    # treatment of IVF): each of 8 subspaces takes its 4 codes from
+    # the sub-vectors of the 4 lowest-id corpus vectors, so encode
+    # (per-subspace argmin), LUT build, ADC scan, and exact re-rank
+    # are all SQL-expressible and DuckDB bit-matches every float:
+    # squared distances / dots are sequential float64 folds
+    # (list_sum of per-dim products = the engine's zip_with fold),
+    # and the ADC sum folds LUT entries in subspace order
+    # (list_sum(LIST(dp ORDER BY j))). The trained-codebook PQ
+    # (l3i) stays rows-only for genuinely k-means-trained books.
+    oracle="""
+    WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS c, v AS sv FROM pts WHERE vec_id < 4),
+         grid AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+         dists AS (
+           SELECT p.vec_id, g.j, s.c,
+                  list_sum(list_transform(
+                      list_zip(p.v[g.j*8+1 : g.j*8+8],
+                               s.sv[g.j*8+1 : g.j*8+8]),
+                      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+           FROM pts p CROSS JOIN grid g CROSS JOIN seeds s),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT vec_id, j, c,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                       ORDER BY d, c) AS rn
+             FROM dists) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM pts
+               WHERE vec_id BETWEEN 40 AND 49),
+         lut AS (
+           SELECT q.q_id, g.j, s.c,
+                  list_dot_product(q.qv[g.j*8+1 : g.j*8+8],
+                                   s.sv[g.j*8+1 : g.j*8+8]) AS dp
+           FROM q CROSS JOIN grid g CROSS JOIN seeds s),
+         adc AS (
+           SELECT l.q_id, cd.vec_id AS c_id,
+                  list_sum(LIST(l.dp ORDER BY l.j)) AS adc
+           FROM codes cd
+           JOIN lut l ON l.j = cd.j AND l.c = cd.code
+           WHERE cd.vec_id <> l.q_id
+           GROUP BY l.q_id, cd.vec_id),
+         short AS (
+           SELECT q_id, c_id, adc,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc DESC, c_id) AS srank
+           FROM adc),
+         rer AS (
+           SELECT s.q_id, s.c_id, s.adc,
+                  list_dot_product(q.qv, p.v) AS dotp
+           FROM short s
+           JOIN q ON q.q_id = s.q_id
+           JOIN pts p ON p.vec_id = s.c_id
+           WHERE s.srank <= 20)
+    SELECT q_id, c_id, ROUND(adc, 6) AS adc_r, ROUND(dotp, 6) AS dot_r,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY dotp DESC, c_id) AS rank
+          FROM rer)
+    WHERE rank <= 5
+    """,
+)
+def l3l_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3l: product quantization with seeded codebooks, oracle-checked
+    end to end — the PQ MECHANISM (encode -> per-query LUT -> ADC scan
+    -> exact re-rank of the ADC top-20) graded bit-for-bit, completing
+    the ANN family's oracle coverage (l3k did the same for IVF;
+    l3d/l3i remain rows-only solely for their TRAINED codebooks).
+
+    Scale shape: the 4-seed codebook is a 1-row broadcast; encode is
+    a pure codegen fold pass over the corpus (32 slice-distances per
+    row, no Python); the 10-query LUT table broadcasts; the ADC scan
+    reads codes only (m=8 bytes/vector vs 512 of float64 — PQ's
+    bandwidth cut); the shortlist rank is a per-query WindowGroupLimit
+    top-20; only those 200 rows fetch full vectors for re-rank."""
+    from meepo_spark.functions.vectors import dot as vdot
+    from meepo_spark.functions.vectors import sq_dist
+
+    M, KSUB, SUB = 8, 4, 8
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = (
+        pts.filter(F.col("vec_id") < KSUB)
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("sv"))
+    )
+
+    def sub(vec, j):
+        return F.slice(vec, j * SUB + 1, SUB)
+
+    def seed_vec(c):
+        return F.col("sv")[c]["v"]
+
+    codes = [
+        F.least(
+            *[
+                F.struct(
+                    sq_dist(sub(F.col("v"), j), sub(seed_vec(c), j)).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(KSUB)
+            ]
+        )["c"]
+        for j in range(M)
+    ]
+    encoded = pts.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "v", F.array(*codes).alias("codes")
+    )
+
+    q = pts.filter(F.col("vec_id").between(40, 49)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    lut = [
+        vdot(sub(F.col("qv"), j), sub(seed_vec(c), j))
+        for j in range(M)
+        for c in range(KSUB)
+    ]
+    qlut = q.crossJoin(F.broadcast(seeds)).select(
+        "q_id", "qv", F.array(*lut).alias("lut")
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(M - 1))
+    adc = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"), j * KSUB + F.element_at(F.col("codes"), j + 1) + 1
+        ),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(qlut))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), "v", "qv", adc.alias("adc"))
+    )
+    sw = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id").asc())
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= 20)
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.col("dotp").desc(), F.col("c_id").asc())
+    return (
+        shortlist.select(
+            "q_id", "c_id", "adc", vdot(F.col("qv"), F.col("v")).alias("dotp")
+        )
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id", "c_id",
+            F.round("adc", 6).alias("adc_r"),
+            F.round("dotp", 6).alias("dot_r"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
