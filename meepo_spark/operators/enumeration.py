@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_row_number"]
+__all__ = ["bucketed_row_number", "bucketed_ntile"]
 
 
 def bucketed_row_number(
@@ -69,4 +69,67 @@ def bucketed_row_number(
         b.join(F.broadcast(offsets), [*part, "__bkt"])
         .withColumn(out, F.row_number().over(rn_w) + F.col("__off"))
         .drop("__bkt", "__off")
+    )
+
+
+def bucketed_ntile(
+    df: DataFrame,
+    key_asc: Column,
+    order_cols: Sequence[Column],
+    n_tiles: int,
+    part_cols: Sequence[str] = (),
+    out: str = "tile",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add ``out`` = NTILE(n_tiles) OVER ([PARTITION BY part_cols]
+    ORDER BY order_cols) without the per-partition single-task sort.
+
+    The global rank comes from the bucketed-enumeration discipline
+    over equal-width buckets of ``key_asc`` (a numeric expression
+    ascending-monotone with the ordering's primary key; a lossy
+    monotone map such as a double cast is fine — ties share a
+    bucket), with the per-group (lo, hi, N) bounds from one broadcast
+    aggregate. The tile is then the closed-form function of
+    (rank, N): NTILE's first N % n_tiles tiles take ceil(N/n_tiles)
+    rows, the rest floor(N/n_tiles) — bit-identical to the window
+    function whenever order_cols is a total order. Used by
+    m3_rfm_segments (global quartiles) and v11_equidepth_histogram
+    (per-flag deciles).
+    """
+    part = list(part_cols)
+    k = key_asc.cast("double")
+    aggs = [
+        F.min(k).alias("__lo"), F.max(k).alias("__hi"),
+        F.count(F.lit(1)).alias("__N"),
+    ]
+    rng = df.groupBy(*part).agg(*aggs) if part else df.agg(*aggs)
+    width = (F.col("__hi") - F.col("__lo")) / n_buckets + F.lit(1e-12)
+    joined = (
+        df.join(F.broadcast(rng), part) if part
+        else df.crossJoin(F.broadcast(rng))
+    )
+    p = joined.withColumn(
+        "__pid",
+        F.least(F.floor((k - F.col("__lo")) / width), F.lit(n_buckets - 1)),
+    )
+    counts = p.groupBy(*part, "__pid").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = (
+        (W.partitionBy(*part) if part else W).orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part, "__pid",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    rn_w = W.partitionBy(*part, "__pid").orderBy(*order_cols)
+    ranked = p.join(F.broadcast(offsets), [*part, "__pid"]).withColumn(
+        "__rn", F.row_number().over(rn_w) + F.col("__off")
+    )
+    q, r = F.floor(F.col("__N") / n_tiles), F.col("__N") % n_tiles
+    big = r * (q + 1)  # rows covered by the r larger tiles
+    tile = F.when(
+        F.col("__rn") <= big, F.floor((F.col("__rn") - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col("__rn") - big - 1) / q) + 1)
+    return ranked.withColumn(out, tile).drop(
+        "__pid", "__off", "__rn", "__lo", "__hi", "__N"
     )

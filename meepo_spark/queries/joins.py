@@ -345,3 +345,103 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+@register(
+    "j12_bloom_prune_join",
+    # The oracle is the PLAIN semi join: the bloom is a transparent
+    # prefilter (no false negatives by construction; false positives
+    # removed by the exact join), so the result must be exactly the
+    # un-pruned answer — which is precisely what makes a runtime
+    # filter safe to inject. A build/probe hash mismatch would drop
+    # rows and fail this oracle.
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'AUTOMOBILE')
+    GROUP BY 1
+    """,
+)
+def j12_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: bloom-filter-pruned semi join — the RUNTIME FILTER pattern
+    built from first principles (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter injects the same shape for
+    shuffle joins; its bloom_filter_agg/might_contain expressions are
+    not exposed to SQL, so this builds the filter openly). The hot-key
+    side (AUTOMOBILE customers) hashes each key to 3 positions in a
+    65536-bit bloom (md5 4-hex-digit slices), OR-folded into a dense
+    1024-word bitmap; the fact side tests all 3 bits per row via O(1)
+    element_at word lookups BEFORE the exact semi join removes the
+    ~(fill_ratio)^3 false positives.
+
+    Scale shape: the bitmap is ONE 8 KB row broadcast to every task —
+    at 100 TB the fact scan drops non-matching rows map-side without
+    shuffling them toward the join, which is the entire value of a
+    semi-join runtime filter when the fact >> dim selectivity. The
+    bit math is pure codegen; the exact semi join stays broadcast
+    (dim-bounded build side)."""
+    o = table(spark, sf_dir, "orders")
+    hot = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+
+    def positions(key):
+        h = F.md5(key.cast("string"))
+        return [
+            F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long")
+            for i in range(3)
+        ]
+
+    pos = hot.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("p"))
+    words = (
+        pos.select(
+            F.expr("cast(shiftright(p, 6) as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    bloom = (
+        words.agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("w", "bits")))
+            ).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1023)),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("__bloom")
+        )
+    )
+    probe = o.crossJoin(F.broadcast(bloom))
+    for i, p in enumerate(positions(F.col("o_custkey"))):
+        probe = probe.withColumn(f"__p{i}", p)
+    hit = " AND ".join(
+        f"(shiftright(element_at(__bloom, cast(shiftright(__p{i}, 6) as int) + 1),"
+        f" cast(__p{i} % 64 as int)) & 1) = 1"
+        for i in range(3)
+    )
+    pruned = probe.filter(F.expr(hit)).select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        pruned.join(
+            F.broadcast(hot), pruned["o_custkey"] == hot["c_custkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1043,3 +1043,97 @@ def l18_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(signal.alias("signal")).groupBy("signal").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+_L22_U = """((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16.0
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
+              + 1.0) / 16777217.0"""
+
+_L22_W = ("CASE lang WHEN 'en' THEN 0.30 WHEN 'zh' THEN 0.20 "
+          "WHEN 'es' THEN 0.20 WHEN 'de' THEN 0.15 ELSE 0.15 END")
+
+
+@register(
+    "l22_mixture_sampling",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+    rates AS (
+        SELECT lang, n_docs,
+               LEAST(1.0, 0.6 * tot.n * {_L22_W} / n_docs) AS rate
+        FROM counts CROSS JOIN tot
+    ),
+    accepted AS (
+        SELECT d.lang, COUNT(*) AS n_sampled
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {_L22_U} < r.rate
+        GROUP BY d.lang
+    ),
+    ts AS (SELECT CAST(SUM(n_sampled) AS BIGINT) AS t FROM accepted)
+    SELECT r.lang, r.n_docs,
+           CAST(COALESCE(a.n_sampled, 0) AS BIGINT) AS n_sampled,
+           ROUND(r.rate + 1e-9, 4) AS rate_r,
+           ROUND(COALESCE(a.n_sampled, 0) * 1.0 / ts.t + 1e-9, 4)
+               AS achieved_share
+    FROM rates r LEFT JOIN accepted a ON r.lang = a.lang CROSS JOIN ts
+    """,
+)
+def l22_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22: training-data MIXTURE resampling — hit target language
+    proportions (en .30 / zh .20 / es .20 / de .15 / fr .15) within a
+    60%-of-corpus token budget by computing per-language acceptance
+    rates min(1, budget*w_l/n_l) and accepting each doc via a
+    deterministic md5-uniform draw. THE data-mixture primitive behind
+    every pretraining recipe (domain/language reweighting): the draw
+    is reproducible across engines, runs, and cluster sizes — a
+    plain `WHERE rand() < r` cannot be replayed or audited.
+
+    Scale shape: per-language counts are one tiny aggregate (5 rows)
+    joined back as a broadcast; the accept test is a pure map-side
+    projection (one md5 per row, no shuffle); the achieved-mix report
+    aggregates the accepted rows once more. Rates and uniforms are
+    bit-identical IEEE expressions on both engines, so the accepted
+    SET (not just its size) is deterministic — l4i grades the
+    per-row sample plan, this grades the mixture contract."""
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    w = (
+        F.when(F.col("lang") == "en", 0.30)
+        .when(F.col("lang") == "zh", 0.20)
+        .when(F.col("lang") == "es", 0.20)
+        .when(F.col("lang") == "de", 0.15)
+        .otherwise(0.15)
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs",
+        F.least(F.lit(1.0), F.lit(0.6) * F.col("n") * w / F.col("n_docs")).alias("rate"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") + 1.0) / 16777217.0
+    accepted = (
+        d.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    ts = accepted.agg(F.sum("n_sampled").alias("t"))
+    return (
+        rates.join(F.broadcast(accepted), "lang", "left")
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.round(F.col("rate") + 1e-9, 4).alias("rate_r"),
+            F.round(
+                F.coalesce("n_sampled", F.lit(0)) / F.col("t") + 1e-9, 4
+            ).alias("achieved_share"),
+        )
+    )

@@ -233,51 +233,25 @@ def m3_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _ntile4(df: DataFrame, key_asc, order_cols, out: str) -> DataFrame:
-        """NTILE(4) OVER (ORDER BY order_cols) without the global sort.
+    from meepo_spark.operators.enumeration import bucketed_ntile
 
-        ``key_asc`` is a numeric expression ascending-monotone with the
-        ordering's primary key (ties land in the same bucket, so any
-        monotone non-decreasing map — including a lossy double cast —
-        keeps bucket boundaries consistent with the sort)."""
-        k = key_asc.cast("double")
-        rng = df.agg(
-            F.min(k).alias("__lo"), F.max(k).alias("__hi"),
-            F.count(F.lit(1)).alias("__N"),
-        )
-        width = (F.col("__hi") - F.col("__lo")) / 32 + F.lit(1e-12)
-        p = df.crossJoin(F.broadcast(rng)).withColumn(
-            "__pid", F.least(F.floor((k - F.col("__lo")) / width), F.lit(31))
-        )
-        counts = p.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-        off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-        offsets = counts.select(
-            "__pid",
-            F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
-        )
-        rn_w = W.partitionBy("__pid").orderBy(*order_cols)
-        ranked = p.join(F.broadcast(offsets), "__pid").withColumn(
-            "__rn", F.row_number().over(rn_w) + F.col("__off")
-        )
-        q, r = F.floor(F.col("__N") / 4), F.col("__N") % 4
-        big = r * (q + 1)  # rows covered by the r larger tiles
-        tile = F.when(
-            F.col("__rn") <= big, F.floor((F.col("__rn") - 1) / (q + 1)) + 1
-        ).otherwise(r + F.floor((F.col("__rn") - big - 1) / q) + 1)
-        return ranked.withColumn(out, tile.cast("int")).drop(
-            "__pid", "__off", "__rn", "__lo", "__hi", "__N"
-        )
-
-    scored = _ntile4(
+    scored = bucketed_ntile(
         cm, -F.datediff("last_day", F.lit("1970-01-01")),
-        [F.col("last_day").desc(), F.col("o_custkey")], "r",
+        [F.col("last_day").desc(), F.col("o_custkey")], 4, out="r4",
     )
-    scored = _ntile4(
-        scored, -F.col("freq"), [F.col("freq").desc(), F.col("o_custkey")], "f"
+    scored = bucketed_ntile(
+        scored, -F.col("freq"),
+        [F.col("freq").desc(), F.col("o_custkey")], 4, out="f4",
     )
-    scored = _ntile4(
+    scored = bucketed_ntile(
         scored, -F.col("monetary"),
-        [F.col("monetary").desc(), F.col("o_custkey")], "m",
+        [F.col("monetary").desc(), F.col("o_custkey")], 4, out="m4",
+    )
+    scored = scored.select(
+        "monetary",
+        F.col("r4").cast("int").alias("r"),
+        F.col("f4").cast("int").alias("f"),
+        F.col("m4").cast("int").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),

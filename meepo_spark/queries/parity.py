@@ -81,23 +81,21 @@ def a8_replay_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bucket row_number + offset. A 10-day range is 240 offset
     rows regardless of event volume; the old unpartitioned
     row_number put the whole replay range through one task."""
+    from meepo_spark.operators.enumeration import bucketed_row_number
+
     ch = events_as_changes(spark, sf_dir).filter(
         (F.col("action") == "update")
         & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
         & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
     )
-    b = ch.withColumn("__b", F.date_trunc("hour", F.col("ts")))
-    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    off_w = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__b", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
-    )
-    rn_w = W.partitionBy("__b").orderBy(F.col("ts").asc(), F.col("offset").asc())
-    return b.join(F.broadcast(offsets), "__b").select(
+    return bucketed_row_number(
+        ch, F.date_trunc("hour", F.col("ts")),
+        [F.col("ts").asc(), F.col("offset").asc()], out="__seq",
+    ).select(
         "pk",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "offset",
-        (F.row_number().over(rn_w) + F.col("__off")).cast("long").alias("replay_seq"),
+        F.col("__seq").cast("long").alias("replay_seq"),
     )
 
 

@@ -470,45 +470,20 @@ def v11_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form function of (rank, N): the first N%10 deciles take
     ceil(N/10) rows. Bit-identical to the oracle's NTILE because the
     (c, orderkey, linenumber) tie order is total."""
+    from meepo_spark.operators.enumeration import bucketed_ntile
+
     l = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
         "l_orderkey", "l_linenumber",
     )
-    rng = l.groupBy("l_returnflag").agg(
-        F.min("c").alias("__lo"), F.max("c").alias("__hi"),
-        F.count(F.lit(1)).alias("__N"),
+    tiled = bucketed_ntile(
+        l, F.col("c"),
+        [F.col("c").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        10, ("l_returnflag",), out="t10",
     )
-    width = F.greatest(
-        F.ceil((F.col("__hi") - F.col("__lo") + 1) / 32), F.lit(1)
-    )
-    p = l.join(F.broadcast(rng), "l_returnflag").withColumn(
-        "__pid", F.floor((F.col("c") - F.col("__lo")) / width)
-    )
-    counts = p.groupBy("l_returnflag", "__pid").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    off_w = (
-        W.partitionBy("l_returnflag").orderBy("__pid")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "l_returnflag", "__pid",
-        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
-    )
-    rn_w = W.partitionBy("l_returnflag", "__pid").orderBy(
-        F.col("c").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
-    )
-    ranked = p.join(F.broadcast(offsets), ["l_returnflag", "__pid"]).withColumn(
-        "__rn", F.row_number().over(rn_w) + F.col("__off")
-    )
-    q, r = F.floor(F.col("__N") / 10), F.col("__N") % 10
-    big = r * (q + 1)
-    decile = F.when(
-        F.col("__rn") <= big, F.floor((F.col("__rn") - 1) / (q + 1)) + 1
-    ).otherwise(r + F.floor((F.col("__rn") - big - 1) / q) + 1)
     return (
-        ranked.withColumn("decile", decile.cast("long"))
+        tiled.withColumn("decile", F.col("t10").cast("long"))
         .groupBy("l_returnflag", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -891,3 +891,76 @@ def t14_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+@register(
+    "e7_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, ts, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch_ts
+        FROM events
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN touch_type END, 'direct') AS credited,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def e7_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: last-touch marketing attribution — each purchase credits
+    the user's most recent preceding non-purchase event within a
+    7-day lookback; purchases with no qualifying touch are 'direct'.
+    The conversion-credit primitive every growth/ads pipeline runs.
+
+    Scale shape: ONE window keyed by user_id (high cardinality —
+    spreads across the cluster), with the conditional last_value
+    computed in the same pass as the purchase filter; then a 6-row
+    aggregate. No self-join of the event stream against itself (the
+    naive formulation) and no second shuffle. (ts, event_id) is a
+    total order so both engines pick the identical touch; revenue
+    sums in DECIMAL then rounds once."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = e.select(
+        "event_type", "ts", "value",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    credited = F.coalesce(
+        F.when(
+            F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("touch_type"),
+        ),
+        F.lit("direct"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(credited.alias("credited"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

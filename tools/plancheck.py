@@ -80,6 +80,11 @@ NESTED_LOOP_WAIVED = {
     # aggregates crossJoin(broadcast) into the bucket assignment
     "m3_rfm_segments",
     "q15_top_supplier",  # 1-row max-revenue crossJoin(broadcast)
+    "v11_equidepth_histogram",  # per-flag (lo, hi, N) broadcast (5 rows)
+    # round-3 additions, bounded-by-construction broadcasts:
+    "l22_mixture_sampling",  # 5-row rate table + 1-row totals
+    "j12_bloom_prune_join",  # ONE 8 KB bitmap row crossJoin(broadcast)
+    "l3l_pq_seeded_topk",  # 1-row seed-codebook + 10-row LUT broadcasts
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
