@@ -433,3 +433,67 @@ def dq5_key_duplication_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("copies").alias("n_rows"),
         (F.sum("copies") - F.count(F.lit(1))).alias("n_excess_rows"),
     )
+
+@register(
+    "dq6_benford_deviation",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT o.d AS digit, o.n,
+           ROUND(o.n * 1.0 / tot.t + 1e-9, 4)      AS observed_p,
+           ROUND(LOG(1.0 + 1.0 / o.d) + 1e-9, 4)   AS benford_p,
+           ROUND(o.n * 1.0 / tot.t
+                 - LOG(1.0 + 1.0 / o.d) + 1e-9, 4) AS deviation
+    FROM obs o CROSS JOIN tot
+    """,
+)
+def dq6_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ6: Benford's-law first-digit audit — the classic
+    fabricated-data / broken-ETL detector: naturally occurring
+    monetary amounts follow P(d) = log10(1 + 1/d), and a feed whose
+    leading digits drift from that curve was truncated, defaulted, or
+    synthesized. Reports observed vs expected frequency and the
+    signed deviation per digit.
+
+    Scale shape: the digit is a pure string projection of the amount
+    (no float log in the grouping key), so the whole audit is one
+    9-row hash aggregate with map-side combine + a 1-row total
+    broadcast — the cheapest possible full-table screen at 100 TB.
+    DuckDB's LOG is base-10 (Spark: F.log10), and the expected curve
+    is computed from integer digits, so both engines agree bit-wise
+    before the 4dp round."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            # FLOOR explicitly: DuckDB's double->BIGINT cast rounds
+            # while Spark's truncates — the one-ulp trap for amounts
+            # just under a digit boundary
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    obs = d.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            F.round(F.col("n") / F.col("t") + 1e-9, 4).alias("observed_p"),
+            F.round(benford + 1e-9, 4).alias("benford_p"),
+            F.round(F.col("n") / F.col("t") - benford + 1e-9, 4).alias("deviation"),
+        )
+    )

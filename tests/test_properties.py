@@ -190,3 +190,83 @@ def test_pagerank_is_a_probability_distribution(spark):
     floor = (1 - 0.85) / 25
     assert all(r["pagerank"] >= floor - 1e-9 for r in rows)
     assert sorted(r["pr_pos"] for r in rows) == list(range(1, 26))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    n_tiles=st.sampled_from([2, 4, 10]),
+    dup_every=st.integers(min_value=1, max_value=7),
+)
+def test_bucketed_enumeration_equals_window_functions(spark, n, n_tiles, dup_every):
+    """operators/enumeration must be RESULT-IDENTICAL to the window
+    functions it replaces (bucketed_row_number == ROW_NUMBER,
+    bucketed_ntile == NTILE) for any size, tile count, and tie
+    density — the property every r3 rewrite (o6/m3/v11/a8) rests on."""
+    from pyspark.sql import Window as W
+
+    from meepo_spark.operators.enumeration import (
+        bucketed_ntile,
+        bucketed_row_number,
+    )
+
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % dup_every).alias("k"),  # deliberate key ties
+        (F.col("id") % 3).alias("g"),
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+
+    # global + grouped row_number
+    got = {
+        r["id"]: r["rn"]
+        for r in bucketed_row_number(
+            df, F.col("k"), order, out="rn"
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(W.orderBy(*order))).collect()
+    }
+    assert got == want
+
+    gotg = {
+        r["id"]: r["rn"]
+        for r in bucketed_row_number(
+            df, F.col("k"), order, ("g",), out="rn"
+        ).collect()
+    }
+    wantg = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy(*order))
+        ).collect()
+    }
+    assert gotg == wantg
+
+    # global + grouped NTILE
+    gott = {
+        r["id"]: r["t"]
+        for r in bucketed_ntile(df, F.col("k"), order, n_tiles, out="t").collect()
+    }
+    wantt = {
+        r["id"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(n_tiles).over(W.orderBy(*order))
+        ).collect()
+    }
+    assert gott == wantt
+
+    gottg = {
+        r["id"]: r["t"]
+        for r in bucketed_ntile(
+            df, F.col("k"), order, n_tiles, ("g",), out="t"
+        ).collect()
+    }
+    wanttg = {
+        r["id"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(n_tiles).over(W.partitionBy("g").orderBy(*order))
+        ).collect()
+    }
+    assert gottg == wanttg

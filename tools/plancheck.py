@@ -85,6 +85,7 @@ NESTED_LOOP_WAIVED = {
     "l22_mixture_sampling",  # 5-row rate table + 1-row totals
     "j12_bloom_prune_join",  # ONE 8 KB bitmap row crossJoin(broadcast)
     "l3l_pq_seeded_topk",  # 1-row seed-codebook + 10-row LUT broadcasts
+    "dq6_benford_deviation",  # 1-row digit-total crossJoin(broadcast)
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
