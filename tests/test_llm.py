@@ -277,3 +277,45 @@ def test_pq_rerank_recall_at_5(spark, sf_dir):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"PQ+rerank recall@5 too low: {recall}"
+
+
+def test_kmeans_assignment_margins_exceed_cross_engine_drift(spark, sf_dir):
+    """ADVICE r2: the l3g/l3j argmin stability claim, asserted on the
+    fixture instead of assumed — for every vector, the gap between its
+    best and second-best centroid distance must exceed the worst-case
+    cross-engine float drift (sequential fold vs Arrow matmul
+    expansion vs DuckDB list functions, all ~1e-12 relative), so no
+    assignment can flip between engines. Ties at EXACTLY zero gap
+    (duplicate embeddings equidistant by construction) are excluded:
+    both engines break them identically by the (dist, cid) order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from meepo_spark.catalog import table
+    from meepo_spark.functions.vectors import sq_dist
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("sqd", "cid")
+    top2 = (
+        pts.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sq_dist(F.col("v"), F.col("cv")).alias("sqd"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    gaps = (
+        top2.groupBy("vec_id")
+        .agg((F.max("sqd") - F.min("sqd")).alias("gap"))
+        .filter(F.col("gap") > 0.0)  # exact ties break on cid, both engines
+        .agg(F.min("gap").alias("min_gap"))
+        .collect()[0]
+    )
+    # distances are O(10) here; 1e-9 absolute is ~1e-10 relative —
+    # >> the ~1e-12 summation-order drift, << the observed margins
+    assert gaps["min_gap"] > 1e-9, f"assignment margin {gaps['min_gap']} too small"
