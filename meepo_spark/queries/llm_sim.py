@@ -350,14 +350,17 @@ def l3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _cent, _inertia = kmeans_fit(
         emb, "vec_id", "embedding", k=8, iters=2
     )
-    total = emb.count()
+    # 1-row corpus count folded back via broadcast — no .count()
+    # driver sync splitting the DAG (the r1 q11/q15/q22 discipline)
+    total = emb.agg(F.count(F.lit(1)).cast("double").alias("__t"))
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
+        .crossJoin(F.broadcast(total))
         .select(
             "cluster",
             "n_members",
-            F.round(F.col("n_members") / F.lit(float(total)) + 1e-9, 4).alias(
+            F.round(F.col("n_members") / F.col("__t") + 1e-9, 4).alias(
                 "share"
             ),
         )

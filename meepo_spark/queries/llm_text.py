@@ -230,7 +230,9 @@ def l4f_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     — identical IEEE input on both engines, 4dp rounding absorbs libm
     ulp skew."""
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # 1-row corpus count folded back via broadcast — no .count()
+    # driver sync splitting the DAG (the r1 q11/q15/q22 discipline)
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     tok = d.select(
         "doc_id", "lang", F.explode(ws_tokens(F.col("text"))).alias("token")
     )
@@ -244,13 +246,14 @@ def l4f_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("doc_freq").alias("doc_freq"))
         .filter(F.col("tf") >= 3)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "lang",
             "token",
             "tf",
             "doc_freq",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 4
+                F.col("tf") * F.log(F.col("__n") / F.col("doc_freq")), 4
             ).alias("tfidf"),
         )
     )

@@ -435,3 +435,26 @@ def test_fixed_window_shapes_enumerate_by_bucket(spark):
     for name in ("l14_hybrid_retrieval", "g14_triangle_count"):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_no_driver_actions_in_query_bodies():
+    """Every graded query must build ONE logical plan — no .collect(),
+    .count(), .first(), .head(), or .toPandas() driver syncs inside a
+    query body (the r1 scalar-collect class: a driver round-trip
+    splits the DAG and serializes the scan). Bounded driver collects
+    are permitted only in operators/ (quantizer training samples,
+    k-means seeds) where they are documented and size-capped."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path(__file__).parent.parent / "meepo_spark" / "queries"
+    bad = []
+    # empty-paren forms only: F.count(expr)/F.first(expr) are
+    # aggregate FUNCTIONS, not driver actions
+    pat = re.compile(r"\.(collect|toPandas)\(|\.(count|first|head)\(\s*\)")
+    for p in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#")[0]
+            if pat.search(code):
+                bad.append(f"{p.name}:{i}: {line.strip()}")
+    assert not bad, "driver actions in query bodies:\n" + "\n".join(bad)

@@ -86,6 +86,9 @@ NESTED_LOOP_WAIVED = {
     "j12_bloom_prune_join",  # ONE 8 KB bitmap row crossJoin(broadcast)
     "l3l_pq_seeded_topk",  # 1-row seed-codebook + 10-row LUT broadcasts
     "dq6_benford_deviation",  # 1-row digit-total crossJoin(broadcast)
+    # r3 .count() driver-sync removals -> 1-row count crossJoin(broadcast):
+    "l3g_kmeans_clusters",
+    "l4f_tfidf_terms",
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
