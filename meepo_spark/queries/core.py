@@ -441,3 +441,58 @@ def f12_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("n_nullsafe_hits"),
     )
+
+@register(
+    "f15_collation",
+    # UTF8_LCASE equality for ASCII == equality of lower(); the oracle
+    # groups by lower() and must see the identical census.
+    oracle="""
+    WITH styled AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                    ELSE p_brand END AS b
+        FROM part
+    )
+    SELECT lower(b) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_case_variants
+    FROM styled GROUP BY lower(b)
+    """,
+)
+def f15_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: collation-aware grouping (Spark 4 `collate`) — the brand
+    column is deliberately case-mangled (every even partkey
+    uppercased), then grouped under UTF8_LCASE so case variants
+    reunify WITHOUT rewriting the data. The census reports each
+    case-insensitive group's size and how many raw spellings it
+    absorbed — the mixed-feed normalization problem (same vendor
+    spelled three ways) solved at the comparison layer instead of
+    with lower() scattered through every predicate.
+
+    The output key is lower()ed explicitly because a collated
+    group's REPRESENTATIVE is whichever spelling a task saw first —
+    nondeterministic across partitionings; the collation defines
+    equality, not canonical form. Pure map-side projection + one
+    hash aggregate (collation comparisons run in codegen)."""
+    styled = table(spark, sf_dir, "part").select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper(F.col("p_brand"))
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("b")
+    )
+    keyed = styled.select(
+        F.collate(F.col("b"), "UTF8_LCASE").alias("k"),
+        F.col("b").alias("raw"),  # stays UTF8_BINARY for variant count
+    )
+    return (
+        keyed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("raw").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.collate(F.col("k"), "UTF8_BINARY")).alias("brand_ci"),
+            "n_parts",
+            "n_case_variants",
+        )
+    )
