@@ -964,3 +964,69 @@ def e7_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+@register(
+    "t15_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    held AS (
+        SELECT event_type,
+               CAST(date_diff('second', ts, nxt) AS BIGINT) AS dt,
+               value
+        FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(dt) AS BIGINT) AS held_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt) AS DOUBLE)
+                 / SUM(dt) + 1e-9, 4) AS twap
+    FROM held
+    WHERE dt > 0
+    GROUP BY event_type
+    """,
+)
+def t15_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: time-weighted average value (TWAP) — each observation's
+    value is weighted by how long it was the LATEST observation for
+    its user (LEAD gap), then averaged per event type. The standard
+    fix for irregular sampling, where a plain AVG over-counts bursts:
+    financial TWAP, sensor duty-cycle averaging, state-dwell-time
+    analytics are all this shape.
+
+    Scale shape: one LEAD window keyed by user_id (high cardinality —
+    spreads across the cluster; never a tiny-key partition), then a
+    5-row aggregate. Weights are integer seconds and the weighted sum
+    runs in DECIMAL, so the single rounded division is the only
+    float. Zero-length gaps (same-second events) are excluded
+    identically on both engines by the integer dt > 0 cut."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", "value", "ts",
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    held = seq.filter(F.col("nxt").isNotNull()).select(
+        "event_type",
+        (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).alias("dt"),
+        "value",
+    )
+    return (
+        held.filter(F.col("dt") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum("dt").alias("held_seconds"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt"))
+                .cast("double")
+                / F.sum("dt")
+                + 1e-9,
+                4,
+            ).alias("twap"),
+        )
+    )

@@ -249,3 +249,84 @@ def u2_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     return d.groupBy("lang").applyInPandas(scale, "lang string, doc_id long, scaled double")
+
+@register(
+    "u6_cogrouped_map",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+        FROM orders WHERE o_custkey < 500 GROUP BY 1
+    ),
+    c AS (
+        SELECT c_custkey AS k, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+        FROM customer WHERE c_custkey < 500
+    )
+    SELECT c.k AS custkey, c.c_mktsegment AS segment,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(ROUND(COALESCE(o.spend, 0) - c.bal, 2) AS DOUBLE)
+               AS spend_minus_bal
+    FROM c LEFT JOIN o ON o.k = c.k
+    """,
+)
+def u6_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: co-grouped map (`cogroup(...).applyInPandas`) — both sides
+    of a key are delivered to ONE Python kernel as two pandas frames
+    (FlatMapCoGroupsInPandas): the API for per-key reconciliation
+    logic that needs full visibility of both sides at once
+    (merge_asof per key, per-entity ledger matching, custom
+    conflation). Here each customer's orders are reconciled against
+    the account row — integer/decimal arithmetic, so the pandas
+    output is bit-identical to the relational oracle.
+
+    The honest scale note mirrors u2: when the per-key logic IS
+    relational (as this demo deliberately is), the join wins — no
+    Python boundary, no both-sides-of-key-in-memory constraint.
+    cogroup is for when it isn't. One shuffle per side on the key;
+    the 500-key probe bound keeps the graded run constant-cost at
+    any corpus scale. Completes the Arrow ladder u1-u6."""
+    import pandas as pd
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+        )
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            F.col("c_custkey").alias("k"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(18,6)").alias("bal"),
+        )
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:  # no customer row for this key: nothing to emit
+            return pd.DataFrame(
+                columns=["custkey", "segment", "n_orders", "spend_minus_bal"]
+            )
+        row = right.iloc[0]
+        spend = left["price"].sum() if not left.empty else 0
+        return pd.DataFrame(
+            {
+                "custkey": [int(row["k"])],
+                "segment": [row["c_mktsegment"]],
+                "n_orders": [len(left)],
+                "spend_minus_bal": [float(round(spend - row["bal"], 2))],
+            }
+        )
+
+    return (
+        o.groupBy("k")
+        .cogroup(c.groupBy("k"))
+        .applyInPandas(
+            reconcile,
+            "custkey long, segment string, n_orders long, spend_minus_bal double",
+        )
+    )

@@ -136,6 +136,7 @@ PY_KINDS = (
     "ArrowEvalPython",
     "BatchEvalPython",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
     "MapInPandas",
     "MapInArrow",
     "FlatMapGroupsInPandasWithState",
