@@ -307,15 +307,38 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tiebreak = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
-    nn = l.filter(F.col("disc").isNotNull())
-    cents = F.round(F.col("disc") * 100).cast("int")
-    nn = bucketed_row_number(
-        nn, cents, [F.col("disc").asc(), *tiebreak],
-        ("l_returnflag",), "ra", bucket_asc=True,
+    # Both non-null orderings share the cents bucketing, so ONE count
+    # aggregate serves both: asc offsets are the running sum of
+    # counts BEFORE the bucket, desc offsets the running sum AFTER —
+    # and the two within-bucket ranks are two windows over the SAME
+    # (flag, bucket) partitioning, i.e. one shuffle, not two
+    # bucketed_row_number passes (o6 was the bench's worst query).
+    nn = l.filter(F.col("disc").isNotNull()).withColumn(
+        "__b", F.round(F.col("disc") * 100).cast("int")
     )
-    nn = bucketed_row_number(
-        nn, cents, [F.col("disc").desc(), *tiebreak],
-        ("l_returnflag",), "rb", bucket_asc=False,
+    counts = nn.groupBy("l_returnflag", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    off_a = (
+        W.partitionBy("l_returnflag").orderBy(F.col("__b").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off_d = (
+        W.partitionBy("l_returnflag").orderBy(F.col("__b").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "l_returnflag", "__b",
+        F.coalesce(F.sum("__n").over(off_a), F.lit(0)).alias("__offa"),
+        F.coalesce(F.sum("__n").over(off_d), F.lit(0)).alias("__offd"),
+    )
+    in_part = W.partitionBy("l_returnflag", "__b")
+    ra_w = in_part.orderBy(F.col("disc").asc(), *tiebreak)
+    rb_w = in_part.orderBy(F.col("disc").desc(), *tiebreak)
+    nn = nn.join(F.broadcast(offsets), ["l_returnflag", "__b"]).select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "disc",
+        (F.row_number().over(ra_w) + F.col("__offa")).alias("ra"),
+        (F.row_number().over(rb_w) + F.col("__offd")).alias("rb"),
     )
     nl = bucketed_row_number(
         l.filter(F.col("disc").isNull()),
