@@ -235,23 +235,36 @@ def m3_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from meepo_spark.operators.enumeration import bucketed_ntile
 
-    scored = bucketed_ntile(
-        cm, -F.datediff("last_day", F.lit("1970-01-01")),
-        [F.col("last_day").desc(), F.col("o_custkey")], 4, out="r4",
+    # Three INDEPENDENT quartile branches joined back on custkey —
+    # chaining the ntiles instead makes each one's count/range
+    # branches recompute all previous enumeration machinery (the
+    # chained plan referenced the orders scan 67 times). Each branch
+    # sees the identical unpruned cm subplan, so AQE reuses one
+    # customer-aggregate exchange across all three.
+    def tile(key_asc, order_cols, out):
+        return bucketed_ntile(cm, key_asc, order_cols, 4, out=out).select(
+            "o_custkey", out
+        )
+
+    r = tile(
+        -F.datediff("last_day", F.lit("1970-01-01")),
+        [F.col("last_day").desc(), F.col("o_custkey")], "r4",
     )
-    scored = bucketed_ntile(
-        scored, -F.col("freq"),
-        [F.col("freq").desc(), F.col("o_custkey")], 4, out="f4",
+    f = tile(-F.col("freq"), [F.col("freq").desc(), F.col("o_custkey")], "f4")
+    m = tile(
+        -F.col("monetary"), [F.col("monetary").desc(), F.col("o_custkey")], "m4"
     )
-    scored = bucketed_ntile(
-        scored, -F.col("monetary"),
-        [F.col("monetary").desc(), F.col("o_custkey")], 4, out="m4",
-    )
-    scored = scored.select(
-        "monetary",
-        F.col("r4").cast("int").alias("r"),
-        F.col("f4").cast("int").alias("f"),
-        F.col("m4").cast("int").alias("m"),
+    scored = (
+        cm.select("o_custkey", "monetary")
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .select(
+            "monetary",
+            F.col("r4").cast("int").alias("r"),
+            F.col("f4").cast("int").alias("f"),
+            F.col("m4").cast("int").alias("m"),
+        )
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
