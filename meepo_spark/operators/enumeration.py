@@ -51,6 +51,13 @@ def bucketed_row_number(
     rows that tie on the leading key must share a bucket — both hold
     automatically when the bucket is a deterministic function of that
     key (floor-division, md5 prefix, date_trunc).
+
+    ``bucket`` must be NON-NULL for every row: a NULL bucket groups in
+    the count branch but never matches the equi-join back, silently
+    DROPPING those rows. Callers with nullable keys must split the
+    null stratum out first and enumerate it separately (see
+    o6_null_ordering, which derives NULLS FIRST/LAST ranks
+    arithmetically from per-stratum enumerations).
     """
     part = list(part_cols)
     b = df.withColumn("__bkt", bucket)
@@ -95,6 +102,11 @@ def bucketed_ntile(
     function whenever order_cols is a total order. Used by
     m3_rfm_segments (global quartiles) and v11_equidepth_histogram
     (per-flag deciles).
+
+    ``key_asc`` must be NON-NULL for every row: a NULL key yields a
+    NULL pid, which ``F.least`` silently coerces into the top bucket
+    — NOT where NTILE's null ordering would place it. Split nullable
+    keys into strata first (the o6 pattern).
     """
     part = list(part_cols)
     k = key_asc.cast("double")

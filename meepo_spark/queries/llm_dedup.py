@@ -41,7 +41,8 @@ _PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         d = table(spark, sf_dir, "documents")
@@ -49,8 +50,16 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d, "text", "doc_id", threshold=0.6, shingle_k=3,
             num_hashes=96, bands=48,
         ).persist()
-        for k in [k for k in _PAIRS_CACHE if k != key]:
-            _PAIRS_CACHE.pop(k).unpersist()
+        # Evict only OTHER sessions' frames (same-session frames for a
+        # different sf_dir stay warm — the oracle gate interleaves
+        # SFs); their session may already be stopped, in which case
+        # the unpersist py4j call fails harmlessly (code-review r3).
+        for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
+            stale = _PAIRS_CACHE.pop(k)
+            try:
+                stale.unpersist()
+            except Exception:
+                pass  # owning SparkContext already stopped
         _PAIRS_CACHE[key] = df
     return df
 
@@ -89,7 +98,6 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs oracle is impossible and THIS plan is the point:
     shuffles are bounded by docs×shingles, docs×bands, and candidates.
     """
-    d = table(spark, sf_dir, "documents")
     pairs = _verified_pairs(spark, sf_dir)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),

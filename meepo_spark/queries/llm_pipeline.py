@@ -934,20 +934,22 @@ def l17_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch", "__b",
         F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
     )
-    # pos = within-bucket rank + bucket offset; pos<=5 needs off<5, so
+    # pos = within-bucket rank + bucket offset; pos<=k needs off<k, so
     # only ~1 bucket per epoch ever reaches the window — the WindowExec
-    # partition holds N/256 rows, not N.
+    # partition holds N/256 rows, not N. ONE constant drives both
+    # filters so the prune can never desync from the graded top-k.
+    top_k = 5
     rn_w = W.partitionBy("epoch", "__b").orderBy(
         F.col("__h").asc(), F.col("doc_id").asc()
     )
     return (
         b.join(F.broadcast(offsets), ["epoch", "__b"])
-        .filter(F.col("__off") < 5)
+        .filter(F.col("__off") < top_k)
         .select(
             "epoch", "doc_id",
             (F.row_number().over(rn_w) + F.col("__off")).cast("long").alias("pos"),
         )
-        .filter(F.col("pos") <= 5)
+        .filter(F.col("pos") <= top_k)
         .select("epoch", "pos", "doc_id")
     )
 
@@ -1052,8 +1054,14 @@ _L22_U = """((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 
               + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
               + 1.0) / 16777217.0"""
 
-_L22_W = ("CASE lang WHEN 'en' THEN 0.30 WHEN 'zh' THEN 0.20 "
-          "WHEN 'es' THEN 0.20 WHEN 'de' THEN 0.15 ELSE 0.15 END")
+# weights CAST to DOUBLE and multiplied in Spark's left-to-right
+# order — DuckDB otherwise folds 0.6 * n * 0.30 in exact DECIMAL,
+# which lands 1 ulp off Spark's double chain for ~45% of counts and
+# can flip an acceptance whose md5-uniform sits in the gap
+# (code-review r3 finding, verified numerically)
+_L22_W = ("CAST(CASE lang WHEN 'en' THEN 0.30 WHEN 'zh' THEN 0.20 "
+          "WHEN 'es' THEN 0.20 WHEN 'de' THEN 0.15 ELSE 0.15 END "
+          "AS DOUBLE)")
 
 
 @register(
@@ -1066,7 +1074,7 @@ _L22_W = ("CASE lang WHEN 'en' THEN 0.30 WHEN 'zh' THEN 0.20 "
     tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
     rates AS (
         SELECT lang, n_docs,
-               LEAST(1.0, 0.6 * tot.n * {_L22_W} / n_docs) AS rate
+               LEAST(CAST(1.0 AS DOUBLE), CAST(0.6 AS DOUBLE) * tot.n * {_L22_W} / n_docs) AS rate
         FROM counts CROSS JOIN tot
     ),
     accepted AS (

@@ -518,7 +518,7 @@ def e3_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with t, so per-bucket order + cross-bucket offsets = global order.
     b = deltas.withColumn("__b", F.date_trunc("hour", F.col("t")))
     counts = b.groupBy("event_type", "__b").agg(
-        F.sum("delta").alias("__bsum"), F.count(F.lit(1)).alias("__bn")
+        F.sum("delta").alias("__bsum")
     )
     off_w = (
         W.partitionBy("event_type").orderBy("__b")

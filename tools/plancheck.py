@@ -217,12 +217,18 @@ def audit(sf_dir: str) -> int:
         if "BatchEvalPython" in plan:
             flags.append("ROW-PYTHON")
         wflags = window_partition_flags(plan)
-        if "WindowGroupLimit" in plan:
-            # Catalyst two-leveled the rank-limited window (map-side
-            # partial top-k per key) — the tiny-key sort never sees the
-            # full input. Unpartitioned windows never get WGL, so keep
-            # those flags.
-            wflags = [f for f in wflags if f != "TINY-KEY-WINDOW"]
+        # Catalyst two-levels each rank-limited window with a
+        # Partial+Final WindowGroupLimit pair (map-side top-k per key
+        # — that tiny-key sort never sees the full input), so exempt
+        # AT MOST one TINY-KEY flag per WGL pair instead of stripping
+        # the whole plan: a second, non-rank-limited tiny-key window
+        # in the same plan stays flagged (code-review r3 finding).
+        # Unpartitioned windows never get WGL, so those always keep
+        # their flags.
+        n_wgl_windows = plan.count("WindowGroupLimit") // 2
+        for _ in range(n_wgl_windows):
+            if "TINY-KEY-WINDOW" in wflags:
+                wflags.remove("TINY-KEY-WINDOW")
         if wflags and name not in WINDOW_WAIVED:
             flags.extend(sorted(set(wflags)))
         if flags:
