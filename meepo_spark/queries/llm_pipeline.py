@@ -1145,3 +1145,64 @@ def l22_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_share"),
         )
     )
+
+@register(
+    "l23_quality_decile_budget",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               n_chars
+        FROM documents
+    ),
+    tiled AS (
+        SELECT doc_id, n_tok,
+               NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+        FROM scored
+    ),
+    agg AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM agg)
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, tokens,
+           ROUND(tokens * 1.0 / tot.t + 1e-9, 4) AS token_share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def l23_quality_decile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23: quality-decile token budgeting — rank the corpus into
+    global deciles by a quality key (length here; any scalar score
+    slots in) and report each decile's document count, token mass,
+    and share of the total budget. THE "keep the top X% by quality"
+    planning table a curation run consults before committing to a
+    filter threshold: it says what fraction of tokens each decile
+    costs, which l4d's per-doc scores alone do not.
+
+    Scale shape: the global NTILE comes from the shared bucketed
+    enumeration (operators/enumeration.bucketed_ntile — no
+    single-task sort; same machinery as m3/v11), the token count is
+    a map-side projection, and the report is a 10-row aggregate plus
+    a 1-row total broadcast."""
+    from meepo_spark.operators.enumeration import bucketed_ntile
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("n_tok"),
+        "n_chars",
+    )
+    tiled = bucketed_ntile(
+        d, -F.col("n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")], 10, out="decile",
+    )
+    agg = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )
+    tot = agg.agg(F.sum("tokens").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile", "n_docs", "tokens",
+        F.round(F.col("tokens") / F.col("t") + 1e-9, 4).alias("token_share"),
+    )

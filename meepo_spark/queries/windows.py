@@ -677,3 +677,55 @@ def w9_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_peers_within_500"),
         F.round(F.avg("c_acctbal").over(w) + F.lit(1e-9), 2).alias("peer_avg"),
     )
+
+@register(
+    "g15_decayed_engagement",
+    oracle="""
+    WITH scored AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+                    AS INT) // 7 AS age_weeks
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents >> LEAST(age_weeks, 62)) AS BIGINT)
+               AS decayed_cents,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents
+    FROM scored GROUP BY event_type
+    """,
+)
+def g15_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15: time-decayed engagement counters — each event's value is
+    halved per week of age (as of a fixed 2024-02-01 reference date),
+    the trending/feature-store primitive that keeps recent behavior
+    dominant without ever rescanning history. The decay ladder is
+    INTEGER: value in cents right-shifted by whole weeks of age, so
+    the aggregate is exact, mergeable, and engine-portable — no
+    exp()/pow() libm ulp drift, no float sum-order dependence (the
+    standard e^-λt form trades all three for smoothness; the shift
+    ladder is what you deploy when counters must reconcile exactly
+    across shards and replays).
+
+    Scale shape: pure map-side projection (date math + shift) feeding
+    one partial+final aggregate — the cheapest full-history screen;
+    incremental maintenance is one shift per week boundary. Shift
+    clamped to 62 to stay in BIGINT range at any age."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    age_weeks = (
+        F.datediff(F.lit("2024-02-01").cast("date"), F.to_date("ts")) / 7
+    ).cast("int")
+    scored = e.select(
+        "event_type",
+        cents.alias("cents"),
+        F.least(age_weeks, F.lit(62)).alias("w"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # SQL-level shiftright: the Python builder only accepts a
+        # literal shift amount
+        F.sum(F.expr("shiftright(cents, w)")).alias("decayed_cents"),
+        F.sum("cents").alias("raw_cents"),
+    )

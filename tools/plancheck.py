@@ -89,6 +89,7 @@ NESTED_LOOP_WAIVED = {
     # r3 .count() driver-sync removals -> 1-row count crossJoin(broadcast):
     "l3g_kmeans_clusters",
     "l4f_tfidf_terms",
+    "l23_quality_decile_budget",  # 1-row (lo,hi,N) + 1-row total broadcasts
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
@@ -113,6 +114,7 @@ WINDOW_WAIVED = {
     "l8_sequence_packing",     # per-lang offsets over the 1000x-reduced
                                # doc-id bucket aggregate
     "l21_classifier_auc",      # per-(source, score-bucket) prefix sums
+    "l23_quality_decile_budget",  # 32-row quality-bucket offsets
     # windows over distinct-value / calendar / fixed-grid frames:
     "o8_pareto_frontier",      # prefix-min over DISTINCT prices
     "v8_histogram",            # 20-row fixed-width bin aggregate
