@@ -9,6 +9,7 @@ blow-up).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
@@ -445,3 +446,83 @@ def j12_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+@register(
+    "j13_asof_nearest",
+    # The oracle is the direct band-join formulation (candidates within
+    # the tolerance, ranked by gap) — deliberately a DIFFERENT
+    # algorithm from the engine's union+window plan, so the hash match
+    # cross-checks the trick, not just reproduces it. Tie rules mirror
+    # last_value/first_value exactly: equal gaps prefer the backward
+    # (earlier) match; equal-ts backward candidates take the highest
+    # event_id, forward the lowest.
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT e.event_id AS error_id, e.user_id,
+                  p.event_id AS purchase_id,
+                  CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS gap_s,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.event_id
+                    ORDER BY ABS(date_diff('second', e.ts, p.ts)) ASC,
+                             (p.ts > e.ts) ASC,
+                             CASE WHEN p.ts <= e.ts THEN -p.event_id
+                                  ELSE p.event_id END ASC) AS rn
+           FROM e JOIN p
+             ON p.user_id = e.user_id
+            AND p.ts >= e.ts - INTERVAL 30 MINUTE
+            AND p.ts <= e.ts + INTERVAL 30 MINUTE)
+    SELECT error_id, user_id, purchase_id, gap_s
+    FROM cand WHERE rn = 1
+    """,
+)
+def j13_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: NEAREST-direction as-of join with tolerance — for every
+    error event, the closest purchase by the same user within ±30
+    minutes, ties to the earlier (backward) side: pandas
+    merge_asof(direction='nearest') semantics, which Spark has no
+    native operator for and j7 (backward-only) cannot express.
+
+    Scale shape: the union+dual-window plan — one shuffle keyed by
+    user_id carries BOTH event sets; the backward candidate is a
+    conditional last_value over the preceding frame, the forward a
+    conditional first_value over the following frame, and the winner
+    is a per-row arithmetic choice. Never the oracle's band join
+    (whose candidate set is |errors| x |purchases-in-window| — fine
+    for DuckDB at sf0.01, quadratic in burst density at 100 TB)."""
+    e = table(spark, sf_dir, "events")
+    side = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    both = e.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id", "user_id", "ts", side.alias("__side")
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("__side").asc(), F.col("event_id").asc()
+    )
+    is_p = F.col("__side") == 0
+    pstruct = F.when(is_p, F.struct("ts", "event_id"))
+    marked = both.select(
+        "event_id", "user_id", "ts", "__side",
+        F.last(pstruct, ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, -1))
+        .alias("__back"),
+        F.first(pstruct, ignorenulls=True)
+        .over(w.rowsBetween(1, W.unboundedFollowing))
+        .alias("__fwd"),
+    )
+    err = marked.filter(F.col("__side") == 1)
+    gb = F.unix_timestamp("ts") - F.unix_timestamp("__back.ts")  # >= 0
+    gf = F.unix_timestamp("__fwd.ts") - F.unix_timestamp("ts")  # > 0
+    back_ok = F.col("__back").isNotNull() & (gb <= 1800)
+    fwd_ok = F.col("__fwd").isNotNull() & (gf <= 1800)
+    pick_back = back_ok & (~fwd_ok | (gb <= gf))  # tie -> backward
+    return err.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.when(pick_back, F.col("__back.event_id"))
+        .when(fwd_ok, F.col("__fwd.event_id"))
+        .alias("purchase_id"),
+        F.when(pick_back, -gb).when(fwd_ok, gf).alias("gap_s"),
+    ).filter(F.col("purchase_id").isNotNull())
