@@ -624,3 +624,74 @@ def v12_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sd") / 100.0 + F.lit(1e-9), 2).alias("boot_se"),
         )
     )
+
+@register(
+    "v16_ab_proportion_ztest",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(c0 * 1.0 / n0 + 1e-9, 4) AS p0,
+           ROUND(c1 * 1.0 / n1 + 1e-9, 4) AS p1,
+           ROUND((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                 / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) + 1e-9, 4) AS z_stat
+    FROM stats
+    """,
+)
+def v16_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V16: two-proportion z-test — the A/B experiment readout
+    (conversion rate per arm + the pooled z statistic), computed from
+    per-user conversion flags with a deterministic hash-assignment
+    stand-in for the experiment bucketing (user_id parity). What an
+    experimentation platform runs per metric per day.
+
+    Scale shape: one per-user aggregate (map-side combine), then a
+    1-row arm census — every float op runs once on that single row.
+    sqrt is IEEE-correctly-rounded on both engines and the divisions
+    are identical left-to-right chains, so the statistic matches
+    bit-for-bit before the 4dp round."""
+    arms = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            # high-value purchases only: plain 'any purchase' converts
+            # ~100% of this fixture's users, collapsing the pooled
+            # variance to zero (sqrt(0) division)
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "converted")
+    )
+    stats = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return stats.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0 + 1e-9, 4).alias("p0"),
+        F.round(p1 + 1e-9, 4).alias("p1"),
+        F.round(z + 1e-9, 4).alias("z_stat"),
+    )

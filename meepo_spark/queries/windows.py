@@ -729,3 +729,60 @@ def g15_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("shiftright(cents, w)")).alias("decayed_cents"),
         F.sum("cents").alias("raw_cents"),
     )
+
+@register(
+    "g16_heavy_changers",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n1
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        GROUP BY user_id
+    ),
+    w2 AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n2
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        GROUP BY user_id
+    ),
+    joined AS (
+        SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
+               COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+        FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+    )
+    SELECT user_id, n1, n2, n2 - n1 AS delta
+    FROM joined
+    WHERE ABS(n2 - n1) >= 8
+    """,
+)
+def g16_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: period-over-period heavy changers — users whose weekly
+    event count moved by >= 8 between two adjacent weeks, including
+    appearances (n1=0) and disappearances (n2=0) via the full outer
+    join. The ops/abuse diagnostic behind 'who changed behavior the
+    most': churn candidates, bot onsets, incident blast radii.
+
+    Scale shape: each week reduces to a per-user count BEFORE the
+    join (map-side combine; the join input is |active users|, not
+    |events|), the two week scans are partition-prunable date
+    predicates, and the join is keyed on user_id — high cardinality,
+    AQE-coalesced. The absolute-delta gate is exact integers."""
+    e = table(spark, sf_dir, "events")
+
+    def week(lo: str, hi: str, out: str) -> DataFrame:
+        return (
+            e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    w1 = week("2024-01-08", "2024-01-15", "n1")
+    w2 = week("2024-01-15", "2024-01-22", "n2")
+    joined = w1.join(w2, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+        F.coalesce("n2", F.lit(0)).alias("n2"),
+    )
+    return joined.select(
+        "user_id", "n1", "n2", (F.col("n2") - F.col("n1")).alias("delta")
+    ).filter(F.abs(F.col("delta")) >= 8)
