@@ -635,3 +635,91 @@ def l19_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((frac >= 0.2).cast("int")).cast("long").alias("n_flagged"),
         F.round(F.avg(frac), 2).alias("avg_dup_frac"),
     )
+
+
+@register(
+    "l24_blocking_recall",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, n_chars // 50 AS len_bucket,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' '))) AS sh
+        FROM documents WHERE doc_id < 1000
+    ),
+    lens AS (SELECT doc_id, len(sh) AS ln, len_bucket FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT s.id_a, s.id_b,
+               CAST(la.len_bucket = lb.len_bucket AS INT) AS same_block
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+        WHERE s.c * 1.0 / (la.ln + lb.ln - s.c) >= 0.6
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(same_block) AS BIGINT) AS n_found,
+           CAST(COUNT(*) - SUM(same_block) AS BIGINT) AS n_missed,
+           ROUND(SUM(same_block) * 1.0 / COUNT(*) + 1e-9, 4) AS recall
+    FROM truth
+    """,
+)
+def l24_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: dedup-heuristic EVALUATION — the recall cost of l2c's
+    length-bucket blocking, measured against unblocked exact-Jaccard
+    truth on a bounded 1000-doc sample: of all true near-dup pairs
+    (J >= 0.6), how many share a length bucket and would be found by
+    the blocked detector. The evaluation primitive a pipeline runs
+    before trusting a cheap candidate generator; precision is 1 by
+    construction (blocked candidates are exact-verified), so recall
+    is the entire question.
+
+    Scale shape: truth on the SAMPLE is a postings join bounded by
+    the 1000-doc cut (constant cost at any corpus size — the sample
+    IS the evaluation set, as in any recall audit); blocking
+    membership is a projection on the joined lens rows; the verdict
+    is a 1-row fold of exact integers."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = d.select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        shingle_hash_set(F.col("text"), 3).alias("sh"),
+    )
+    lens = sh.select("doc_id", F.size("sh").alias("ln"), "len_bucket")
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = tok.select(F.col("doc_id").alias("id_a"), "s")
+    b = tok.select(F.col("doc_id").alias("id_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    la = lens.select(
+        F.col("doc_id").alias("id_a"), F.col("ln").alias("ln_a"),
+        F.col("len_bucket").alias("lb_a"),
+    )
+    lb = lens.select(
+        F.col("doc_id").alias("id_b"), F.col("ln").alias("ln_b"),
+        F.col("len_bucket").alias("lb_b"),
+    )
+    truth = (
+        shared.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .filter(
+            F.col("c") / (F.col("ln_a") + F.col("ln_b") - F.col("c")) >= 0.6
+        )
+        .select((F.col("lb_a") == F.col("lb_b")).cast("int").alias("same_block"))
+    )
+    found = F.sum("same_block")
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        found.alias("n_found"),
+        (F.count(F.lit(1)) - found).alias("n_missed"),
+        F.round(found / F.count(F.lit(1)) + 1e-9, 4).alias("recall"),
+    )

@@ -1030,3 +1030,78 @@ def t15_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+@register(
+    "t17_bounce_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR date_diff('second',
+                                      LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id),
+                                      ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM seq
+    ),
+    per_sess AS (
+        SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) + 1e-9, 4) AS bounce_rate,
+           ROUND(AVG(n_events) + 1e-9, 2) AS avg_session_events
+    FROM per_sess
+    """,
+)
+def t17_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17: sessionized bounce rate — sessions split on 30-minute
+    inactivity gaps (the batch form of T4's session window), a bounce
+    being a single-event session. The canonical web-analytics KPI,
+    and the batch cross-check for the streaming sessionizer
+    (streaming/stateful.py session_tracker uses the same gap rule).
+
+    Scale shape: gap detection and the session-id running sum are one
+    user-keyed window pass (high-cardinality key); session sizes are
+    a hash aggregate on (user, session); the KPI is a 1-row fold.
+    Ties at identical ts break on event_id in the gap LAG; the
+    running sum is order-insensitive within ties because new_sess is
+    0 for every tied row after the first."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    seq = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = seq.select(
+        "user_id",
+        F.sum("new_sess")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("sess_id"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        F.round(bounce / F.count(F.lit(1)) + 1e-9, 4).alias("bounce_rate"),
+        F.round(F.avg("n_events") + 1e-9, 2).alias("avg_session_events"),
+    )
