@@ -497,3 +497,61 @@ def dq6_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("t") - benford + 1e-9, 4).alias("deviation"),
         )
     )
+
+@register(
+    "dq8_completeness_profile",
+    oracle="""
+    SELECT 'c_acctbal' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(c_acctbal) AS BIGINT) AS n_present,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', COUNT(*), COUNT(c_name),
+           CAST(COUNT(DISTINCT c_name) AS BIGINT)
+    FROM customer
+    """,
+)
+def dq8_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ8: column completeness/cardinality profile — per column the
+    row count, non-null count, and exact distinct count, long-form.
+    The first query any data-quality platform runs on a new feed
+    (profiling before expectations), and the statistics ANALYZE
+    gathers for the optimizer.
+
+    Scale shape: ONE scan computes every per-column aggregate
+    together (count/count(col) pairs fuse into a single hash-free
+    global aggregate; the distincts each add an Expand leg — at
+    100 TB swap exact distincts for HLL sketches, the g3b contract),
+    then a zero-shuffle unpivot to long form."""
+    c = table(spark, sf_dir, "customer")
+    cols = ["c_acctbal", "c_mktsegment", "c_nationkey", "c_name"]
+    aggs = []
+    for col in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__r_{col}"),
+            F.count(col).alias(f"__p_{col}"),
+            F.countDistinct(col).alias(f"__d_{col}"),
+        ]
+    one = c.agg(*aggs)
+    rows = [
+        one.select(
+            F.lit(col).alias("col"),
+            F.col(f"__r_{col}").alias("n_rows"),
+            F.col(f"__p_{col}").alias("n_present"),
+            F.col(f"__d_{col}").alias("n_distinct"),
+        )
+        for col in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

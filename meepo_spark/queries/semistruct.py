@@ -374,3 +374,49 @@ def f14_datetime_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+@register(
+    "f17_map_hof",
+    # The oracle is the RELATIONAL formulation (GROUP BY + HAVING +
+    # arithmetic) of what the engine computes through map HOFs —
+    # a cross-check of the functions, not a re-implementation.
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(POWER(COUNT(*), 2) AS BIGINT) AS sq_count
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 3
+    """,
+)
+def f17_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: map higher-order functions — each user's per-type event
+    census built AS A MAP (map_from_entries), thresholded with
+    map_filter, squared with transform_values, and exploded back to
+    rows. The map-shaped feature-store idiom (one row per entity, a
+    map column of per-key stats) exercised end to end; the oracle is
+    the equivalent relational aggregate, so the hash match proves the
+    HOF pipeline preserves exactly the relational semantics.
+
+    Scale shape: one (user, type) hash aggregate (map-side combine),
+    then per-user maps of <= |event types| = 5 entries — the map ops
+    are narrow projections in codegen; the final explode restores
+    row grain without a shuffle."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    transformed = maps.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda k, v: v >= 3),
+            lambda k, v: v * v,
+        ).alias("sq"),
+    )
+    return transformed.select(
+        "user_id", F.explode("sq").alias("event_type", "sq_count")
+    ).select("user_id", "event_type", F.col("sq_count").cast("long").alias("sq_count"))
