@@ -13,6 +13,12 @@ bucketed plan spreads across buckets.
 Measured 2026-08-14 (local[32], 128 GiB): 19.2M rows (32x) ->
 naive 27.3 s, bucketed 9.4 s (2.9x); both verified hash-identical by
 tests/test_properties.py::test_bucketed_enumeration_equals_window_functions.
+Same session, the TINY-KEY variant (running count partitioned by the
+3-value l_returnflag — the e3/g11/v11 class — vs the two-level
+per-(key, bucket) + broadcast-offset composition) at 38.4M rows
+(64x): naive 46.5 s, two-level 21.9 s (2.1x) — with only 3 keys the
+"keyed" window is a near-global sort and the gap again lower-bounds
+the cluster benefit.
 
 Usage: python tools/enumeration_scaling.py [sf_dir] [replication]
 """
@@ -68,10 +74,58 @@ def main() -> None:
         )
     )
     bucketed = time.perf_counter() - t0
+    print(
+        f'{{"mode": "global", "rows": {n}, "naive_s": {naive:.1f},'
+        f' "bucketed_s": {bucketed:.1f}, "speedup": {naive / bucketed:.2f}}}'
+    )
+
+    # tiny-key variant: running count per 3-value l_returnflag
+    li3 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+    big3 = (
+        li3.crossJoin(rep)
+        .select(
+            "l_returnflag",
+            (F.col("l_orderkey") + F.col("r") * 10_000_000).alias("k"),
+            "l_linenumber",
+        )
+        .persist()
+    )
+    n3 = big3.count()
+    w = (
+        W.partitionBy("l_returnflag").orderBy("k", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    t0 = time.perf_counter()
+    _force(big3.withColumn("rs", F.count(F.lit(1)).over(w)))
+    naive3 = time.perf_counter() - t0
+    b = big3.withColumn("__b", F.floor(F.col("k") / 1_000_000))
+    counts = b.groupBy("l_returnflag", "__b").agg(F.count(F.lit(1)).alias("n"))
+    off_w = (
+        W.partitionBy("l_returnflag").orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "l_returnflag", "__b",
+        F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off"),
+    )
+    in_w = (
+        W.partitionBy("l_returnflag", "__b").orderBy("k", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    t0 = time.perf_counter()
+    _force(
+        b.join(F.broadcast(offs), ["l_returnflag", "__b"]).withColumn(
+            "rs", F.count(F.lit(1)).over(in_w) + F.col("off")
+        )
+    )
+    two = time.perf_counter() - t0
+    big3.unpersist()
     big.unpersist()
     print(
-        f'{{"rows": {n}, "naive_s": {naive:.1f}, "bucketed_s": {bucketed:.1f},'
-        f' "speedup": {naive / bucketed:.2f}}}'
+        f'{{"mode": "tiny_key", "rows": {n3}, "naive_s": {naive3:.1f},'
+        f' "two_level_s": {two:.1f}, "speedup": {naive3 / two:.2f}}}'
     )
 
 
