@@ -385,54 +385,18 @@ def j12_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join runtime filter when the fact >> dim selectivity. The
     bit math is pure codegen; the exact semi join stays broadcast
     (dim-bounded build side)."""
+    from meepo_spark.operators.bloom import bloom_build, bloom_prune
+
     o = table(spark, sf_dir, "orders")
     hot = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "AUTOMOBILE")
         .select("c_custkey")
     )
-
-    def positions(key):
-        h = F.md5(key.cast("string"))
-        return [
-            F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long")
-            for i in range(3)
-        ]
-
-    pos = hot.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("p"))
-    words = (
-        pos.select(
-            F.expr("cast(shiftright(p, 6) as int)").alias("w"),
-            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(b)").alias("bits"))
-    )
-    bloom = (
-        words.agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("w", "bits")))
-            ).alias("m")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(1023)),
-                lambda i: F.coalesce(
-                    F.try_element_at(F.col("m"), i), F.lit(0).cast("long")
-                ),
-            ).alias("__bloom")
-        )
-    )
-    probe = o.crossJoin(F.broadcast(bloom))
-    for i, p in enumerate(positions(F.col("o_custkey"))):
-        probe = probe.withColumn(f"__p{i}", p)
-    hit = " AND ".join(
-        f"(shiftright(element_at(__bloom, cast(shiftright(__p{i}, 6) as int) + 1),"
-        f" cast(__p{i} % 64 as int)) & 1) = 1"
-        for i in range(3)
-    )
-    pruned = probe.filter(F.expr(hit)).select(
-        "o_custkey", "o_orderpriority", "o_totalprice"
+    bloom = bloom_build(hot, "c_custkey")
+    pruned = bloom_prune(
+        o.select("o_custkey", "o_orderpriority", "o_totalprice"),
+        "o_custkey", bloom,
     )
     return (
         pruned.join(

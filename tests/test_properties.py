@@ -270,3 +270,32 @@ def test_bucketed_enumeration_equals_window_functions(spark, n, n_tiles, dup_eve
         ).collect()
     }
     assert gottg == wanttg
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_hot=st.integers(min_value=1, max_value=400),
+    n_probe=st.integers(min_value=1, max_value=600),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_bloom_filter_never_false_negative(spark, n_hot, n_probe, seed):
+    """operators/bloom: the safety contract of a runtime filter — a
+    key that was built into the bloom must ALWAYS pass the probe (a
+    false negative silently drops join rows; false positives are
+    merely wasted work for the exact join that follows). Checked for
+    arbitrary hot sets and an FP-rate sanity bound at the default
+    (65536 bits, k=3) sizing."""
+    from meepo_spark.operators.bloom import bloom_build, bloom_prune
+
+    hot = spark.range(seed, seed + n_hot).select(F.col("id").alias("k"))
+    bloom = bloom_build(hot, "k")
+    # every hot key must survive its own filter
+    survivors = bloom_prune(hot, "k", bloom).count()
+    assert survivors == n_hot, "false negative: built key failed the probe"
+    # disjoint probe keys: FP rate must stay far under 50% at default
+    # sizing (expected ~ (3*n_hot/65536)^3, i.e. << 1%)
+    cold = spark.range(seed + 500_000, seed + 500_000 + n_probe).select(
+        F.col("id").alias("k")
+    )
+    fp = bloom_prune(cold, "k", bloom).count()
+    assert fp <= max(1, n_probe // 2), f"implausible FP count {fp}/{n_probe}"
