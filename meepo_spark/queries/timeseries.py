@@ -1105,3 +1105,58 @@ def t17_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bounce / F.count(F.lit(1)) + 1e-9, 4).alias("bounce_rate"),
         F.round(F.avg("n_events") + 1e-9, 2).alias("avg_session_events"),
     )
+
+@register(
+    "e9_conversion_lag",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    lags AS (
+        SELECT CAST(date_diff('second', t_signup, t_purchase) AS BIGINT)
+                   AS lag_s
+        FROM per_user
+        WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+          AND t_purchase > t_signup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+           ROUND(quantile_cont(lag_s, 0.50), 1) AS p50_lag_s,
+           ROUND(quantile_cont(lag_s, 0.90), 1) AS p90_lag_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+    FROM lags
+    """,
+)
+def e9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: conversion latency — seconds from first signup to first
+    subsequent purchase per user, summarized as count/min/median/p90/
+    max. The activation-funnel timing readout (how long until users
+    convert) that e1's step counts don't carry.
+
+    Scale shape: one per-user conditional-MIN aggregate (map-side
+    combine, no joins), then a global percentile over INTEGER seconds
+    — exact interpolation over integers is bit-stable across engines
+    (the v4 rule), and the percentile aggregate's state is bounded by
+    the distinct-lag-value domain, not the user count."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    lags = per_user.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")).alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.50)), 1).alias("p50_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.90)), 1).alias("p90_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )
