@@ -33,11 +33,25 @@ __all__ = ["bloom_build", "bloom_prune", "bloom_positions", "BLOOM_COL"]
 BLOOM_COL = "__bloom"
 
 
+def _hex_digits(n_bits: int) -> int:
+    """Hex digits per hash so positions cover [0, n_bits): 4 digits =
+    16 bits address 65536; undersizing the slice silently caps the
+    usable bitmap (code-review r3b: n_bits > 65536 with 4-digit
+    slices never set the upper bits — FP rate stays at the 65536
+    level while the broadcast grows)."""
+    d = 1
+    while (1 << (4 * d)) < n_bits:
+        d += 1
+    return d
+
+
 def bloom_positions(key: Column, n_bits: int, k: int) -> list[Column]:
     """``k`` positions in [0, n_bits) from disjoint md5 hex slices."""
+    d = _hex_digits(n_bits)
+    assert k * d <= 32, f"md5 budget exceeded: {k} hashes x {d} hex digits"
     h = F.md5(key.cast("string"))
     return [
-        F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long") % n_bits
+        F.conv(F.substring(h, 1 + d * i, d), 16, 10).cast("long") % n_bits
         for i in range(k)
     ]
 
@@ -47,7 +61,7 @@ def bloom_build(
 ) -> DataFrame:
     """1-row DataFrame holding the dense ``n_bits``-bit bitmap
     (``BLOOM_COL``: array of ``n_bits/64`` longs) over ``keys``."""
-    assert n_bits % 64 == 0 and 4 * k <= 32, "md5 budget: 4 hex chars/hash"
+    assert n_bits % 64 == 0, "bitmap must be whole 64-bit words"
     pos = keys.select(
         F.explode(
             F.array(*bloom_positions(F.col(key_col), n_bits, k))

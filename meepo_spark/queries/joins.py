@@ -431,7 +431,11 @@ def j12_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS gap_s,
                   ROW_NUMBER() OVER (
                     PARTITION BY e.event_id
-                    ORDER BY ABS(date_diff('second', e.ts, p.ts)) ASC,
+                    -- full-microsecond gap: ranking on truncated
+                    -- seconds ties purchases the engine's
+                    -- full-precision window order distinguishes
+                    -- (code-review r3b finding #2)
+                    ORDER BY ABS(date_diff('microsecond', e.ts, p.ts)) ASC,
                              (p.ts > e.ts) ASC,
                              CASE WHEN p.ts <= e.ts THEN -p.event_id
                                   ELSE p.event_id END ASC) AS rn
@@ -477,16 +481,24 @@ def j13_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__fwd"),
     )
     err = marked.filter(F.col("__side") == 1)
-    gb = F.unix_timestamp("ts") - F.unix_timestamp("__back.ts")  # >= 0
-    gf = F.unix_timestamp("__fwd.ts") - F.unix_timestamp("ts")  # > 0
-    back_ok = F.col("__back").isNotNull() & (gb <= 1800)
-    fwd_ok = F.col("__fwd").isNotNull() & (gf <= 1800)
-    pick_back = back_ok & (~fwd_ok | (gb <= gf))  # tie -> backward
+    # band + nearest comparisons in FULL microseconds — truncated
+    # seconds admitted edge purchases the oracle's INTERVAL band
+    # excludes and tied sub-second-distinct candidates (code-review
+    # r3b findings #1/#2); the REPORTED gap stays whole seconds
+    # (difference of epoch floors == DuckDB date_diff('second')).
+    gb_us = F.unix_micros("ts") - F.unix_micros("__back.ts")  # >= 0
+    gf_us = F.unix_micros("__fwd.ts") - F.unix_micros("ts")  # > 0
+    tol = 1800 * 1_000_000
+    back_ok = F.col("__back").isNotNull() & (gb_us <= tol)
+    fwd_ok = F.col("__fwd").isNotNull() & (gf_us <= tol)
+    pick_back = back_ok & (~fwd_ok | (gb_us <= gf_us))  # tie -> backward
+    gb_s = F.unix_timestamp("ts") - F.unix_timestamp("__back.ts")
+    gf_s = F.unix_timestamp("__fwd.ts") - F.unix_timestamp("ts")
     return err.select(
         F.col("event_id").alias("error_id"),
         "user_id",
         F.when(pick_back, F.col("__back.event_id"))
         .when(fwd_ok, F.col("__fwd.event_id"))
         .alias("purchase_id"),
-        F.when(pick_back, -gb).when(fwd_ok, gf).alias("gap_s"),
+        F.when(pick_back, -gb_s).when(fwd_ok, gf_s).alias("gap_s"),
     ).filter(F.col("purchase_id").isNotNull())

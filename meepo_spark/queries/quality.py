@@ -542,16 +542,14 @@ def dq8_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(col).alias(f"__d_{col}"),
         ]
     one = c.agg(*aggs)
-    rows = [
-        one.select(
-            F.lit(col).alias("col"),
-            F.col(f"__r_{col}").alias("n_rows"),
-            F.col(f"__p_{col}").alias("n_present"),
-            F.col(f"__d_{col}").alias("n_distinct"),
+    # stack() melts the 1-row aggregate in ONE Generate — a 4-way
+    # unionByName of selects duplicated the aggregate subplan 4x and
+    # left single-scan behavior to ReuseExchange (code-review r3b)
+    stack = ", ".join(
+        f"'{col}', __r_{col}, __p_{col}, __d_{col}" for col in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_rows, n_present, n_distinct)"
         )
-        for col in cols
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )

@@ -331,17 +331,29 @@ def test_verified_pairs_cache_reuses_materialized_frame(spark, sf_dir):
 
     from meepo_spark.queries.llm_dedup import _PAIRS_CACHE, _verified_pairs
 
-    _PAIRS_CACHE.clear()
-    a = _verified_pairs(spark, sf_dir)
-    n = a.count()  # materialize the persisted frame
-    b = _verified_pairs(spark, sf_dir)
-    assert a is b, "repeat call must return the cached frame"
-    plan = b.filter(F.col("jaccard") >= 0.6)._sc._jvm.PythonSQLUtils.explainString(
-        b._jdf.queryExecution(), "formatted"
-    )
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
-    assert n == b.count()
-    # a different sf_dir is a different cache entry, not a collision
-    other = _verified_pairs(spark, sf_dir + "/")
-    assert other is not b
-    _PAIRS_CACHE.clear()
+    def _drain():
+        # unpersist on clear: bare .clear() would leak persisted
+        # blocks with no reachable handle (code-review r3b)
+        for df in _PAIRS_CACHE.values():
+            df.unpersist()
+        _PAIRS_CACHE.clear()
+
+    _drain()
+    try:
+        a = _verified_pairs(spark, sf_dir)
+        n = a.count()  # materialize the persisted frame
+        b = _verified_pairs(spark, sf_dir)
+        assert a is b, "repeat call must return the cached frame"
+        # the DOWNSTREAM plan must read the cache (inspect the derived
+        # frame, not b's own plan — code-review r3b)
+        derived = b.filter(F.col("jaccard") >= 0.6)
+        plan = derived._sc._jvm.PythonSQLUtils.explainString(
+            derived._jdf.queryExecution(), "formatted"
+        )
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        assert n == b.count()
+        # a different sf_dir is a different cache entry, not a collision
+        other = _verified_pairs(spark, sf_dir + "/")
+        assert other is not b
+    finally:
+        _drain()
