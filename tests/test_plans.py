@@ -458,3 +458,33 @@ def test_no_driver_actions_in_query_bodies():
             if pat.search(code):
                 bad.append(f"{p.name}:{i}: {line.strip()}")
     assert not bad, "driver actions in query bodies:\n" + "\n".join(bad)
+
+
+def test_l3l_adc_stage_scans_codes_only(spark):
+    """VERDICT r3 #1: the PQ ADC stage (crossJoin scan + per-query
+    shortlist window) must carry codes only — no float vector column
+    rides through the shuffle/window. The full-vector fetch happens
+    AFTER the top-20 shortlist, via an id join back to embeddings."""
+    from pyspark.sql.types import ArrayType
+
+    from meepo_spark.queries.llm_sim import _pq_seeded_shortlist
+
+    _, _, shortlist = _pq_seeded_shortlist(spark, SF_DIR)
+    # schema: exactly the three scalar columns, no arrays anywhere
+    assert [f.name for f in shortlist.schema.fields] == ["q_id", "c_id", "adc"]
+    assert not any(isinstance(f.dataType, ArrayType) for f in shortlist.schema)
+
+    # plan: the shortlist Window's input must not include the raw
+    # embedding or the decoded vector columns
+    plan = plan_of(shortlist)
+    blocks = plan.split("\n\n")
+    win_inputs = [
+        line
+        for b in blocks
+        if ") Window" in b or ") WindowGroupLimit" in b
+        for line in b.splitlines()
+        if line.startswith("Input")
+    ]
+    assert win_inputs, "no Window operator found in shortlist plan"
+    for line in win_inputs:
+        assert "embedding" not in line and " v#" not in line and "qv#" not in line, line
