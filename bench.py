@@ -119,10 +119,28 @@ def main() -> None:
         "families": dict(sorted(families.items())),
         "queries": per_query,
     }
-    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    bench_path = os.path.join(here, "BENCH.json")
     with open(bench_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=False)
         fh.write("\n")
+
+    # VERDICT r3 #2: keep every run's FULL per-query map (the driver's
+    # compact line only carries worst-5, which made the 129-vs-158 s
+    # run-band unresolvable). One JSONL line per bench run — including
+    # the driver's own post-round run — so cross-round comparisons are
+    # per-query against real history, not totals against a band.
+    hist = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "sf": sf,
+        "runs": runs,
+        "total": total,
+        "median": med,
+        "failed": failed,
+        "queries": per_query,
+    }
+    with open(os.path.join(here, "BENCH_history.jsonl"), "a") as fh:
+        fh.write(json.dumps(hist) + "\n")
 
     compact = dict(full)
     compact["queries"] = worst5  # keep the printed line well under driver capture
