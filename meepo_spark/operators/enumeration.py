@@ -32,7 +32,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_row_number", "bucketed_ntile"]
+__all__ = ["bucketed_row_number", "bucketed_ntile", "bucketed_prefix_sum"]
+
+# ADVICE r3 #2 — hard contract on every helper in this module: the
+# bucket expression must yield at most MAX_BUCKETS distinct values per
+# part_cols group (fixed-width divisions of a bounded domain, md5
+# prefixes, calendar truncations all qualify). The offsets frame is
+# F.broadcast-hinted under that bound (<= a few MB); a data-growing
+# bucket expression (e.g. a raw key) would make the hint a driver-OOM
+# risk, so callers must divide by a width that caps the count.
+MAX_BUCKETS = 65536
 
 
 def bucketed_row_number(
@@ -145,3 +154,82 @@ def bucketed_ntile(
     return ranked.withColumn(out, tile).drop(
         "__pid", "__off", "__rn", "__lo", "__hi", "__N"
     )
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: Sequence[Column],
+    vals: dict[str, str],
+    part_cols: Sequence[str] = (),
+    frame_end: int = 0,
+    totals: bool = False,
+    tot_suffix: str = "_tot",
+) -> DataFrame:
+    """Running SUMs without the single-task (or tiny-key) sort: for
+    each ``out: src`` in ``vals``, adds ``out`` = SUM(src) OVER
+    (PARTITION BY part_cols ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING .. ``frame_end``) — ``frame_end=0`` is CURRENT ROW
+    (CDFs, cumulative weights), ``frame_end=-1`` is 1 PRECEDING
+    (rank-before counts, the Mann-Whitney shape).
+
+    Same discipline as :func:`bucketed_row_number`: per-(part, bucket)
+    value sums (tiny hash aggregate), a window over that bounded
+    bucket aggregate for the per-group running offsets (broadcast
+    back), then a per-(part, bucket) local cumsum — every wide stage
+    parallelizes across buckets. Added for VERDICT r4: the runtime
+    waiver audit caught g11/v13/l21 windowing over per-DISTINCT-value
+    frames that grow linearly with the fact (594k rows at sf0.1 for
+    g11's cents) — "distinct values" is NOT a bound for continuous
+    measures.
+
+    Contract: ``bucket`` monotone non-decreasing with the leading
+    order key, ties on the full ordering share a bucket, NON-NULL,
+    and <= MAX_BUCKETS distinct values per group; every ``src``
+    column must be non-null (the helper folds coalesce(sum, 0), so an
+    all-null PREFIX yields 0, not SQL's NULL).
+
+    With ``totals=True`` also joins (broadcast) per-group grand
+    totals as ``out + tot_suffix`` — replacing the
+    `SUM(x) OVER (PARTITION BY tiny_key)` full-frame window with a
+    second pass over the already-tiny bucket aggregate.
+    """
+    part = list(part_cols)
+    b = df.withColumn("__bkt", bucket)
+    sums = b.groupBy(*part, "__bkt").agg(
+        *[F.sum(src).alias(f"__s_{out}") for out, src in vals.items()]
+    )
+    off_w = (
+        (W.partitionBy(*part) if part else W)
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        *part,
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__s_{out}").over(off_w), F.lit(0)).alias(f"__o_{out}")
+            for out in vals
+        ],
+    )
+    res = b.join(F.broadcast(offsets), [*part, "__bkt"])
+    loc_w = (
+        W.partitionBy(*part, "__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, frame_end)
+    )
+    for out, src in vals.items():
+        res = res.withColumn(
+            out, F.coalesce(F.sum(src).over(loc_w), F.lit(0)) + F.col(f"__o_{out}")
+        )
+    res = res.drop("__bkt", *[f"__o_{out}" for out in vals])
+    if totals:
+        tot = sums.groupBy(*part).agg(
+            *[F.sum(f"__s_{out}").alias(out + tot_suffix) for out in vals]
+        )
+        res = (
+            res.join(F.broadcast(tot), part)
+            if part
+            else res.crossJoin(F.broadcast(tot))
+        )
+    return res

@@ -842,11 +842,15 @@ def l21_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, score) — the only pass over the corpus — then
     per-(source, score-bucket) prefix sums with broadcast bucket
     offsets give every tied score group its global cumulative count
-    without any single-partition sort. Here the per-source frames are
-    small enough that a per-source window is already parallel across
-    sources (20 independent partitions); the bucket decomposition in
-    o7 is what the same query uses when one ROC must rank a trillion
-    rows."""
+    without any single-partition sort. r4: the per-source window the
+    r3 version kept ("small enough") measured ~2 rows per DOC at
+    sf0.1 in the runtime waiver audit — scores are near-unique, so
+    per-source frames grow linearly with the corpus; the rank-before
+    count now comes from `bucketed_prefix_sum` over 1024-wide score
+    bands (frame_end=-1 = the Mann-Whitney cum-BEFORE shape), bounded
+    per window partition by construction."""
+    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+
     toks = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
     )
@@ -868,17 +872,14 @@ def l21_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.groupBy("source", "score").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("p")
     )
-    wb = (
-        W.partitionBy("source")
-        .orderBy("score")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    c = g.select(
-        "source",
-        "cnt",
-        "p",
-        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cb"),
-    )
+    c = bucketed_prefix_sum(
+        g,
+        bucket=F.floor(F.col("score") / 1024),
+        order_cols=[F.col("score").asc()],
+        vals={"cb": "cnt"},
+        part_cols=["source"],
+        frame_end=-1,
+    ).select("source", "cnt", "p", "cb")
     agg = c.groupBy("source").agg(
         F.sum("p").cast("bigint").alias("n_pos"),
         (F.sum("cnt") - F.sum("p")).cast("bigint").alias("n_neg"),

@@ -510,16 +510,22 @@ def g11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (cents, pk) is total, so the cumulative sums agree row for
     row.
 
-    Scale shape (r3): the fact reduces to one row per DISTINCT
-    (flag, cents) — a hash aggregate with map-side combine — before
-    any window runs; the per-flag cumulative sum then walks the
-    bounded price-value grid, not the fact. Exactness is preserved
-    because the crossing cents c* = min{c : 2*cum(<=c) >= tot} is
-    identical whether cum is accumulated per row or per distinct
-    value (all rows at one cents share the value; the per-row
-    crossing row's cents satisfies the per-value test and vice
-    versa). The old per-row window put ~1/3 of the fact through each
-    of 3 WindowExec tasks — the e3 trap."""
+    Scale shape (r4 — the r3 shape was a measured trap): the fact
+    reduces to one row per DISTINCT (flag, cents) first, but distinct
+    cents of a continuous price are NOT bounded — the r4 runtime
+    waiver audit measured 594k distinct rows at sf0.1 (~the whole
+    fact; the cents domain is ~10.4M values, so the per-flag window
+    walked fact-sized frames in 3 tasks). The cumulative weight now
+    comes from `bucketed_prefix_sum` over 32768-cent price bands:
+    per-(flag, band) weight sums (tiny agg), running band offsets
+    (window over <=321 bucket rows per flag), per-(flag, band) local
+    cumsum — each window partition is bounded by construction at
+    32768 distinct cents regardless of data size. Exactness is
+    preserved because the crossing cents c* = min{c : 2*cum(<=c) >=
+    tot} is identical whether cum is accumulated per row or per
+    distinct value."""
+    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+
     l = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
@@ -528,18 +534,15 @@ def g11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_value = l.groupBy("l_returnflag", "cents").agg(
         F.sum("qty").alias("w")
     )
-    w_cum = (
-        W.partitionBy("l_returnflag")
-        .orderBy(F.col("cents").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_tot = W.partitionBy("l_returnflag")
-    marked = per_value.select(
-        "l_returnflag",
-        "cents",
-        F.sum("w").over(w_cum).alias("cumw"),
-        F.sum("w").over(w_tot).alias("totw"),
-    )
+    marked = bucketed_prefix_sum(
+        per_value,
+        bucket=F.floor(F.col("cents") / 32768),
+        order_cols=[F.col("cents").asc()],
+        vals={"cumw": "w"},
+        part_cols=["l_returnflag"],
+        frame_end=0,
+        totals=True,
+    ).withColumnRenamed("cumw_tot", "totw")
     return marked.groupBy("l_returnflag").agg(
         F.round(
             F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))) / 100.0, 2

@@ -1,0 +1,152 @@
+"""Runtime audit of plancheck's WINDOW_WAIVED bounds (VERDICT r3 #3).
+
+Each waiver in ``tools/plancheck.py`` documents in prose why its
+flagged (unpartitioned / tiny-key) window runs over a BOUNDED input.
+Prose can rot: an edit that unbounds one (or a bound that was never
+true — this audit's first run caught g11 windowing over 594k
+"distinct cents" rows at sf0.1, ~the whole fact) must fail a test,
+not resurrect the single-task sort silently.
+
+Mechanism: execute every waived query at sf0.1 through its own
+QueryExecution (``toRdd().count()`` — no driver collect of rows),
+walk the final adaptive plan, classify each Window node with the same
+``window_partition_flags`` parser plancheck uses, and for each
+FLAGGED window measure its input cardinality from executed-plan SQL
+metrics — stopping at an explicit TakeOrderedAndProject / Limit,
+whose ``limit=k`` is the structural bound (those nodes carry no row
+metric; descending past them reads the pre-limit scan). The measured
+input must stay within the documented bound below.
+
+WAIVER_BOUNDS must cover WINDOW_WAIVED exactly: adding a waiver
+without a documented numeric bound fails the completeness test.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "tools"))
+
+from plancheck import WINDOW_WAIVED, window_partition_flags  # noqa: E402
+
+from meepo_spark.registry import QUERIES, load_all  # noqa: E402
+
+load_all()
+
+WAIVER_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_WAIVER_SF_DIR", "/root/testdata/sf0.1"
+)
+
+# Documented max input rows for each waived query's flagged windows at
+# sf0.1 (generous headroom over measured values; far below fact sizes
+# of 600k lineitem / 600k events / 5k docs so a collapse back to a
+# fact-sized window always trips). Explicit-limit windows record the
+# limit constant.
+WAIVER_BOUNDS: dict[str, int] = {
+    # running offsets over per-bucket aggregates (o7 discipline):
+    "o7_global_enumeration": 100,     # 32 equal-width key buckets
+    "m3_rfm_segments": 300,           # 3 x 32 quartile-rank buckets
+    "l17_epoch_shuffle": 2000,        # 3 epochs x 256 md5 prefixes
+    "e3_max_concurrency": 20_000,     # |types| x |hours| sweep buckets
+    "g11_weighted_median": 4000,      # <=321 32768-cent bands x 3 flags
+    "v11_equidepth_histogram": 500,   # 3 flags x 32 value buckets
+    "o6_null_ordering": 2000,         # per-(flag, bucket) offsets
+    "a8_replay_range": 2000,          # hour buckets in the replay range
+    "l8_sequence_packing": 2000,      # 1000x-reduced doc-id buckets
+    "l21_classifier_auc": 4000,       # 1024-wide score bands x sources
+    "l23_quality_decile_budget": 300, # 32 quality buckets
+    # windows over distinct-value / calendar / fixed-grid frames:
+    "o8_pareto_frontier": 25_000,     # DISTINCT retail prices (formula
+                                      # domain <=~120k values; 1000 @ sf0.1)
+    "v8_histogram": 100,              # 20 fixed-width bins
+    "v13_ks_test": 4000,              # 1024-cent bands x 5 types
+    "dq2_volume_anomaly": 400,        # one row per calendar day
+    # windows AFTER an explicit LIMIT-k / tiny-graph reduction:
+    "o1_global_sort_top100": 100,     # TakeOrdered(100)
+    "g14_triangle_count": 100,        # TakeOrdered(20)
+    "g10_pagerank_trade": 700,        # <=25-node nation graph
+    "l14_hybrid_retrieval": 100,      # two TakeOrdered(50) shortlists
+}
+
+_LIMIT_RE = re.compile(r"limit=(\d+)")
+
+
+def _metrics(node) -> dict:
+    out = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def _unwrap(node):
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return _unwrap(node.executedPlan())
+    if "QueryStage" in name:
+        return _unwrap(node.plan())
+    return node
+
+
+def _children(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.length())]
+
+
+def _windows(node, acc):
+    node = _unwrap(node)
+    if node.nodeName() == "Window":
+        acc.append(node)
+    for c in _children(node):
+        _windows(c, acc)
+    return acc
+
+
+def _input_rows(node):
+    """Rows flowing into a window: nearest descendant row metric, but
+    an explicit limit node IS the bound (no metric of its own)."""
+    node = _unwrap(node)
+    name = node.nodeName()
+    if "TakeOrderedAndProject" in name or "Limit" in name:
+        m = _LIMIT_RE.search(node.simpleString(50))
+        if m:
+            return int(m.group(1))
+    mets = _metrics(node)
+    for k in ("numOutputRows", "recordsRead", "shuffleRecordsWritten"):
+        if k in mets:
+            return mets[k]
+    for c in _children(node):
+        r = _input_rows(c)
+        if r is not None:
+            return r
+    return None
+
+
+def test_waiver_bounds_cover_waiver_list():
+    assert WAIVER_BOUNDS.keys() == WINDOW_WAIVED, (
+        "every WINDOW_WAIVED entry needs a documented numeric bound "
+        f"here; diff: {WAIVER_BOUNDS.keys() ^ WINDOW_WAIVED}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(WAIVER_BOUNDS))
+def test_waived_window_input_is_bounded(spark, name):
+    df = QUERIES[name](spark, WAIVER_SF_DIR)
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
+    flagged_inputs = []
+    for w in _windows(qe.executedPlan(), []):
+        if window_partition_flags(w.simpleString(500)):
+            flagged_inputs.append(_input_rows(_children(w)[0]))
+    bound = WAIVER_BOUNDS[name]
+    blown = [r for r in flagged_inputs if r is None or r > bound]
+    assert not blown, (
+        f"{name}: flagged window input(s) {flagged_inputs} exceed the "
+        f"documented bound {bound} at {WAIVER_SF_DIR} — the waiver's "
+        "'bounded input' premise no longer holds"
+    )

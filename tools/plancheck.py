@@ -107,18 +107,20 @@ WINDOW_WAIVED = {
     "m3_rfm_segments",         # 3 x 32 quartile-rank buckets
     "l17_epoch_shuffle",       # 3 epochs x 256 md5-prefix buckets
     "e3_max_concurrency",      # |types| x |hours| sweep-line buckets
-    "g11_weighted_median",     # per-flag offsets over DISTINCT cents
+    "g11_weighted_median",     # per-flag offsets over 32768-cent bands
+                               # (r4: distinct cents measured fact-sized)
     "v11_equidepth_histogram", # per-flag offsets over 32 value buckets
     "o6_null_ordering",        # per-(flag, bucket) offsets, dual order
     "a8_replay_range",         # per-hour-bucket replay offsets
     "l8_sequence_packing",     # per-lang offsets over the 1000x-reduced
                                # doc-id bucket aggregate
-    "l21_classifier_auc",      # per-(source, score-bucket) prefix sums
+    "l21_classifier_auc",      # per-source offsets over 1024-wide
+                               # score bands (bucketed_prefix_sum)
     "l23_quality_decile_budget",  # 32-row quality-bucket offsets
     # windows over distinct-value / calendar / fixed-grid frames:
     "o8_pareto_frontier",      # prefix-min over DISTINCT prices
     "v8_histogram",            # 20-row fixed-width bin aggregate
-    "v13_ks_test",             # per-(type, DISTINCT-cents) CDF grid
+    "v13_ks_test",             # per-type offsets over 1024-cent bands
     "dq2_volume_anomaly",      # one row per calendar day
     # windows AFTER a LIMIT-k / tiny-graph reduction:
     "o1_global_sort_top100",   # rank over the TakeOrdered 100-row frame
