@@ -36,8 +36,22 @@ _SHINGLES_SQL = """
 # was ~40% of the round-2 bench's l-family time (VERDICT r2 #6).
 # Keyed by (applicationId, sf_dir) so a new session or SF never sees
 # a stale frame; persisted MEMORY_AND_DISK (pair sets are tiny
-# relative to the corpus).
+# relative to the corpus). Capped at _PAIRS_CACHE_MAX_PER_APP live
+# sf_dirs per application (ADVICE r3 #4: an uncapped cache in a
+# long-lived session pinned every sf_dir it ever touched).
 _PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_PAIRS_CACHE_MAX_PER_APP = 3  # the three test SFs; LRU beyond that
+
+
+def _evict_pair_frame(key: tuple) -> None:
+    from py4j.protocol import Py4JError
+
+    stale = _PAIRS_CACHE.pop(key)
+    try:
+        stale.unpersist()
+    except (Py4JError, RuntimeError, AttributeError):
+        pass  # owning SparkContext already stopped — only that class
+        # of failure is expected here; anything else propagates
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,16 +64,14 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d, "text", "doc_id", threshold=0.6, shingle_k=3,
             num_hashes=96, bands=48,
         ).persist()
-        # Evict only OTHER sessions' frames (same-session frames for a
-        # different sf_dir stay warm — the oracle gate interleaves
-        # SFs); their session may already be stopped, in which case
-        # the unpersist py4j call fails harmlessly (code-review r3).
+        # Evict OTHER sessions' frames (their context may be stopped)
+        # and, within this session, the least-recent sf_dirs beyond
+        # the cap (dict preserves insertion order).
         for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
-            stale = _PAIRS_CACHE.pop(k)
-            try:
-                stale.unpersist()
-            except Exception:
-                pass  # owning SparkContext already stopped
+            _evict_pair_frame(k)
+        own = [k for k in _PAIRS_CACHE if k[0] == app_id]
+        for k in own[: max(0, len(own) + 1 - _PAIRS_CACHE_MAX_PER_APP)]:
+            _evict_pair_frame(k)
         _PAIRS_CACHE[key] = df
     return df
 

@@ -693,7 +693,7 @@ def w9_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(cents >> LEAST(age_weeks, 62)) AS BIGINT)
+           CAST(SUM(cents >> LEAST(GREATEST(age_weeks, 0), 62)) AS BIGINT)
                AS decayed_cents,
            CAST(SUM(cents) AS BIGINT) AS raw_cents
     FROM scored GROUP BY event_type
@@ -714,7 +714,12 @@ def g15_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure map-side projection (date math + shift) feeding
     one partial+final aggregate — the cheapest full-history screen;
     incremental maintenance is one shift per week boundary. Shift
-    clamped to 62 to stay in BIGINT range at any age."""
+    clamped to [0, 62] on BOTH engines (ADVICE r3 #1): 62 keeps the
+    shift in BIGINT range at any age, and the 0 floor makes a
+    future-dated event decay-free instead of diverging — Spark's
+    shiftright masks a negative amount mod 64 while DuckDB's >> does
+    not, and the unclamped halves also disagreed on floor-vs-truncate
+    division of negative ages."""
     e = table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     age_weeks = (
@@ -723,7 +728,7 @@ def g15_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.select(
         "event_type",
         cents.alias("cents"),
-        F.least(age_weeks, F.lit(62)).alias("w"),
+        F.greatest(F.least(age_weeks, F.lit(62)), F.lit(0)).alias("w"),
     )
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -169,14 +169,20 @@ def _split_args(s: str) -> list[str]:
     return out
 
 
-def window_partition_flags(plan: str) -> list[str]:
-    """Classify every windowspecdefinition in a plan: returns a flag
-    per offending spec — 'UNPART-WINDOW' (no partition columns) or
-    'TINY-KEY-WINDOW' (partitioned only by known bounded-cardinality
-    keys). Partition columns are the leading args before the first
-    ordering spec ('col ASC NULLS FIRST ...'); the trailing arg is the
-    specifiedwindowframe."""
-    flags = []
+def _strip_ids(cols: list[str]) -> frozenset[str]:
+    return frozenset(re.sub(r"#\d+L?", "", c).strip().lower() for c in cols)
+
+
+def window_flags_with_parts(plan: str) -> list[tuple[str, frozenset]]:
+    """Classify every windowspecdefinition in a plan: one entry per
+    offending spec — ('UNPART-WINDOW', frozenset()) for no partition
+    columns, ('TINY-KEY-WINDOW', names) when partitioned only by known
+    bounded-cardinality keys. Partition columns are the leading args
+    before the first ordering spec ('col ASC NULLS FIRST ...'); the
+    trailing arg is the specifiedwindowframe. The partition-name set
+    rides along so WindowGroupLimit exemptions can be matched to the
+    window that earned them (ADVICE r3 #3)."""
+    flags: list[tuple[str, frozenset]] = []
     for m in re.finditer(r"windowspecdefinition\(", plan):
         start = m.end()
         depth, i = 1, start
@@ -193,12 +199,37 @@ def window_partition_flags(plan: str) -> list[str]:
                 break
             part.append(a)
         if not part:
-            flags.append("UNPART-WINDOW")
+            flags.append(("UNPART-WINDOW", frozenset()))
             continue
-        names = {re.sub(r"#\d+L?", "", p).strip().lower() for p in part}
+        names = _strip_ids(part)
         if names <= TINY_PARTITION_KEYS:
-            flags.append("TINY-KEY-WINDOW")
+            flags.append(("TINY-KEY-WINDOW", names))
     return flags
+
+
+def window_partition_flags(plan: str) -> list[str]:
+    """Flag strings only — the single-node entry point the runtime
+    waiver audit (tests/test_window_waivers.py) classifies Window
+    operators with."""
+    return [f for f, _ in window_flags_with_parts(plan)]
+
+
+def wgl_final_partition_sets(plan: str) -> list[frozenset]:
+    """Partition-name set of each Final WindowGroupLimit block in a
+    formatted plan — one entry per Partial/Final pair. Format:
+    ``Arguments: [partCols], [orderSpec], rankFn, k, Final``."""
+    out = []
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or "WindowGroupLimit" not in lines[0]:
+            continue
+        for ln in lines:
+            if ln.startswith("Arguments:") and ln.rstrip().endswith("Final"):
+                m = re.match(r"Arguments: \[(.*?)\],", ln)
+                if m is not None:
+                    cols = [c for c in _split_args(m.group(1)) if c.strip()]
+                    out.append(_strip_ids(cols))
+    return out
 
 
 def audit(sf_dir: str) -> int:
@@ -220,19 +251,22 @@ def audit(sf_dir: str) -> int:
             flags.append("NESTED-LOOP")
         if "BatchEvalPython" in plan:
             flags.append("ROW-PYTHON")
-        wflags = window_partition_flags(plan)
         # Catalyst two-levels each rank-limited window with a
         # Partial+Final WindowGroupLimit pair (map-side top-k per key
-        # — that tiny-key sort never sees the full input), so exempt
-        # AT MOST one TINY-KEY flag per WGL pair instead of stripping
-        # the whole plan: a second, non-rank-limited tiny-key window
-        # in the same plan stays flagged (code-review r3 finding).
-        # Unpartitioned windows never get WGL, so those always keep
-        # their flags.
-        n_wgl_windows = plan.count("WindowGroupLimit") // 2
-        for _ in range(n_wgl_windows):
-            if "TINY-KEY-WINDOW" in wflags:
-                wflags.remove("TINY-KEY-WINDOW")
+        # — that sort never sees the full input). ADVICE r3 #3: each
+        # pair exempts AT MOST one flagged window whose partition
+        # columns MATCH the WGL's own partition spec — an unrelated
+        # tiny-key window in the same plan can no longer ride on a
+        # high-cardinality window's WGL, and rank-limited
+        # unpartitioned windows (which also get WGL) are exempted via
+        # the empty-set match.
+        wflagged = window_flags_with_parts(plan)
+        for part_set in wgl_final_partition_sets(plan):
+            for i, (_fl, names) in enumerate(wflagged):
+                if names == part_set:
+                    del wflagged[i]
+                    break
+        wflags = [f for f, _ in wflagged]
         if wflags and name not in WINDOW_WAIVED:
             flags.extend(sorted(set(wflags)))
         if flags:
