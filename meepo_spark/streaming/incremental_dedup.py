@@ -1,0 +1,215 @@
+"""Streaming incremental corpus dedup (VERDICT r3 #4) — the daily
+training-data ingest shape, run as a ``foreachBatch`` pipeline:
+every micro-batch of arriving documents is
+
+  1. deduped WITHIN the batch (content-hash groupBy, min-id keeper —
+     l1's kernel),
+  2. probed against the existing corpus's content-hash index and every
+     prior batch's survivors with a left-anti join (l10's two-stage
+     O(batch)-not-O(corpus) shape),
+  3. near-dup probed with the SAME MinHash-LSH machinery as the batch
+     l2 family (``operators/dedup.py``: hashed shingles → seeded
+     minhash signature → banded bucket keys): a surviving doc is
+     rejected when a band collision with an earlier-id exact-survivor
+     verifies at shingle-Jaccard ≥ threshold,
+  4. appended to the survivor index as an idempotent per-batch
+     partition (``batch=<id>`` subdir written with overwrite — a
+     foreachBatch retry rewrites the same partition instead of
+     duplicating rows).
+
+The rejection rule — "d is a near-dup iff some EXACT-survivor e with
+e.doc_id < d.doc_id verifies at J ≥ t" — is deliberately defined
+against exact-survivor status (not against e's own near-dup fate), so
+it is independent of how the stream is chunked: the batch recompute
+over the full ingest set yields the identical admitted set, which is
+what ``tests/test_streaming.py`` asserts. (The classic greedy
+first-come survivor rule is chunk-order-dependent through reject
+chains a–b–c; pipelines that want it run l2e's connected-components
+pass over the accumulated survivor index instead.)
+
+Scale notes: the per-batch work is O(batch · corpus-index), all
+equi-joins — no all-pairs, no driver collect; the index carries
+8-byte shingle hashes and band keys (not texts), and the corpus side
+of the exact probe is a digest column a real deployment would also
+bloom-filter (j12's kernel). Verification reads the candidate's
+shingle hashes straight from the index; at trillion-doc scale that
+column moves to a by-id join against the doc store (the l3l two-tier
+discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from meepo_spark.operators.dedup import minhash_signatures, shingle_hash_set
+
+INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("h", StringType()),
+        StructField("shingles", ArrayType(LongType())),
+        StructField(
+            "bands",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("band", IntegerType()),
+                        StructField("bh", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("rejected", BooleanType()),
+    ]
+)
+
+
+def _survivor_features(
+    docs: DataFrame, shingle_k: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, lang, h, shingles, bands) for a batch of documents —
+    the index row, minus the rejection verdict."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        shingle_hash_set(F.col("text"), shingle_k).alias("shingles"),
+    )
+    sh = base.select(F.col("doc_id").alias("id"), F.explode("shingles").alias("shingle"))
+    sig = minhash_signatures(sh, num_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.hash(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return base.join(
+        sig.select(F.col("id").alias("doc_id"), band_cols.alias("bands")), "doc_id"
+    )
+
+
+def read_survivor_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All survivor-index rows written so far (empty frame before the
+    first batch commits)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        # recursiveFileLookup: the batch=<id> subdirs are a commit
+        # convention, not a partition column — keep the schema fixed
+        return (
+            spark.read.schema(INDEX_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+
+
+def admitted_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The admitted set: exact-survivors that were not near-dup
+    rejected."""
+    return read_survivor_index(spark, index_dir).filter(~F.col("rejected"))
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    doc_schema,
+    corpus_hashes: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    num_hashes: int = 96,
+    bands: int = 48,
+    max_files_per_trigger: int = 1,
+):
+    """Run the incremental dedup pipeline over a document file stream
+    to completion (availableNow) and return the finished query.
+
+    ``corpus_hashes`` must be a (h: string) frame of the existing
+    corpus's content digests — the only corpus state the exact probe
+    needs."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prior = read_survivor_index(spark, index_dir)
+        # 1. within-batch exact dedup: min-id keeper per content hash
+        hashed = batch_df.select("doc_id", "lang", "text", F.md5("text").alias("h"))
+        keeper = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        kept = hashed.join(keeper, ["h", "doc_id"])
+        # 2. exact probe vs corpus index and prior survivors
+        seen = corpus_hashes.select("h").unionByName(prior.select("h"))
+        exact_surv = kept.join(seen, "h", "left_anti")
+        # 3. near-dup probe: band collisions vs earlier-id survivors
+        # (prior batches and this batch), verified on shingle Jaccard
+        feats = _survivor_features(exact_surv, shingle_k, num_hashes, bands)
+        pool = prior.select("doc_id", "shingles", "bands").unionByName(
+            feats.select("doc_id", "shingles", "bands")
+        )
+        d_side = feats.select(
+            F.col("doc_id").alias("d_id"),
+            F.col("shingles").alias("d_sh"),
+            F.explode("bands").alias("bk"),
+        )
+        e_side = pool.select(
+            F.col("doc_id").alias("e_id"),
+            F.col("shingles").alias("e_sh"),
+            F.explode("bands").alias("bk"),
+        )
+        cand = (
+            d_side.join(e_side, "bk")
+            .where(F.col("e_id") < F.col("d_id"))
+            .select("d_id", "d_sh", "e_id", "e_sh")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("d_sh", "e_sh")).cast("double")
+        union = F.size("d_sh") + F.size("e_sh") - inter
+        rejected = (
+            cand.withColumn("j", inter / union)
+            .filter(F.col("j") >= threshold)
+            .select(F.col("d_id").alias("doc_id"))
+            .distinct()
+            .withColumn("rejected", F.lit(True))
+        )
+        out = (
+            feats.join(rejected, "doc_id", "left")
+            .withColumn("rejected", F.coalesce("rejected", F.lit(False)))
+            .select(*[f.name for f in INDEX_SCHEMA.fields])
+        )
+        # 4. idempotent per-batch commit: retries rewrite, not append.
+        # localCheckpoint severs the lineage back to the index scan
+        # before writing INTO the index dir (read-path/write-path
+        # nesting is otherwise rejected or racy).
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return q
