@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
-from meepo_spark.functions.text import ws_tokens
+from meepo_spark.queries.doc_cache import tokenized_docs
 from meepo_spark.operators.dedup import shingle_hash_set
 from meepo_spark.registry import register
 
@@ -186,8 +186,8 @@ def l4h_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-shuffle), so shuffle volume is the per-doc vocabulary, not the
     token stream.
     """
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    tok = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    d = tokenized_docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    tok = d.select("doc_id", F.explode(F.col("toks")).alias("token"))
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     return (
         tc.groupBy("doc_id")
@@ -238,10 +238,8 @@ def l4i_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus total (a 1-row scalar) joins back via broadcast, never
     a shuffle.
     """
-    d = table(spark, sf_dir, "documents")
-    lt = d.groupBy("lang").agg(
-        F.sum(F.size(ws_tokens(F.col("text")))).alias("n_tokens")
-    )
+    d = tokenized_docs(spark, sf_dir)
+    lt = d.groupBy("lang").agg(F.sum("n_toks").alias("n_tokens"))
     tot = lt.agg(F.sum("n_tokens").alias("t"))
     return (
         lt.crossJoin(F.broadcast(tot))
@@ -296,7 +294,7 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents scan. Swap the md5 stage for minhash_near_dup_pairs
     (l2b) to make the dedup fuzzy — same join topology.
     """
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     survivors = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     sh = d.select("doc_id", F.explode(shingle_hash_set(F.col("text"), 3)).alias("s"))
     bench = (
@@ -322,7 +320,7 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(ws_tokens(F.col("text")))).alias("n_tokens"),
+        F.sum("n_toks").alias("n_tokens"),
     )
 
 
@@ -423,9 +421,9 @@ def l7_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer-exact, so the string-grouped DuckDB oracle matches
     bit-for-bit (xxhash64 collision P < 1e-9 at corpus scale).
     """
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     size, stride = 16, 12
-    toks = ws_tokens(F.col("text"))
+    toks = F.col("toks")
     n = F.size(toks)
     n_starts = 1 + F.floor(
         (F.greatest(n - size, F.lit(0)) + (stride - 1)) / stride
@@ -481,9 +479,9 @@ def l4j_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (sequence → transform → posexplode), no shuffle at all
     until whatever consumes the chunks. At 100 TB that matters: the
     chunker is a pure projection pass, so it fuses into the scan."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = tokenized_docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     size, stride = 16, 12
-    toks = ws_tokens(F.col("text"))
+    toks = F.col("toks")
     n = F.size(toks)
     n_starts = 1 + F.floor(
         (F.greatest(n - size, F.lit(0)) + (stride - 1)) / stride
@@ -544,11 +542,11 @@ def l8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, bucket) aggregate, then offset = bucket_base + within -
     own. Identical integers to the oracle's flat cumsum, but the
     longest sequential scan is one bucket, not one language."""
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     tok = d.select(
         "doc_id",
         "lang",
-        F.size(ws_tokens(F.col("text"))).alias("n_tok"),
+        F.col("n_toks").alias("n_tok"),
         (F.col("doc_id") / 1000).cast("long").alias("bkt"),
     )
     w_in = (
@@ -649,16 +647,15 @@ def l14_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized) — per-query partitioning replaces them under a
     query batch."""
     from meepo_spark.functions.vectors import cosine_with_norms, norm
-    from meepo_spark.functions.text import ws_tokens
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
 
     # --- lexical ranker (l4n's BM25) ---
     base = d.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"),
-        F.size(ws_tokens(F.col("text"))).alias("dl"),
+        "doc_id", F.explode(F.col("toks")).alias("token"),
+        F.col("n_toks").alias("dl"),
     )
     stats = base.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -825,10 +822,10 @@ def l16_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding), and the 6.85 flag threshold keeps a >=1e-4
     margin to every fixture score at all SFs (measured), so boundary
     flips can't occur."""
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
 
     def bigrams_of(df: DataFrame):
-        toks = ws_tokens(F.col("text"))
+        toks = F.col("toks")
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
         return df.select(
             "doc_id", "lang",
@@ -1188,9 +1185,9 @@ def l23_quality_decile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row total broadcast."""
     from meepo_spark.operators.enumeration import bucketed_ntile
 
-    d = table(spark, sf_dir, "documents").select(
+    d = tokenized_docs(spark, sf_dir).select(
         "doc_id",
-        F.size(ws_tokens(F.col("text"))).alias("n_tok"),
+        F.col("n_toks").alias("n_tok"),
         "n_chars",
     )
     tiled = bucketed_ntile(

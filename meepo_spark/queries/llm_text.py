@@ -9,6 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
+from meepo_spark.queries.doc_cache import tokenized_docs
 from meepo_spark.functions.text import (
     BPE_TOKENS_SQL,
     CONTENT_FINGERPRINT_SQL,
@@ -18,7 +19,6 @@ from meepo_spark.functions.text import (
     content_fingerprint,
     lang_id,
     quality_score,
-    ws_tokens,
 )
 from meepo_spark.registry import register
 
@@ -100,11 +100,11 @@ def l4_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l4b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: token counting — whitespace tokens, BPE-ish pre-tokens
     (regexp), distinct vocab, chars/token ratio. All map-side."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    toks = ws_tokens(F.col("text"))
+    d = tokenized_docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    toks = F.col("toks")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_ws_tokens"),
+        F.col("n_toks").alias("n_ws_tokens"),
         F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
         F.round(F.length("text").cast("double") / F.size(toks) + 1e-9, 2).alias(
@@ -163,9 +163,9 @@ _STOP_SQL = "', '".join(STOPWORDS)
 def l4d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: composite quality score — length saturation + stopword
     density − punctuation-token penalty, clamped to [0,1]."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    toks = ws_tokens(F.col("text"))
-    n_tokens = F.size(toks)
+    d = tokenized_docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    toks = F.col("toks")
+    n_tokens = F.col("n_toks")
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     n_punct = F.size(F.filter(toks, lambda x: x.rlike("^[^a-z0-9]+$")))
     return d.select(
@@ -229,12 +229,12 @@ def l4f_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, token)-grain. ln() of an integer ratio is the one float op
     — identical IEEE input on both engines, 4dp rounding absorbs libm
     ulp skew."""
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     # 1-row corpus count folded back via broadcast — no .count()
     # driver sync splitting the DAG (the r1 q11/q15/q22 discipline)
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     tok = d.select(
-        "doc_id", "lang", F.explode(ws_tokens(F.col("text"))).alias("token")
+        "doc_id", "lang", F.explode(F.col("toks")).alias("token")
     )
     df_tbl = (
         tok.groupBy("token")
@@ -300,8 +300,8 @@ def l4l_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs association-order skew."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("lang", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    d = tokenized_docs(spark, sf_dir)
+    tok = d.select("lang", F.explode(F.col("toks")).alias("token"))
     freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
     ranked = freq.withColumn(
         "rnk",
@@ -376,9 +376,8 @@ def l4m_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     at doc grain. Per-doc scores round at 6dp before the language
     rollup so cross-engine libm drift (≤1 ulp per LN) cannot move the
     3dp report."""
-    d = table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.col("text"))
-    t = d.select("doc_id", "lang", toks.alias("toks"), F.size(toks).alias("n"))
+    d = tokenized_docs(spark, sf_dir)
+    t = d.select("doc_id", "lang", "toks", F.col("n_toks").alias("n"))
     bg = t.select(
         "doc_id",
         "lang",
@@ -450,8 +449,8 @@ def l4o_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs. A full BPE trainer iterates this query, re-tokenizing
     against the grown vocab each round (driver loop, like l3g's
     Lloyd iterations)."""
-    d = table(spark, sf_dir, "documents")
-    words = d.select(F.explode(ws_tokens(F.col("text"))).alias("w")).filter(
+    d = tokenized_docs(spark, sf_dir)
+    words = d.select(F.explode(F.col("toks")).alias("w")).filter(
         F.length("w") >= 2
     )
     pairs = words.select(
@@ -520,10 +519,10 @@ def l4n_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query stays one DAG with no driver scalar round-trip. At 100 TB
     you'd persist tf as the inverted index and reuse it per query;
     the per-query cost is then O(postings of query terms) only."""
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     base = d.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"),
-        F.size(ws_tokens(F.col("text"))).alias("dl"),
+        "doc_id", F.explode(F.col("toks")).alias("token"),
+        F.col("n_toks").alias("dl"),
     )
     stats = base.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -592,8 +591,8 @@ def l4q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries per-lang partial counts. All comparisons are on doubles
     derived identically from integers, so both engines agree
     bit-exactly — no rounding needed before the CASE."""
-    d = table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.col("text"))
+    d = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
     raw = F.split(F.col("text"), " ")
     t = d.select(
         "lang",
@@ -661,10 +660,10 @@ def l11_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     filterable); the probe is a left join keyed on the bigram. Window
     slicing is map-side; the only corpus-sized shuffle carries
     (bigram) keys."""
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
 
     def bigrams_of(df: DataFrame):
-        toks = ws_tokens(F.col("text"))
+        toks = F.col("toks")
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
         return df.select(
             "doc_id", "lang",
@@ -773,9 +772,7 @@ def l20_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order array functions on the scan — a pure narrow map
     with NO shuffle and NO Python. Classifier scoring over 100 TB is
     embarrassingly parallel and this plan keeps it that way."""
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
-    )
+    toks = F.filter(F.col("toks"), lambda t: t != F.lit(""))
     wts = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
@@ -786,7 +783,7 @@ def l20_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(wts, F.lit(0).cast("long"), lambda a, x: a + x),
         F.lit(0).cast("long"),
     )
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -851,9 +848,7 @@ def l21_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per window partition by construction."""
     from meepo_spark.operators.enumeration import bucketed_prefix_sum
 
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
-    )
+    toks = F.filter(F.col("toks"), lambda t: t != F.lit(""))
     wts = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
@@ -864,7 +859,7 @@ def l21_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(wts, F.lit(0).cast("long"), lambda a, x: a + x),
         F.lit(0).cast("long"),
     )
-    d = table(spark, sf_dir, "documents").select(
+    d = tokenized_docs(spark, sf_dir).select(
         "source",
         score.alias("score"),
         (F.col("lang") == "en").cast("long").alias("pos"),

@@ -16,7 +16,6 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
-from meepo_spark.functions.text import ws_tokens
 from meepo_spark.registry import register
 
 
@@ -346,8 +345,10 @@ def g9_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash here is arithmetic on md5 nibbles purely so DuckDB can
     replicate it; production would use xxhash64(token, seed_i)."""
     depth, width = 3, 16
-    tok = table(spark, sf_dir, "documents").select(
-        F.explode(ws_tokens(F.col("text"))).alias("token")
+    from meepo_spark.queries.doc_cache import tokenized_docs
+
+    tok = tokenized_docs(spark, sf_dir).select(
+        F.explode(F.col("toks")).alias("token")
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
     h = F.md5("token")
