@@ -561,3 +561,149 @@ def dq8_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack}) AS (col, n_rows, n_present, n_distinct)"
         )
     )
+
+
+@register(
+    "v17_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT cells.lang, cells.source,
+               CAST(cells.o * n.n - rt.r * ct.c AS DOUBLE)
+               * CAST(cells.o * n.n - rt.r * ct.c AS DOUBLE)
+               / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) * CAST(n.n AS DOUBLE))
+                   AS term
+        FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT ROUND(list_sum(LIST(term ORDER BY lang, source)) / (SELECT CAST(n AS DOUBLE) FROM n)
+                 + 1e-9, 6) + 0.0 AS chi2_r,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           (SELECT n FROM n) AS n
+    FROM terms
+    """,
+)
+def v17_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V17: chi-square test of independence on the lang × source
+    contingency table — the categorical-drift / sampling-bias screen
+    (is the language mix independent of the crawl source?).
+
+    Exactness: each cell's term is computed from the INTEGER identity
+    (o·N − r·c)² / (r·c·N·N): numerator and denominators are exact
+    64-bit integers cast to double, so every per-cell term is
+    bit-identical on both engines; the ~|langs|·|sources| terms are
+    then folded SEQUENTIALLY in (lang, source) order (F.aggregate ≡
+    DuckDB list_sum over an ordered LIST — the l3-family discipline),
+    so the sum order is pinned too.
+
+    Scale shape: one partial+final count per cell (the only pass over
+    the corpus), then all arithmetic runs on the tiny cell table with
+    broadcast row/column totals — no windows, no tiny-key partitions.
+    The final ordered fold aggregates ≤ |langs × sources| structs."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells"))
+    j = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = num * num / (
+        F.col("r").cast("double") * F.col("c").cast("double") * F.col("n").cast("double")
+    )
+    folded = j.select(
+        F.struct("lang", "source").alias("k"),
+        term.alias("term"),
+        "n",
+    ).groupBy("n").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("term")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("chi2_num"),
+        F.countDistinct("k.lang").alias("nl"),
+        F.countDistinct("k.source").alias("ns"),
+    )
+    return folded.select(
+        (F.round(F.col("chi2_num") / F.col("n").cast("double") + 1e-9, 6) + 0.0).alias(
+            "chi2_r"
+        ),
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        F.col("n").alias("n"),
+    )
+
+
+@register(
+    "dq9_cross_field_consistency",
+    oracle="""
+    SELECT
+        CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS shipped_before_order,
+        CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE)
+                           > CAST(o.o_orderdate AS DATE) + INTERVAL 180 DAY
+                 THEN 1 ELSE 0 END) AS BIGINT) AS shipped_over_180d_late,
+        CAST(SUM(CASE WHEN l.l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS nonpositive_qty,
+        CAST(SUM(CASE WHEN l.l_discount < 0 OR l.l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS discount_out_of_range,
+        CAST(SUM(CASE WHEN ABS(l.l_extendedprice * 100
+                               - ROUND(l.l_extendedprice * 100)) > 1e-6
+                 THEN 1 ELSE 0 END) AS BIGINT) AS subcent_price,
+        CAST(SUM(CASE WHEN l.l_returnflag = 'R' AND l.l_linestatus = 'O'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS returned_but_open,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def dq9_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ9: cross-FIELD consistency audit — the rule class single-
+    column profiling (dq1/dq8) cannot see: relations between fields
+    of one logical record, including across the parent join (a line
+    shipped before its order was placed, or >180 days after; positive
+    quantities; discounts inside policy range; prices on the cent
+    grid; no returned-but-open status pairs). One equi-join to the
+    parent + a map-side CASE projection + one global aggregate; every
+    check is integer/date/exact-boolean, so the census matches
+    bit-for-bit. At 100 TB: the join shuffles on the natural FK (or
+    broadcasts when the parent fits), and everything else is the
+    embarrassingly-parallel sanity pass run before anything trusts
+    the batch."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    j = li.join(o, "l_orderkey")
+    sdate = F.to_date("l_shipdate")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return j.agg(
+        cnt(sdate < F.col("odate")).alias("shipped_before_order"),
+        cnt(sdate > F.date_add(F.col("odate"), 180)).alias("shipped_over_180d_late"),
+        cnt(F.col("l_quantity") <= 0).alias("nonpositive_qty"),
+        cnt(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+        ).alias("discount_out_of_range"),
+        cnt(
+            F.abs(
+                F.col("l_extendedprice") * 100
+                - F.round(F.col("l_extendedprice") * 100)
+            )
+            > 1e-6
+        ).alias("subcent_price"),
+        cnt(
+            (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "O")
+        ).alias("returned_but_open"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

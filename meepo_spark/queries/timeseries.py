@@ -1160,3 +1160,125 @@ def e9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_s", F.lit(0.90)), 1).alias("p90_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
     )
+
+
+@register(
+    "e10_sessionization",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_n
+        FROM marked
+    )
+    SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+           CAST(COUNT(*) AS BIGINT)           AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MAX(us) - MIN(us) AS BIGINT)  AS duration_us
+    FROM sess
+    GROUP BY user_id, session_n
+    """,
+)
+def e10_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: batch sessionization — the 30-minute-gap session cut every
+    product-analytics stack runs nightly (the batch twin of the T4
+    session WINDOW, which merges by watermark instead of ordinal).
+    A new session starts where the per-user inter-event gap exceeds
+    30 min; the session ordinal is the running count of starts.
+
+    Scale shape: both windows partition on user_id — the natural
+    high-cardinality event-stream key — so each user's timeline sorts
+    in its own task and the per-(user, session) rollup partial-
+    aggregates map-side. All µs-integer arithmetic: gap test, session
+    ordinal, and duration are exact on both engines (the ts ordering
+    ties break on event_id, a total order)."""
+    us = F.unix_micros(F.col("ts"))
+    wo = W.partitionBy("user_id").orderBy(us, "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        us.alias("us"),
+        F.lag(us).over(wo).alias("prev_us"),
+    )
+    marked = seq.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = marked.withColumn("session_n", F.sum("is_new").over(wrun))
+    return sess.groupBy("user_id", "session_n").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@register(
+    "e12_activity_streaks",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT)   AS n_active_days,
+           CAST(MAX(len) AS BIGINT)   AS longest_streak,
+           CAST(COUNT(*) AS BIGINT)   AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def e12_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: consecutive-day activity streaks per user — the classic
+    gaps-and-islands reduction (engagement/retention's 'current
+    streak' metric). day − row_number(day) is constant within each
+    unbroken run, so one keyed window + two keyed aggregates solve
+    what a self-join formulation makes quadratic.
+
+    Scale shape: everything partitions by user_id (high-cardinality);
+    the window input is per-user DISTINCT days (≤ calendar span), and
+    both aggregates partial-combine map-side. Integer day arithmetic
+    — exact on both engines."""
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    grp = days.withColumn("island", F.date_sub(F.col("day"), rn))
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -794,3 +794,177 @@ def g16_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id", "n1", "n2", (F.col("n2") - F.col("n1")).alias("delta")
     ).filter(F.abs(F.col("delta")) >= 8)
+
+
+@register(
+    "g18_higher_moments",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS HUGEINT) AS x
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE)       AS n,
+               CAST(SUM(x) AS DOUBLE)         AS s1,
+               CAST(SUM(x*x) AS DOUBLE)       AS s2,
+               CAST(SUM(x*x*x) AS DOUBLE)     AS s3,
+               CAST(SUM(x*x*x*x) AS DOUBLE)   AS s4
+        FROM d GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(((s3/n) - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / (((s2/n) - (s1/n)*(s1/n))
+                    * SQRT((s2/n) - (s1/n)*(s1/n))) + 1e-9, 6) + 0.0 AS skewness_r,
+           ROUND(((s4/n) - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / (((s2/n) - (s1/n)*(s1/n)) * ((s2/n) - (s1/n)*(s1/n)))
+                 - 3 + 1e-9, 6) + 0.0 AS excess_kurtosis_r
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def g18_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: population skewness and excess kurtosis per return flag —
+    from EXACT integer raw moments, not the builtin aggregates
+    (Spark's skewness/kurtosis and DuckDB's use different bias
+    corrections, and their streaming update orders make float sums
+    engine-dependent). Whole dollars keep x^4 sums inside
+    DECIMAL(38)/HUGEINT; the central-moment combination then runs as
+    scalar double arithmetic on identical exact inputs, with all
+    powers expanded to products (no libm pow — only sqrt, which is
+    IEEE-correctly-rounded on both engines).
+
+    Scale shape: one partial+final hash aggregate over the fact —
+    raw moments are the textbook mergeable statistic (this is exactly
+    how a 1000-executor cluster computes skew: per-partition moment
+    vectors, one combine)."""
+    x = F.floor(F.col("l_extendedprice")).cast("decimal(9,0)")
+    d = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        x.alias("x"),
+        (x * x).alias("x2"),
+        (x * x * x).alias("x3"),
+        (x * x * x * x).alias("x4"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("x3").cast("double").alias("s3"),
+        F.sum("x4").cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (F.round(m3 / (m2 * F.sqrt(m2)) + 1e-9, 6) + 0.0).alias("skewness_r"),
+        (F.round(m4 / (m2 * m2) - 3 + 1e-9, 6) + 0.0).alias("excess_kurtosis_r"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "g19_correlation_matrix",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)                 AS q,
+               CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS p,
+               CAST(CAST(ROUND(l_discount * 100) AS BIGINT) AS HUGEINT)    AS c,
+               CAST(CAST(ROUND(l_tax * 100) AS BIGINT) AS HUGEINT)         AS t
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(q) AS DOUBLE) AS sq,  CAST(SUM(p) AS DOUBLE) AS sp,
+               CAST(SUM(c) AS DOUBLE) AS sc,  CAST(SUM(t) AS DOUBLE) AS st,
+               CAST(SUM(q*q) AS DOUBLE) AS sqq, CAST(SUM(p*p) AS DOUBLE) AS spp,
+               CAST(SUM(c*c) AS DOUBLE) AS scc, CAST(SUM(t*t) AS DOUBLE) AS stt,
+               CAST(SUM(q*p) AS DOUBLE) AS sqp, CAST(SUM(q*c) AS DOUBLE) AS sqc,
+               CAST(SUM(q*t) AS DOUBLE) AS sqt, CAST(SUM(p*c) AS DOUBLE) AS spc,
+               CAST(SUM(p*t) AS DOUBLE) AS spt, CAST(SUM(c*t) AS DOUBLE) AS sct
+        FROM d
+    )
+    SELECT var_a, var_b,
+           ROUND((n*sab - sa*sb)
+                 / (SQRT(n*saa - sa*sa) * SQRT(n*sbb - sb*sb)) + 1e-9, 6) + 0.0
+               AS corr_r
+    FROM (
+        SELECT 'quantity' AS var_a, 'price' AS var_b,
+               n, sq AS sa, sp AS sb, sqq AS saa, spp AS sbb, sqp AS sab FROM s
+        UNION ALL SELECT 'quantity', 'discount', n, sq, sc, sqq, scc, sqc FROM s
+        UNION ALL SELECT 'quantity', 'tax',      n, sq, st, sqq, stt, sqt FROM s
+        UNION ALL SELECT 'price',    'discount', n, sp, sc, spp, scc, spc FROM s
+        UNION ALL SELECT 'price',    'tax',      n, sp, st, spp, stt, spt FROM s
+        UNION ALL SELECT 'discount', 'tax',      n, sc, st, scc, stt, sct FROM s
+    ) ORDER BY var_a, var_b
+    """,
+)
+def g19_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19: the pairwise Pearson correlation matrix of the four fact
+    measures, in ONE aggregate pass — 14 exact integer sums (counts,
+    4 first moments, 10 second moments in DECIMAL/HUGEINT), then each
+    of the 6 pair correlations is scalar double arithmetic over those
+    exact sums (sqrt only — IEEE-identical both engines; builtin
+    corr() streams floats in engine-specific order). The one-pass
+    moment-matrix shape is how feature-correlation screens run at
+    100 TB: shuffle carries 14 numbers, not the fact."""
+    q = F.col("l_quantity").cast("decimal(9,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("decimal(9,0)")
+    c = F.round(F.col("l_discount") * 100).cast("decimal(9,0)")
+    t = F.round(F.col("l_tax") * 100).cast("decimal(9,0)")
+    d = table(spark, sf_dir, "lineitem").select(
+        q.alias("q"), p.alias("p"), c.alias("c"), t.alias("t"),
+        (q * q).alias("qq"), (p * p).alias("pp"),
+        (c * c).alias("cc"), (t * t).alias("tt"),
+        (q * p).alias("qp"), (q * c).alias("qc"), (q * t).alias("qt"),
+        (p * c).alias("pc"), (p * t).alias("pt"), (c * t).alias("ct"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.sum(col).cast("double").alias("s" + col)
+          for col in ("q", "p", "c", "t", "qq", "pp", "cc", "tt",
+                      "qp", "qc", "qt", "pc", "pt", "ct")],
+    )
+    names = {"q": "quantity", "p": "price", "c": "discount", "t": "tax"}
+    pairs = [("q", "p"), ("q", "c"), ("q", "t"), ("p", "c"), ("p", "t"), ("c", "t")]
+
+    def corr(a: str, b: str):
+        n = F.col("n")
+        sa, sb = F.col("s" + a), F.col("s" + b)
+        saa, sbb = F.col("s" + a + a), F.col("s" + b + b)
+        sab = F.col("s" + a + b)
+        return (
+            F.round(
+                (n * sab - sa * sb)
+                / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb))
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(names[a]).alias("var_a"),
+                F.lit(names[b]).alias("var_b"),
+                corr(a, b).alias("corr_r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        s.select(F.explode(rows).alias("r"))
+        .select("r.var_a", "r.var_b", "r.corr_r")
+        .orderBy("var_a", "var_b")
+    )
