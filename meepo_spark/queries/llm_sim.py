@@ -833,3 +833,273 @@ def _pq_seeded_shortlist(spark: SparkSession, sf_dir: str):
         .select("q_id", "c_id", "adc")
     )
     return pts, q, shortlist
+
+
+@register(
+    "l27_mmr_diversified_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+        SELECT c.vec_id AS c_id, c.v,
+               list_cosine_similarity(q.qv, c.v) AS rel
+        FROM e c CROSS JOIN q WHERE c.vec_id <> 0
+        ORDER BY rel DESC, c_id LIMIT 12
+    ),
+    sims AS (
+        SELECT a.c_id AS a_id, b.c_id AS b_id,
+               list_cosine_similarity(a.v, b.v) AS s
+        FROM cand a JOIN cand b ON a.c_id <> b.c_id
+    ),
+    s1 AS (SELECT c_id, 0.7 * rel AS mmr FROM cand
+           ORDER BY rel DESC, c_id LIMIT 1),
+    p2 AS (SELECT c.c_id, 0.7 * c.rel - 0.3 * MAX(s.s) AS mmr
+           FROM cand c JOIN sims s ON s.a_id = c.c_id
+                AND s.b_id IN (SELECT c_id FROM s1)
+           WHERE c.c_id NOT IN (SELECT c_id FROM s1)
+           GROUP BY c.c_id, c.rel ORDER BY mmr DESC, c.c_id LIMIT 1),
+    sel2 AS (SELECT c_id FROM s1 UNION ALL SELECT c_id FROM p2),
+    p3 AS (SELECT c.c_id, 0.7 * c.rel - 0.3 * MAX(s.s) AS mmr
+           FROM cand c JOIN sims s ON s.a_id = c.c_id
+                AND s.b_id IN (SELECT c_id FROM sel2)
+           WHERE c.c_id NOT IN (SELECT c_id FROM sel2)
+           GROUP BY c.c_id, c.rel ORDER BY mmr DESC, c.c_id LIMIT 1),
+    sel3 AS (SELECT c_id FROM sel2 UNION ALL SELECT c_id FROM p3),
+    p4 AS (SELECT c.c_id, 0.7 * c.rel - 0.3 * MAX(s.s) AS mmr
+           FROM cand c JOIN sims s ON s.a_id = c.c_id
+                AND s.b_id IN (SELECT c_id FROM sel3)
+           WHERE c.c_id NOT IN (SELECT c_id FROM sel3)
+           GROUP BY c.c_id, c.rel ORDER BY mmr DESC, c.c_id LIMIT 1),
+    sel4 AS (SELECT c_id FROM sel3 UNION ALL SELECT c_id FROM p4),
+    p5 AS (SELECT c.c_id, 0.7 * c.rel - 0.3 * MAX(s.s) AS mmr
+           FROM cand c JOIN sims s ON s.a_id = c.c_id
+                AND s.b_id IN (SELECT c_id FROM sel4)
+           WHERE c.c_id NOT IN (SELECT c_id FROM sel4)
+           GROUP BY c.c_id, c.rel ORDER BY mmr DESC, c.c_id LIMIT 1)
+    SELECT CAST(rank AS BIGINT) AS rank, c_id,
+           ROUND(mmr + 1e-9, 6) + 0.0 AS mmr_r
+    FROM (
+        SELECT 1 AS rank, * FROM s1
+        UNION ALL SELECT 2, * FROM p2
+        UNION ALL SELECT 3, * FROM p3
+        UNION ALL SELECT 4, * FROM p4
+        UNION ALL SELECT 5, * FROM p5
+    ) ORDER BY rank
+    """,
+)
+def l27_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27: maximal-marginal-relevance diversified top-k — the
+    re-ranking step RAG retrieval runs after ANN so the 5 results
+    aren't 5 copies of the same passage: greedily pick
+    argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7, k=5, over a
+    12-candidate relevance shortlist. Greedy selection is inherently
+    sequential, but each of the 5 steps is a BOUNDED aggregate over
+    the shortlist (the l3g/l3k discipline: fixed iteration counts
+    unroll into both the DataFrame DAG and the SQL oracle), so
+    nothing driver-side loops over data.
+
+    Scale shape: the only corpus-sized work is the one relevance scan
+    (broadcast query vector, TakeOrdered top-12 — exactly l3's
+    kernel); the shortlist then collapses to a SINGLE ROW of cand
+    structs and the whole greedy runs as unrolled array expressions
+    over it — zero further scans, joins, or shuffles. (A first cut
+    chained five tiny DataFrames instead; each step's lineage
+    re-expanded all prior steps and the 500-row query took 16 s of
+    pure planning/rescheduling — constant-size iterative state
+    belongs in one row, with `_materialize` explode-barriers keeping
+    CollapseProject from inlining each step into the next.) Cosines
+    are sequential DOUBLE folds (bit-match list_cosine_similarity),
+    so argmax-with-id-tie picks identical ids on both engines."""
+    from functools import reduce
+
+    from meepo_spark.functions.vectors import cosine_with_norms, norm
+    from meepo_spark.operators.dedup import _materialize
+
+    LAM = 0.7
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), norm(F.col("embedding")).alias("qn")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            cosine_with_norms(
+                F.col("qv"), F.col("embedding"), F.col("qn"),
+                norm(F.col("embedding")),
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("c_id").asc())
+        .limit(12)
+    )
+    row = cand.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("c_id", "rel", "v", norm(F.col("v")).alias("n")))
+        ).alias("cands")
+    )
+
+    def cos_cc(a, b):
+        d = F.aggregate(
+            F.zip_with(a["v"], b["v"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return d / (a["n"] * b["n"])
+
+    chosen: list = []  # materialized sel1..sel5 struct columns
+    df = row
+    for rank in range(1, 6):
+        def mmr_of(c, sel=tuple(chosen)):
+            if not sel:
+                return F.lit(LAM) * c["rel"]
+            pen = F.greatest(*[cos_cc(c, s["cand"]) for s in sel]) if len(sel) > 1 \
+                else cos_cc(c, sel[0]["cand"])
+            return F.lit(LAM) * c["rel"] - F.lit(1 - LAM) * pen
+
+        remaining = F.filter(
+            F.col("cands"),
+            lambda c: reduce(
+                lambda acc, s: acc & (c["c_id"] != s["cand"]["c_id"]),
+                chosen,
+                F.lit(True),
+            ),
+        )
+        best = F.array_min(
+            F.transform(
+                remaining,
+                lambda c: F.struct(
+                    (-mmr_of(c)).alias("nm"), c["c_id"].alias("c_id"), c.alias("cand")
+                ),
+            )
+        )
+        df = _materialize(df, f"sel{rank}", best)
+        chosen.append(F.col(f"sel{rank}"))
+
+    out_rows = F.array(
+        *[
+            F.struct(
+                F.lit(rank).cast("long").alias("rank"),
+                F.col(f"sel{rank}")["c_id"].alias("c_id"),
+                (F.round(-F.col(f"sel{rank}")["nm"] + 1e-9, 6) + 0.0).alias("mmr_r"),
+            )
+            for rank in range(1, 6)
+        ]
+    )
+    return (
+        df.select(F.explode(out_rows).alias("r"))
+        .select("r.rank", "r.c_id", "r.mmr_r")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "l29_semantic_dedup",
+    oracle="""
+    WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id < 1000),
+    seeds AS (SELECT vec_id AS c, v AS sv FROM pts WHERE vec_id < 4),
+    d AS (SELECT p.vec_id, s.c,
+                 list_sum(list_transform(list_zip(p.v, s.sv),
+                          x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+          FROM pts p CROSS JOIN seeds s),
+    assign AS (SELECT vec_id, c AS cluster FROM
+        (SELECT vec_id, c,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+         FROM d) WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT a2.vec_id
+        FROM assign a1
+        JOIN assign a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+        JOIN pts p1 ON p1.vec_id = a1.vec_id
+        JOIN pts p2 ON p2.vec_id = a2.vec_id
+        WHERE list_cosine_similarity(p1.v, p2.v) >= 0.3
+    )
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM assign a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+    GROUP BY a.cluster ORDER BY a.cluster
+    """,
+)
+def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29: SemDeDup-style semantic deduplication — cluster the
+    embedding space, then drop every vector with a LOWER-id neighbor
+    at cosine ≥ 0.3 WITHIN its cluster (min-id survivor, the l1/l10
+    rule lifted to semantic space). Clustering is what makes semantic
+    dedup tractable: pairwise comparison happens only inside a
+    cluster, so with k chosen ∝ corpus size the per-cluster pair work
+    stays bounded — the published SemDeDup recipe. Centroids here are
+    SEEDED (4 lowest-id vectors, the l3k/l3l discipline) so
+    assignment, pairing, and the census are all DuckDB-bit-matched;
+    the trained path swaps in operators/clustering.kmeans. The
+    1000-vector probe window keeps fixture cost flat across SFs (the
+    l3c convention).
+
+    Scale shape: one assignment scan (4-seed broadcast, argmin as a
+    lexicographic struct-least), an equi-join on cluster for pairs
+    (never a cross join), distinct-id reduction, one census
+    aggregate."""
+    from meepo_spark.functions.vectors import cosine_with_norms, norm, sq_dist
+
+    KSUB = 4
+    pts = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    seeds = (
+        pts.filter(F.col("vec_id") < KSUB)
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("sv"))
+    )
+    best = F.least(
+        *[
+            F.struct(
+                sq_dist(F.col("v"), F.col("sv")[c]["v"]).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(KSUB)
+        ]
+    )
+    assign = pts.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "v", norm(F.col("v")).alias("nn"), best["c"].cast("long").alias("cluster")
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"), F.col("nn").alias("na"),
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"), F.col("nn").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= 0.3
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

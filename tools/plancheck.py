@@ -90,6 +90,10 @@ NESTED_LOOP_WAIVED = {
     "l3g_kmeans_clusters",
     "l4f_tfidf_terms",
     "l23_quality_decile_budget",  # 1-row (lo,hi,N) + 1-row total broadcasts
+    # round-4 additions, bounded-by-construction broadcasts:
+    "v17_chi_square_independence",  # 1-row grand-total crossJoin(broadcast)
+    "l27_mmr_diversified_topk",  # 1-row query-vector + 1-row cand-array broadcasts
+    "l29_semantic_dedup",  # 1-row seed-centroid crossJoin(broadcast)
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
