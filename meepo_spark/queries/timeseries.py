@@ -1282,3 +1282,90 @@ def e12_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@register(
+    "t19_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, day, cents,
+               CAST(SUM(cents) OVER w AS BIGINT) AS ci,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS ri,
+               CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    dev AS (SELECT event_type, day, nd,
+                   nd * ci - ri * tot AS c
+            FROM cum)
+    SELECT event_type,
+           STRFTIME(day, '%Y-%m-%d') AS change_day,
+           CAST(ABS(c) AS BIGINT)    AS max_dev_scaled,
+           nd                        AS n_days
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY ABS(c) DESC, day) AS rn
+          FROM dev)
+    WHERE rn = 1
+    """,
+)
+def t19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: offline CUSUM changepoint detection per event type — the
+    day where the cumulative deviation of daily volume-value from the
+    series mean peaks (the classic level-shift locator for metric
+    regressions). INTEGER-EXACT by scaling: instead of
+    cum(x) − i·mean (a float), both engines compare
+    C_i = N·cum_i − i·total — the same argmax, in exact 64-bit
+    arithmetic.
+
+    Scale shape: daily aggregation is the only fact pass; the per-type
+    running sums come from `bucketed_prefix_sum` over 8-day calendar
+    bands (window partitions bounded at 8 days; band offsets over a
+    ≤⌈days/8⌉-row aggregate) with the per-type totals from the same
+    tiny band aggregate — no tiny-key full-frame window, the g11/v13
+    discipline. The final argmax is a lexicographic struct-min per
+    type."""
+    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    pre = bucketed_prefix_sum(
+        daily,
+        bucket=F.floor(F.unix_date(F.col("day")) / 8),
+        order_cols=[F.col("day").asc()],
+        vals={"ci": "cents", "ri": "one"},
+        part_cols=["event_type"],
+        frame_end=0,
+        totals=True,
+    )
+    c = F.col("ri_tot") * F.col("ci") - F.col("ri") * F.col("ci_tot")
+    dev = pre.select(
+        "event_type", "day", F.col("ri_tot").alias("n_days"), c.alias("c")
+    )
+    best = dev.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("c"))).alias("na"),
+                F.col("day").alias("day"),
+            )
+        ).alias("b"),
+        F.max("n_days").alias("n_days"),
+    )
+    return best.select(
+        "event_type",
+        F.date_format(F.col("b.day"), "yyyy-MM-dd").alias("change_day"),
+        (-F.col("b.na")).cast("long").alias("max_dev_scaled"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )

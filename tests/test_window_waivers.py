@@ -59,6 +59,7 @@ WAIVER_BOUNDS: dict[str, int] = {
     "l8_sequence_packing": 2000,      # 1000x-reduced doc-id buckets
     "l21_classifier_auc": 4000,       # 1024-wide score bands x sources
     "l23_quality_decile_budget": 300, # 32 quality buckets
+    "t19_cusum_changepoint": 400,     # ceil(days/8) bands x |types|
     # windows over distinct-value / calendar / fixed-grid frames:
     "o8_pareto_frontier": 25_000,     # DISTINCT retail prices (formula
                                       # domain <=~120k values; 1000 @ sf0.1)

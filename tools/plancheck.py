@@ -121,6 +121,7 @@ WINDOW_WAIVED = {
     "l21_classifier_auc",      # per-source offsets over 1024-wide
                                # score bands (bucketed_prefix_sum)
     "l23_quality_decile_budget",  # 32-row quality-bucket offsets
+    "t19_cusum_changepoint",   # per-type offsets over 8-day bands
     # windows over distinct-value / calendar / fixed-grid frames:
     "o8_pareto_frontier",      # prefix-min over DISTINCT prices
     "v8_histogram",            # 20-row fixed-width bin aggregate
