@@ -83,6 +83,25 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
+def band_keys(num_hashes: int, bands: int):
+    """Array column of (band, bh) LSH bucket keys over the signature
+    columns ``h0..h{num_hashes-1}`` (r = num_hashes/bands rows per
+    band). THE band plan: shared by the batch pipeline
+    (:func:`lsh_candidate_pairs`) and the streaming incremental-dedup
+    probe so their collision sets cannot drift apart."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.hash(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, num_hashes: int = 128, bands: int = 64
 ) -> DataFrame:
@@ -97,18 +116,7 @@ def lsh_candidate_pairs(
     candidate volume stays ~1e-3 of all pairs while the signature
     compute halves vs a 192-hash plan.
     """
-    r = num_hashes // bands
-    assert bands * r == num_hashes, "bands must divide num_hashes"
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_cols).alias("bk")).select(
+    banded = sig.select("id", F.explode(band_keys(num_hashes, bands)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
     # bucket-collect instead of a self-join: a self-join's two sides

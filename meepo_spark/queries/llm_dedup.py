@@ -34,46 +34,24 @@ _SHINGLES_SQL = """
 # dedup pipeline materializes signatures/pairs ONCE and fans the
 # downstream stages out from them; recomputing the pipeline per query
 # was ~40% of the round-2 bench's l-family time (VERDICT r2 #6).
-# Keyed by (applicationId, sf_dir) so a new session or SF never sees
-# a stale frame; persisted MEMORY_AND_DISK (pair sets are tiny
-# relative to the corpus). Capped at _PAIRS_CACHE_MAX_PER_APP live
-# sf_dirs per application (ADVICE r3 #4: an uncapped cache in a
-# long-lived session pinned every sf_dir it ever touched).
-_PAIRS_CACHE: dict[tuple, DataFrame] = {}
-_PAIRS_CACHE_MAX_PER_APP = 3  # the three test SFs; LRU beyond that
+# Keying, 3-sf_dir cap, LRU recency, and stopped-context eviction all
+# live in the shared SessionFrameCache (ADVICE r3 #4 + code-review r4:
+# one implementation, shared with doc_cache.tokenized_docs).
+from meepo_spark.queries._session_cache import SessionFrameCache
+
+_PAIRS_CACHE = SessionFrameCache(max_per_app=3)
 
 
-def _evict_pair_frame(key: tuple) -> None:
-    from py4j.protocol import Py4JError
-
-    stale = _PAIRS_CACHE.pop(key)
-    try:
-        stale.unpersist()
-    except (Py4JError, RuntimeError, AttributeError):
-        pass  # owning SparkContext already stopped — only that class
-        # of failure is expected here; anything else propagates
+def _build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "text", "doc_id", threshold=0.6, shingle_k=3,
+        num_hashes=96, bands=48,
+    )
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    df = _PAIRS_CACHE.get(key)
-    if df is None:
-        d = table(spark, sf_dir, "documents")
-        df = minhash_near_dup_pairs(
-            d, "text", "doc_id", threshold=0.6, shingle_k=3,
-            num_hashes=96, bands=48,
-        ).persist()
-        # Evict OTHER sessions' frames (their context may be stopped)
-        # and, within this session, the least-recent sf_dirs beyond
-        # the cap (dict preserves insertion order).
-        for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
-            _evict_pair_frame(k)
-        own = [k for k in _PAIRS_CACHE if k[0] == app_id]
-        for k in own[: max(0, len(own) + 1 - _PAIRS_CACHE_MAX_PER_APP)]:
-            _evict_pair_frame(k)
-        _PAIRS_CACHE[key] = df
-    return df
+    return _PAIRS_CACHE.get(spark, sf_dir, _build_pairs)
 
 
 @register(

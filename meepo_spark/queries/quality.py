@@ -581,7 +581,7 @@ def dq8_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS term
         FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
     )
-    SELECT ROUND(list_sum(LIST(term ORDER BY lang, source)) / (SELECT CAST(n AS DOUBLE) FROM n)
+    SELECT ROUND(list_sum(LIST(term ORDER BY lang, source))
                  + 1e-9, 6) + 0.0 AS chi2_r,
            CAST(((SELECT COUNT(*) FROM rt) - 1)
                 * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
@@ -594,13 +594,16 @@ def v17_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency table — the categorical-drift / sampling-bias screen
     (is the language mix independent of the crawl source?).
 
-    Exactness: each cell's term is computed from the INTEGER identity
-    (o·N − r·c)² / (r·c·N·N): numerator and denominators are exact
-    64-bit integers cast to double, so every per-cell term is
+    Exactness: each cell's (O−E)²/E term is computed from the INTEGER
+    identity (o·N − r·c)² / (r·c·N) — algebraically equal to
+    (O−E)²/E since E = r·c/N, but with numerator and denominators as
+    exact 64-bit integers cast to double, so every per-cell term is
     bit-identical on both engines; the ~|langs|·|sources| terms are
     then folded SEQUENTIALLY in (lang, source) order (F.aggregate ≡
     DuckDB list_sum over an ordered LIST — the l3-family discipline),
-    so the sum order is pinned too.
+    so the sum order is pinned too. (Code-review r4 #2: a first cut
+    divided the folded sum by N again, reporting the mean-square
+    contingency φ² mislabeled as χ².)
 
     Scale shape: one partial+final count per cell (the only pass over
     the corpus), then all arithmetic runs on the tiny cell table with
@@ -634,9 +637,7 @@ def v17_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k.source").alias("ns"),
     )
     return folded.select(
-        (F.round(F.col("chi2_num") / F.col("n").cast("double") + 1e-9, 6) + 0.0).alias(
-            "chi2_r"
-        ),
+        (F.round(F.col("chi2_num") + 1e-9, 6) + 0.0).alias("chi2_r"),
         ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
         F.col("n").alias("n"),
     )

@@ -20,12 +20,18 @@ every micro-batch of arriving documents is
 The rejection rule — "d is a near-dup iff some EXACT-survivor e with
 e.doc_id < d.doc_id verifies at J ≥ t" — is deliberately defined
 against exact-survivor status (not against e's own near-dup fate), so
-it is independent of how the stream is chunked: the batch recompute
-over the full ingest set yields the identical admitted set, which is
-what ``tests/test_streaming.py`` asserts. (The classic greedy
-first-come survivor rule is chunk-order-dependent through reject
-chains a–b–c; pipelines that want it run l2e's connected-components
-pass over the accumulated survivor index instead.)
+reject CHAINS a–b–c cannot make the outcome depend on where batch
+boundaries fall. The batch-equivalence invariant asserted by
+``tests/test_streaming.py`` additionally requires doc_ids to arrive
+in NON-DECREASING order across batches (the replay convention): only
+then do the streaming first-arrival exact keeper match the batch
+min-id keeper, and the "earlier-id survivor" pool at each doc's
+arrival contain every smaller id. Out-of-order ingest (late files,
+backfills) degrades gracefully to first-arrival semantics — each
+batch is still exactly deduped against everything already indexed —
+but the admitted set then reflects arrival order, not global ids;
+pipelines needing an order-free survivor rule run l2e's
+connected-components pass over the accumulated index instead.
 
 Scale notes: the per-batch work is O(batch · corpus-index), all
 equi-joins — no all-pairs, no driver collect; the index carries
@@ -51,7 +57,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from meepo_spark.operators.dedup import minhash_signatures, shingle_hash_set
+from meepo_spark.operators.dedup import (
+    band_keys,
+    minhash_signatures,
+    shingle_hash_set,
+)
 
 INDEX_SCHEMA = StructType(
     [
@@ -80,8 +90,6 @@ def _survivor_features(
 ) -> DataFrame:
     """(doc_id, lang, h, shingles, bands) for a batch of documents —
     the index row, minus the rejection verdict."""
-    r = num_hashes // bands
-    assert bands * r == num_hashes, "bands must divide num_hashes"
     base = docs.select(
         "doc_id",
         "lang",
@@ -90,35 +98,51 @@ def _survivor_features(
     )
     sh = base.select(F.col("doc_id").alias("id"), F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.hash(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
+    # band_keys is the SAME plan lsh_candidate_pairs uses — streaming
+    # rejections and the batch recompute collide identically
     return base.join(
-        sig.select(F.col("id").alias("doc_id"), band_cols.alias("bands")), "doc_id"
+        sig.select(
+            F.col("id").alias("doc_id"),
+            band_keys(num_hashes, bands).alias("bands"),
+        ),
+        "doc_id",
     )
 
 
-def read_survivor_index(spark: SparkSession, index_dir: str) -> DataFrame:
-    """All survivor-index rows written so far (empty frame before the
-    first batch commits)."""
-    from pyspark.errors import AnalysisException
+def _batch_dirs(
+    spark: SparkSession, index_dir: str, exclude_batch: int | None = None
+) -> list[str]:
+    """The committed batch=<id> subdirs of the index (Hadoop FS, so
+    any supported filesystem works), optionally excluding one batch —
+    a REPLAYED batch must not read its own earlier commit as 'prior'."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            if exclude_batch is not None and name == f"batch={exclude_batch}":
+                continue
+            out.append(st.getPath().toString())
+    return sorted(out)
 
-    try:
-        # recursiveFileLookup: the batch=<id> subdirs are a commit
-        # convention, not a partition column — keep the schema fixed
-        return (
-            spark.read.schema(INDEX_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(index_dir)
-        )
-    except AnalysisException:
+
+def read_survivor_index(
+    spark: SparkSession, index_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """All survivor-index rows written so far (empty frame before the
+    first batch commits). ``exclude_batch`` drops one batch's own
+    partition — the retry-idempotence fix (code-review r4 #1): a
+    foreachBatch REPLAY of batch N that read its own committed rows as
+    'prior corpus' would exact-probe away every document in the batch
+    and overwrite batch=N empty, silently losing it."""
+    dirs = _batch_dirs(spark, index_dir, exclude_batch)
+    if not dirs:
         return spark.createDataFrame([], INDEX_SCHEMA)
+    return spark.read.schema(INDEX_SCHEMA).parquet(*dirs)
 
 
 def admitted_docs(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -148,7 +172,7 @@ def start_incremental_dedup(
     needs."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prior = read_survivor_index(spark, index_dir)
+        prior = read_survivor_index(spark, index_dir, exclude_batch=batch_id)
         # 1. within-batch exact dedup: min-id keeper per content hash
         hashed = batch_df.select("doc_id", "lang", "text", F.md5("text").alias("h"))
         keeper = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
@@ -211,5 +235,10 @@ def start_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "incremental dedup stream did not drain within 600 s — "
+            "the survivor index is incomplete"
+        )
     return q

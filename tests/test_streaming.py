@@ -787,3 +787,38 @@ def test_l10s_incremental_dedup_rejection_paths(spark, tmp_path):
     assert idx == {1: False, 4: True, 5: False}, idx
     admitted = sorted(r[0] for r in admitted_docs(spark, index_dir).select("doc_id").collect())
     assert admitted == [1, 5]
+
+
+def test_l10s_replay_excludes_own_batch_partition(spark, tmp_path):
+    """Code-review r4 #1: a foreachBatch REPLAY of batch N must not
+    read its own earlier commit as 'prior corpus' — doing so would
+    exact-probe away every doc in the batch and overwrite batch=N
+    empty. read_survivor_index(exclude_batch=N) is the guard; this
+    pins its semantics against the committed layout."""
+    from meepo_spark.schemas import DOCUMENTS
+    from meepo_spark.streaming.incremental_dedup import (
+        INDEX_SCHEMA,
+        read_survivor_index,
+        start_incremental_dedup,
+    )
+
+    t = "some document text for the replay idempotence check"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, t, "en", "web", len(t))], DOCUMENTS).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    corpus_hashes = spark.createDataFrame([("unrelated",)], "t string").select(
+        F.md5("t").alias("h")
+    )
+    index_dir = str(tmp_path / "index")
+    start_incremental_dedup(
+        spark, src, DOCUMENTS, corpus_hashes, index_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    # batch 0 committed; a replay of batch 0 must see an EMPTY prior
+    assert read_survivor_index(spark, index_dir).count() == 1
+    assert read_survivor_index(spark, index_dir, exclude_batch=0).count() == 0
+    # and an unseen index dir reads as empty, not as an error
+    assert (
+        read_survivor_index(spark, str(tmp_path / "nope")).schema == INDEX_SCHEMA
+    )
