@@ -731,3 +731,92 @@ def a21_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_value"),
         F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@register(
+    "a22_snapshot_diff",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id AS pk, event_type AS et,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+        WHERE rn = 1 AND event_type <> 'error'
+    ),
+    s2 AS (
+        SELECT user_id AS pk, event_type AS et,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT CASE WHEN s1.pk IS NULL THEN 'added'
+                WHEN s2.pk IS NULL THEN 'removed'
+                WHEN s1.et <> s2.et OR s1.cents <> s2.cents THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_pks,
+           CAST(SUM(COALESCE(s2.cents, 0) - COALESCE(s1.cents, 0)) AS BIGINT)
+               AS cents_delta
+    FROM s1 FULL OUTER JOIN s2 ON s1.pk = s2.pk
+    GROUP BY 1
+    """,
+)
+def a22_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: snapshot diff between two points in time — rebuild the
+    table state AS OF T1 and T2 from the change log (a19's replay
+    kernel twice) and classify every pk as added / removed / changed
+    / unchanged, with the exact value delta. This is the audit query
+    behind 'what changed since yesterday's snapshot' — the CDC
+    system's answer to diffing two table versions without storing
+    both.
+
+    Scale shape: each replay shuffles |pks| rows (max_by per pk after
+    partition-pruned cutoff filters), the diff is one pk equi-join
+    (full outer), and the census is a 4-row aggregate. Values
+    compared and summed as exact integer cents."""
+    from meepo_spark.cdc.events import events_as_changes
+
+    def state_at(cutoff: str) -> DataFrame:
+        ch = events_as_changes(spark, sf_dir).filter(
+            F.col("ts") <= F.lit(cutoff).cast("timestamp")
+        )
+        return (
+            ch.groupBy("pk")
+            .agg(
+                F.max_by(
+                    F.struct("action", "row"), F.struct("ts", "offset")
+                ).alias("last")
+            )
+            .filter(F.col("last.action") != "delete")
+            .select(
+                "pk",
+                F.col("last.row")["last_event_type"].alias("et"),
+                F.round(F.col("last.row")["value"].cast("double") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+
+    s1 = state_at("2024-01-10 00:00:00").select(
+        F.col("pk").alias("pk1"), F.col("et").alias("et1"), F.col("cents").alias("c1")
+    )
+    s2 = state_at("2024-01-20 00:00:00").select(
+        F.col("pk").alias("pk2"), F.col("et").alias("et2"), F.col("cents").alias("c2")
+    )
+    j = s1.join(s2, s1.pk1 == s2.pk2, "full_outer")
+    kind = (
+        F.when(F.col("pk1").isNull(), "added")
+        .when(F.col("pk2").isNull(), "removed")
+        .when(
+            (F.col("et1") != F.col("et2")) | (F.col("c1") != F.col("c2")), "changed"
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(kind.alias("change_kind")).agg(
+        F.count(F.lit(1)).alias("n_pks"),
+        F.sum(
+            F.coalesce("c2", F.lit(0)) - F.coalesce("c1", F.lit(0))
+        ).alias("cents_delta"),
+    )

@@ -1369,3 +1369,267 @@ def t19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.na")).cast("long").alias("max_dev_scaled"),
         F.col("n_days").cast("long").alias("n_days"),
     )
+
+
+@register(
+    "e13_windowed_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                   FILTER (WHERE event_type = 'signup') AS t0
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'view'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s.t0
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s.t0 + 259200000000
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t1
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= v.t1 + 259200000000
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s WHERE t0 IS NOT NULL) AS BIGINT) AS n_step1,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT)                      AS n_step2,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT)                      AS n_step3,
+           CAST((SELECT SUM(t1 - s.t0) FROM v JOIN s USING (user_id)) AS BIGINT)
+               AS total_lag12_us,
+           CAST((SELECT SUM(t2 - v.t1) FROM p JOIN v USING (user_id)) AS BIGINT)
+               AS total_lag23_us
+    """,
+)
+def e13_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: STRICT time-windowed funnel — signup → first view within
+    72 h of the signup → first purchase within 72 h of THAT view.
+    Unlike e1's first-touch approximation, each step anchors on the
+    previous step's qualifying event, the semantics product analytics
+    tools ship as 'conversion window'. Three conditional-MIN
+    aggregates chained by user_id equi-joins (each previous-step frame
+    is user-grain — broadcastable against the event scan at any
+    realistic user count); all comparisons are exact µs integers.
+
+    Scale shape: no sequence explosion, no windows — each step is one
+    filtered pass over events joined to a user-grain anchor frame;
+    step frames shrink monotonically."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    WIN = 259_200_000_000  # 72 h in µs
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s), "user_id")
+        .filter((F.col("us") > F.col("t0")) & (F.col("us") <= F.col("t0") + WIN))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"), F.first("t0").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v.select("user_id", "t1")), "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + WIN))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.first("t1").alias("t1"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_step1"))
+        .crossJoin(
+            F.broadcast(
+                v.agg(
+                    F.count(F.lit(1)).alias("n_step2"),
+                    F.sum(F.col("t1") - F.col("t0")).alias("total_lag12_us"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(
+                    F.count(F.lit(1)).alias("n_step3"),
+                    F.sum(F.col("t2") - F.col("t1")).alias("total_lag23_us"),
+                )
+            )
+        )
+    )
+    return counts.select(
+        "n_step1", "n_step2", "n_step3", "total_lag12_us", "total_lag23_us"
+    )
+
+
+@register(
+    "e14_active_user_ratios",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    contrib AS (
+        SELECT ud.user_id, ud.day + CAST(t.i AS INT) AS obs_day
+        FROM ud CROSS JOIN range(7) t(i)
+    ),
+    wau AS (
+        SELECT obs_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY obs_day
+    ),
+    dau AS (
+        SELECT day AS obs_day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY day
+    )
+    SELECT STRFTIME(w.obs_day, '%Y-%m-%d') AS day,
+           COALESCE(d.dau, 0)              AS dau,
+           w.wau                           AS wau,
+           ROUND(COALESCE(d.dau, 0) * 1.0 / w.wau + 1e-9, 4) + 0.0 AS stickiness
+    FROM wau w LEFT JOIN dau d ON d.obs_day = w.obs_day
+    CROSS JOIN span
+    WHERE w.obs_day >= span.d0 + CAST(6 AS INT) AND w.obs_day <= span.d1
+    """,
+)
+def e14_active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: DAU / trailing-7-day WAU / stickiness per day — the
+    engagement dashboard primitive. The trailing-window DISTINCT is
+    the trap: COUNT(DISTINCT) OVER a RANGE frame has no partial
+    aggregation. The scale shape used here: reduce to distinct
+    (user, day) once, then each user-day CONTRIBUTES itself to the 7
+    observation days it covers (a map-side 7× explode of the tiny
+    user-day frame), and trailing-distinct becomes a plain
+    per-(obs_day) distinct count — partial-aggregated, no window at
+    all. First 6 days are dropped (incomplete trailing window).
+
+    The single rounded ratio divides two exact integers."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    span = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.date_add(F.col("day"), i),
+            )
+        ).alias("obs_day"),
+    )
+    wau = contrib.groupBy("obs_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy(F.col("day").alias("obs_day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        wau.join(dau, "obs_day", "left")
+        .crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("obs_day") >= F.date_add(F.col("d0"), 6))
+            & (F.col("obs_day") <= F.col("d1"))
+        )
+        .select(
+            F.date_format("obs_day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+            (
+                F.round(
+                    F.coalesce("dau", F.lit(0)) * 1.0 / F.col("wau") + 1e-9, 4
+                )
+                + 0.0
+            ).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "t20_holt_linear_forecast",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    fitted AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend([xs[1], xs[2] - xs[1]],
+                                list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
+                   (acc, el) -> [
+                       0.5 * el[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * (0.5 * el[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+                           + 0.75 * acc[2]
+                   ]) AS lb
+        FROM series
+    )
+    SELECT event_type, n_days,
+           ROUND(lb[1] + 1e-9, 4) + 0.0            AS level_r,
+           ROUND(lb[2] + 1e-9, 4) + 0.0            AS trend_r,
+           ROUND(lb[1] + 3 * lb[2] + 1e-9, 4) + 0.0 AS forecast3_r
+    FROM fitted ORDER BY event_type
+    """,
+)
+def t20_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20: Holt double-exponential smoothing per event type — level +
+    trend fit of the daily volume-value series and a 3-day-ahead
+    forecast. Exponential smoothing is an inherently SEQUENTIAL
+    recurrence; the distributed shape is: reduce the fact to the tiny
+    per-type daily series (one aggregate), collect each series into
+    an ORDERED array, and run the recurrence as a sequential fold
+    expression (F.aggregate ≡ DuckDB list_reduce with a [level,
+    trend] array accumulator) — per-key folds parallelize across
+    keys, and the per-key state is O(1). α=0.5, β=0.25 are
+    binary-exact, daily inputs are exact integer cents, and both
+    engines fold the same order, so level/trend match bit-for-bit
+    before rounding. Init: l₀=x₁, b₀=x₂−x₁ (the standard two-point
+    start)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    xs = F.col("xs")
+    init = F.array(
+        F.element_at(xs, 1), F.element_at(xs, 2) - F.element_at(xs, 1)
+    )
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+
+    def step(acc, x):
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        new_l = 0.5 * x + 0.5 * (l + b)
+        new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
+        return F.array(new_l, new_b)
+
+    fitted = series.select(
+        "event_type",
+        "n_days",
+        F.aggregate(rest, init, step).alias("lb"),
+    )
+    lvl, trd = F.element_at("lb", 1), F.element_at("lb", 2)
+    return fitted.select(
+        "event_type",
+        "n_days",
+        (F.round(lvl + 1e-9, 4) + 0.0).alias("level_r"),
+        (F.round(trd + 1e-9, 4) + 0.0).alias("trend_r"),
+        (F.round(lvl + 3 * trd + 1e-9, 4) + 0.0).alias("forecast3_r"),
+    ).orderBy("event_type")
