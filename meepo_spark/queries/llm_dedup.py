@@ -713,3 +713,55 @@ def l24_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - found).alias("n_missed"),
         F.round(found / F.count(F.lit(1)) + 1e-9, 4).alias("recall"),
     )
+
+
+@register(
+    "l2g_containment_dedup",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    a AS (SELECT doc_id AS id_a, sh, len(sh) AS na FROM d WHERE doc_id < 300),
+    b AS (SELECT doc_id AS id_b, sh AS shb FROM d)
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(a.sh, b.shb))::DOUBLE / a.na, 4) AS containment
+    FROM a JOIN b ON id_a <> id_b
+    WHERE len(list_intersect(a.sh, b.shb))::DOUBLE / a.na >= 0.5
+    """,
+)
+def l2g_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2g: shingle CONTAINMENT detection — C(a→b) = |Sa∩Sb| / |Sa|,
+    the asymmetric measure that catches a small document embedded in a
+    larger one (quote farms, boilerplate wrappers, page-in-page),
+    which Jaccard structurally misses (a 10-shingle doc inside a
+    1000-shingle doc has J ≈ 0.01 but C = 1.0).
+
+    Scale shape — the inverted-index join, not all-pairs: explode the
+    probe side's distinct shingles, equi-join the corpus side's
+    shingle rows on the 8-byte shingle hash (the shuffle key is the
+    shingle, so only docs that SHARE a shingle ever meet), count
+    matches per (a, b), divide by |Sa|. The DuckDB oracle computes
+    the same pairs by direct list_intersect on string shingles —
+    counts are hash-invariant (xxhash64 collision P < 1e-9, the l2f
+    argument). Probe bounded to 300 docs (the l2c convention); the
+    corpus side streams at any scale."""
+    from meepo_spark.operators.dedup import shingle_hash_set
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", shingle_hash_set(F.col("text"), 3).alias("sh")
+    )
+    a = d.filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("id_a"),
+        F.size("sh").alias("na"),
+        F.explode("sh").alias("s"),
+    )
+    b = d.select(F.col("doc_id").alias("id_b"), F.explode("sh").alias("s"))
+    common = (
+        a.join(b, "s")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "na")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c = F.col("n_common").cast("double") / F.col("na")
+    return (
+        common.filter(c >= 0.5)
+        .select("id_a", "id_b", F.round(c, 4).alias("containment"))
+    )

@@ -968,3 +968,58 @@ def g19_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.var_a", "r.var_b", "r.corr_r")
         .orderBy("var_a", "var_b")
     )
+
+
+@register(
+    "g20_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_bitmap,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_merged
+    FROM events GROUP BY event_type
+    """,
+)
+def g20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: EXACT distinct counting via roaring-style bitmap
+    aggregates — the third point on the distinct-count spectrum after
+    plain COUNT DISTINCT (exact, shuffles the value set) and HLL
+    (g3/g3b: mergeable but approximate): bitmaps are exact AND
+    mergeable. Each (group, 2^15-value bucket) partial-aggregates to
+    one bitmap (map-side combinable), bucket bitmaps merge by
+    summation of popcounts — and, to prove the MERGE operator, the
+    same rows sharded a second way (user_id parity) re-merge through
+    bitmap_or_agg to the identical count. Oracle = plain COUNT
+    DISTINCT twice: an exact method needs no tolerance row.
+
+    At 100 TB this is the dashboard-grade exact-uniques shape: state
+    is O(buckets·bitmap), not O(distincts), and pre-aggregated
+    bitmaps persist and re-merge across days without rescanning."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = (
+        ev.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bkt",
+            "bitmap_bit_position(user_id) AS pos",
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    direct = per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users_bitmap")
+    )
+    # second sharding: (type, bucket, parity) bitmaps OR-merged back
+    resharded = (
+        ev.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bkt",
+            "bitmap_bit_position(user_id) AS pos",
+            "user_id % 2 AS shard",
+        )
+        .groupBy("event_type", "bkt", "shard")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users_merged"))
+    )
+    return direct.join(resharded, "event_type")
