@@ -894,3 +894,61 @@ def l21_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "l30_calibration_bins",
+    oracle="""
+    WITH t AS (
+        SELECT lang = 'en' AS pos,
+               COALESCE(list_sum(list_transform(
+                   list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                        % 2001 - 1000)), 0) AS score
+        FROM documents
+    )
+    SELECT CAST(LEAST(GREATEST(FLOOR(score / 2000.0), -5), 5) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           ROUND(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / COUNT(*) + 1e-9, 4)
+               + 0.0 AS observed_rate
+    FROM t GROUP BY 1
+    """,
+)
+def l30_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30: classifier calibration (reliability) bins — the companion
+    eval to l21's AUC: does a higher hashed-classifier score actually
+    mean a higher P(lang=en)? Scores bucket into 11 clamped
+    2000-wide bins; each bin reports its observed positive rate. A
+    well-calibrated filter shows monotone rates; a miscalibrated one
+    tells you the quality threshold (l16/l20's cut) sits on a cliff.
+
+    Map-side projection + one 11-group aggregate — the cheapest
+    possible eval pass; the one float is a ratio of two exact
+    integers. FLOOR of a negative quotient is true floor division on
+    both engines (the dq6 double-floor discipline: floor in DOUBLE
+    then cast)."""
+    toks = F.filter(F.col("toks"), lambda t: t != F.lit(""))
+    wts = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % 2001
+        - 1000,
+    )
+    score = F.coalesce(
+        F.aggregate(wts, F.lit(0).cast("long"), lambda a, x: a + x),
+        F.lit(0).cast("long"),
+    )
+    d = tokenized_docs(spark, sf_dir).select(
+        (F.col("lang") == "en").cast("long").alias("pos"), score.alias("score")
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("score") / 2000.0), F.lit(-5)), F.lit(5)
+    ).cast("long")
+    return d.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        (
+            F.round(F.sum("pos") * 1.0 / F.count(F.lit(1)) + 1e-9, 4) + 0.0
+        ).alias("observed_rate"),
+    )
