@@ -333,10 +333,10 @@ def test_verified_pairs_cache_reuses_materialized_frame(spark, sf_dir):
 
     def _drain():
         # unpersist on clear: bare .clear() would leak persisted
-        # blocks with no reachable handle (code-review r3b)
-        for df in _PAIRS_CACHE.values():
-            df.unpersist()
-        _PAIRS_CACHE.clear()
+        # blocks with no reachable handle (code-review r3b); the cache
+        # is a SessionFrameCache since the r4 unification
+        for key in list(_PAIRS_CACHE._frames):
+            _PAIRS_CACHE._evict(key)
 
     _drain()
     try:
