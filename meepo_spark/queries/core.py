@@ -496,3 +496,45 @@ def f15_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+@register(
+    "f16_calendar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT)     AS qtr,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT)   AS doy,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT)  AS iso_week,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+           STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           STRFTIME(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE),
+                    '%Y-%m-%d') AS plus_2_months,
+           STRFTIME(date_trunc('quarter', CAST(o_orderdate AS DATE)),
+                    '%Y-%m-%d') AS quarter_start
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def f16_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: the calendar-arithmetic function family — quarter /
+    day-of-year / ISO week / day-of-week / month-end / add_months /
+    quarter truncation. The cross-engine traps, pinned: Spark's
+    dayofweek is 1=Sunday while DuckDB's is 0=Sunday (+1 in the
+    oracle); add_months and DuckDB's +INTERVAL MONTH both CLAMP to
+    the target month's last day (Jan 31 + 1 → Feb 29), so they
+    agree; weekofyear is ISO-8601 on both. All map-side projections;
+    dates render as strings (the FIXTURES.md timestamp discipline)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2_months"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )

@@ -244,3 +244,41 @@ def sql7_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql8_unpivot_syntax",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE)                 AS n_orders,
+               ROUND(SUM(o_totalprice), 2)              AS total_price,
+               ROUND(MAX(o_totalprice), 2)              AS max_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, val
+    FROM wide UNPIVOT (val FOR metric IN (n_orders, total_price, max_price))
+    """,
+)
+def sql8_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT syntax (vs v2's DataFrame melt / dq8's stack) —
+    wide metric columns to (key, metric, value) rows with the
+    relational clause both engines share verbatim. Like PIVOT
+    (sql6), the declared column list fixes output shape at plan
+    time; the expansion itself is a map-side Expand over the
+    already-aggregated 5-row frame — the fact is touched once by the
+    upstream GROUP BY."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS DOUBLE)    AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, metric, val
+        FROM wide UNPIVOT (val FOR metric IN (n_orders, total_price, max_price))
+        """
+    )

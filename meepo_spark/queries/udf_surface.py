@@ -18,6 +18,7 @@ the registry can load.
 from __future__ import annotations
 
 from functools import cache
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -329,4 +330,51 @@ def u6_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             reconcile,
             "custkey long, segment string, n_orders long, spend_minus_bal double",
         )
+    )
+
+
+@cache
+def _iter_scorer():
+    """U7: ITERATOR-form scalar pandas UDF — the expensive-init-once
+    surface: the 'model' (here a 3-entry weight table) loads ONCE per
+    Python worker, then every Arrow batch streams through the same
+    closure. The per-row arithmetic is vectorized numpy; only the
+    setup runs per-worker instead of per-batch."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def iter_score(
+        it: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        weights = np.array([0.5, 1.5, 2.5])  # one-time per-worker init
+        for uid, val in it:
+            w = weights[(uid.to_numpy() % 3).astype("int64")]
+            yield pd.Series(val.to_numpy() * w)
+
+    return iter_score
+
+
+@register(
+    "u7_iterator_pandas_udf",
+    oracle="""
+    SELECT event_id,
+           ROUND(value * (CASE CAST(user_id % 3 AS INT)
+                          WHEN 0 THEN 0.5 WHEN 1 THEN 1.5
+                          ELSE 2.5 END), 4) + 0.0 AS weighted
+    FROM events WHERE event_id < 2000
+    """,
+)
+def u7_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7: Iterator[pd.Series] → Iterator[pd.Series] pandas UDF — the
+    third scalar-UDF shape next to u1 (plain series) and u5
+    (mapInArrow): per-WORKER one-time initialization amortized over
+    all Arrow batches, the sanctioned pattern for model-loading UDFs
+    (a real scorer loads its weights file here, not per batch). The
+    plan shows ArrowEvalPython like u1; semantics are graded against
+    the plain CASE expression the tiny stand-in 'model' encodes."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    scorer = _iter_scorer()
+    return ev.select(
+        "event_id",
+        (F.round(scorer("user_id", "value"), 4) + 0.0).alias("weighted"),
     )
