@@ -37,3 +37,29 @@ def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE.get(spark, sf_dir, _build)
+
+
+_SH_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _build_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meepo_spark.operators.dedup import shingle_hash_set
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(shingle_hash_set(F.col("text"), 3)).alias("sh"),
+    )
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, sh) with sh = the SORTED distinct
+    xxhash64 3-token shingle set — the other corpus-wide derived
+    frame the dedup family re-derives per query (l2f, l6, l2g each
+    re-shingled the corpus; l2g's verify join touched it four times).
+    Sorted order is canonical so prefix filters can slice it
+    directly; array_intersect and explode consumers are order-
+    insensitive. Same SessionFrameCache discipline as tokenized_docs."""
+    return _SH_CACHE.get(spark, sf_dir, _build_shingled)

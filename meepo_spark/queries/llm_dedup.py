@@ -734,34 +734,45 @@ def l2g_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Jaccard structurally misses (a 10-shingle doc inside a
     1000-shingle doc has J ≈ 0.01 but C = 1.0).
 
-    Scale shape — the inverted-index join, not all-pairs: explode the
-    probe side's distinct shingles, equi-join the corpus side's
-    shingle rows on the 8-byte shingle hash (the shuffle key is the
-    shingle, so only docs that SHARE a shingle ever meet), count
-    matches per (a, b), divide by |Sa|. The DuckDB oracle computes
-    the same pairs by direct list_intersect on string shingles —
-    counts are hash-invariant (xxhash64 collision P < 1e-9, the l2f
-    argument). Probe bounded to 300 docs (the l2c convention); the
-    corpus side streams at any scale."""
-    from meepo_spark.operators.dedup import shingle_hash_set
+    Scale shape — the PREFIX-FILTERED inverted-index join, not
+    all-pairs: with the probe's shingles in a canonical (sorted-hash)
+    order, C(a→b) ≥ 0.5 means at most ⌊na/2⌋ of a's shingles miss b,
+    so at least one of a's FIRST ⌊na/2⌋+1 shingles must hit
+    (pigeonhole — the classic prefix filter for overlap joins). Only
+    that prefix explodes on the probe side; the equi-join on the
+    8-byte shingle hash meets only docs sharing a prefix shingle;
+    surviving DISTINCT candidate pairs verify exactly with one
+    array_intersect against the two shingle arrays. The DuckDB
+    oracle computes the same pairs by direct list_intersect on
+    string shingles — intersection COUNTS are hash-invariant
+    (xxhash64 collision P < 1e-9, the l2f argument). Probe bounded
+    to 300 docs (the l2c convention); the corpus side streams at any
+    scale."""
+    from meepo_spark.queries.doc_cache import shingled_docs
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", shingle_hash_set(F.col("text"), 3).alias("sh")
-    )
+    d = shingled_docs(spark, sf_dir).select("doc_id", "sh")
     a = d.filter(F.col("doc_id") < 300).select(
-        F.col("doc_id").alias("id_a"),
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"),
         F.size("sh").alias("na"),
-        F.explode("sh").alias("s"),
     )
-    b = d.select(F.col("doc_id").alias("id_b"), F.explode("sh").alias("s"))
-    common = (
-        a.join(b, "s")
+    a_pref = a.select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("sha"), 1, (F.floor(F.col("na") / 2) + 1).cast("int"))
+        ).alias("s"),
+    )
+    b_post = d.select(F.col("doc_id").alias("id_b"), F.explode("sh").alias("s"))
+    cand = (
+        a_pref.join(b_post, "s")
         .where(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b", "na")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    c = F.col("n_common").cast("double") / F.col("na")
+    ver = cand.join(a.select("id_a", "sha", "na"), "id_a").join(
+        d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")), "id_b"
+    )
+    c = F.size(F.array_intersect("sha", "shb")).cast("double") / F.col("na")
     return (
-        common.filter(c >= 0.5)
+        ver.filter(c >= 0.5)
         .select("id_a", "id_b", F.round(c, 4).alias("containment"))
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.queries.doc_cache import tokenized_docs
-from meepo_spark.operators.dedup import shingle_hash_set
+
 from meepo_spark.registry import register
 
 # Same distinct-3-token-shingle fragment as llm_dedup._SHINGLES_SQL,
@@ -70,9 +70,10 @@ def l2f_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle matches exactly (collision P < 1e-9, same argument as
     l2_minhash_lsh_pairs).
     """
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.explode(shingle_hash_set(F.col("text"), 3)).alias("s")
+    from meepo_spark.queries.doc_cache import shingled_docs
+
+    sh = shingled_docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode("sh").alias("s")
     )
     bench = (
         sh.filter(F.col("doc_id") < 200)
@@ -294,9 +295,11 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents scan. Swap the md5 stage for minhash_near_dup_pairs
     (l2b) to make the dedup fuzzy — same join topology.
     """
+    from meepo_spark.queries.doc_cache import shingled_docs
+
     d = tokenized_docs(spark, sf_dir)
     survivors = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    sh = d.select("doc_id", F.explode(shingle_hash_set(F.col("text"), 3)).alias("s"))
+    sh = shingled_docs(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
     bench = (
         sh.filter(F.col("doc_id") < 200)
         .select("s")
