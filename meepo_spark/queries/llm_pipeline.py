@@ -1206,3 +1206,136 @@ def l23_quality_decile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "n_docs", "tokens",
         F.round(F.col("tokens") / F.col("t") + 1e-9, 4).alias("token_share"),
     )
+
+
+_DSIR_BG_SQL = """
+    SELECT doc_id, lang, source,
+           unnest(list_transform(
+               range(greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+               i -> array_to_string(string_split(lower(text), ' ')[i+1:i+2], ' '))) AS bg
+    FROM documents
+"""
+
+
+@register(
+    "l33_dsir_importance",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS fid
+        FROM ({_DSIR_BG_SQL})
+    ),
+    ct AS (SELECT fid, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg WHERE lang = 'en' GROUP BY fid),
+    cr AS (SELECT fid, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY fid),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM bg WHERE lang = 'en') AS BIGINT) AS t,
+                   CAST((SELECT COUNT(*) FROM bg) AS BIGINT) AS r),
+    lr AS (
+        SELECT cr.fid,
+               ln((COALESCE(ct.c, 0) + 1) * 1.0 / (tot.t + 1024))
+             - ln((cr.c + 1) * 1.0 / (tot.r + 1024)) AS lr
+        FROM cr LEFT JOIN ct ON ct.fid = cr.fid CROSS JOIN tot
+    ),
+    per_doc_f AS (
+        SELECT doc_id, source, fid, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY doc_id, source, fid
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               ROUND(list_sum(LIST(c * lr.lr ORDER BY fid)) + 1e-9, 6) AS w
+        FROM per_doc_f JOIN lr USING (fid)
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(w) + 1e-9, 3) + 0.0 AS avg_log_importance,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like
+    FROM per_doc GROUP BY source
+    """,
+)
+def l33_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33: DSIR-style data selection — importance weights from
+    hashed n-gram features (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", the published recipe
+    behind quality-targeted pretraining mixes): target distribution =
+    the lang='en' slice, raw = the whole corpus; each doc's log
+    importance weight is Σ_f count_d(f)·ln(p̂_t(f)/p̂_r(f)) over 1024
+    hashed bigram buckets with add-one smoothing. Docs with w > 0
+    look more like the target than the raw pool — the resampling
+    acceptance set.
+
+    Cross-engine exactness: feature ids are md5-derived (the l20
+    discipline) so both engines bucket identically; the 1024 log-
+    ratios are ln() of identical integer ratios (≤1 ulp libm skew);
+    each doc folds its c·lr terms in SORTED fid order (F.aggregate ≡
+    list_sum(LIST ... ORDER BY)), per-doc weights round at 6dp, the
+    report at 3dp — the l4m two-level rounding discipline.
+
+    Scale shape: one bigram explode off the shared tokenized frame;
+    the feature-count tables are ≤1024 rows (broadcast); the only
+    doc-grain shuffle carries (doc, fid) partial counts. This is the
+    whole DSIR estimator as two aggregates and a broadcast join."""
+    from meepo_spark.queries.doc_cache import tokenized_docs
+
+    d = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bg = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long") % 1024).alias(
+            "fid"
+        ),
+    )
+    ct = bg.filter(F.col("lang") == "en").groupBy("fid").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    cr = bg.groupBy("fid").agg(F.count(F.lit(1)).alias("c_r"))
+    tot = bg.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    lr = (
+        cr.join(ct, "fid", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fid",
+            (
+                F.log((F.coalesce("c_t", F.lit(0)) + 1) * 1.0 / (F.col("t") + 1024))
+                - F.log((F.col("c_r") + 1) * 1.0 / (F.col("r") + 1024))
+            ).alias("lr"),
+        )
+    )
+    per_doc_f = bg.groupBy("doc_id", "source", "fid").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = (
+        per_doc_f.join(F.broadcast(lr), "fid")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("fid", (F.col("c") * F.col("lr")).alias("term")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"],
+                )
+                + 1e-9,
+                6,
+            ).alias("w")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("w") + 1e-9, 3) + 0.0).alias("avg_log_importance"),
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).alias("n_target_like"),
+    )
