@@ -708,3 +708,97 @@ def dq9_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("returned_but_open"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "dq10_iqr_outlier_census",
+    oracle="""
+    WITH m AS (
+        SELECT col, cents FROM (
+            SELECT 'extendedprice' AS col,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+            UNION ALL
+            SELECT 'quantity', CAST(l_quantity * 100 AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'discount', CAST(ROUND(l_discount * 10000) AS BIGINT)
+            FROM lineitem
+        )
+    ),
+    q AS (
+        SELECT col,
+               quantile_cont(cents, 0.25) AS q1,
+               quantile_cont(cents, 0.75) AS q3,
+               CAST(COUNT(*) AS BIGINT)   AS n
+        FROM m GROUP BY col
+    )
+    SELECT m.col,
+           q.n,
+           ROUND(q.q1, 2) + 0.0 AS q1,
+           ROUND(q.q3, 2) + 0.0 AS q3,
+           CAST(SUM(CASE WHEN m.cents < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR m.cents > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM m JOIN q USING (col)
+    GROUP BY m.col, q.n, q.q1, q.q3
+    """,
+)
+def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ10: Tukey-fence outlier census per measure — values outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR], the robust screen a data-quality
+    gate runs where dq4's z-score (mean/stddev) would be dragged by
+    the very outliers it hunts. Three measures audit in one melted
+    pass (exact integer units per measure: cents, centi-units,
+    basis points); quartiles are exact value-map percentiles over
+    integers (the v4 discipline — interpolation at quarter fractions
+    of integers is IEEE-exact), broadcast back for one counting
+    scan.
+
+    Scale shape: melt is a map-side Expand; each measure's quartile
+    is one percentile aggregate; the fence count partial-aggregates.
+    Two passes over the fact total — intrinsic to any exact-quantile
+    fence."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("extendedprice").alias("col"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .alias("cents"),
+                ),
+                F.struct(
+                    F.lit("quantity").alias("col"),
+                    (F.col("l_quantity") * 100).cast("long").alias("cents"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("col"),
+                    F.round(F.col("l_discount") * 10000).cast("long").alias("cents"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.col", "r.cents")
+    q = m.groupBy("col").agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        m.join(F.broadcast(q), "col")
+        .groupBy("col", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when((F.col("cents") < lo) | (F.col("cents") > hi), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "col",
+            "n",
+            (F.round("q1", 2) + 0.0).alias("q1"),
+            (F.round("q3", 2) + 0.0).alias("q3"),
+            "n_outliers",
+        )
+    )
