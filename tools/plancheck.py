@@ -94,6 +94,7 @@ NESTED_LOOP_WAIVED = {
     "v17_chi_square_independence",  # 1-row grand-total crossJoin(broadcast)
     "l27_mmr_diversified_topk",  # 1-row query-vector + 1-row cand-array broadcasts
     "l29_semantic_dedup",  # 1-row seed-centroid crossJoin(broadcast)
+    "l33_dsir_importance",  # 1-row feature-total crossJoin(broadcast)
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
