@@ -95,6 +95,8 @@ NESTED_LOOP_WAIVED = {
     "l27_mmr_diversified_topk",  # 1-row query-vector + 1-row cand-array broadcasts
     "l29_semantic_dedup",  # 1-row seed-centroid crossJoin(broadcast)
     "l33_dsir_importance",  # 1-row feature-total crossJoin(broadcast)
+    "e14_active_user_ratios",  # 1-row calendar-span crossJoin(broadcast)
+    "e13_windowed_funnel",  # two 1-row step-census crossJoin(broadcast)s
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
