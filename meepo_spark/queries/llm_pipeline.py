@@ -104,6 +104,22 @@ def l2f_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is synthetic word salad, so three common corpus tokens play the role.
 # The engine mechanics (regex scan + global replace + exact accounting)
 # are identical for any pattern both regex dialects accept.
+def _token_bigrams(df, *carry: str):
+    """(carry..., bg): whitespace-token bigrams off the cached `toks`
+    column. ONE copy of the n-gram windowing (code-review r4b #3) —
+    the greatest(size-2, 0) clamp mirrors the DuckDB oracle fragment
+    range(greatest(len-1, 1)): a 1-token doc yields its single token
+    as one degenerate 'bigram' on both engines."""
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    return df.select(
+        *carry,
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+        ).alias("bg"),
+    )
+
+
 _PII_PAT = r"\b(key|hash|merge)\b"
 _PII_SUB = "[REDACTED]"
 
@@ -826,18 +842,7 @@ def l16_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin to every fixture score at all SFs (measured), so boundary
     flips can't occur."""
     d = tokenized_docs(spark, sf_dir)
-
-    def bigrams_of(df: DataFrame):
-        toks = F.col("toks")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
-        return df.select(
-            "doc_id", "lang",
-            F.explode(
-                F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
-            ).alias("bg"),
-        )
-
-    all_bg = bigrams_of(d)
+    all_bg = _token_bigrams(d, "doc_id", "lang")
     ref = all_bg.filter(F.col("doc_id") % 5 != 4).groupBy("bg").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1278,16 +1283,7 @@ def l33_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meepo_spark.queries.doc_cache import tokenized_docs
 
     d = tokenized_docs(spark, sf_dir)
-    toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
-    bg = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
-        ).alias("bg"),
-    ).select(
+    bg = _token_bigrams(d, "doc_id", "lang", "source").select(
         "doc_id",
         "lang",
         "source",

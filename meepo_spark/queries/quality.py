@@ -719,7 +719,7 @@ def dq9_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
             FROM lineitem
             UNION ALL
-            SELECT 'quantity', CAST(l_quantity * 100 AS BIGINT) FROM lineitem
+            SELECT 'quantity', CAST(ROUND(l_quantity * 100) AS BIGINT) FROM lineitem
             UNION ALL
             SELECT 'discount', CAST(ROUND(l_discount * 10000) AS BIGINT)
             FROM lineitem
@@ -770,7 +770,10 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.struct(
                     F.lit("quantity").alias("col"),
-                    (F.col("l_quantity") * 100).cast("long").alias("cents"),
+                    # ROUND before the cast on BOTH sides: bare
+                    # double->BIGINT truncates in Spark but rounds in
+                    # DuckDB (code-review r4b #2, the dq6 trap)
+                    F.round(F.col("l_quantity") * 100).cast("long").alias("cents"),
                 ),
                 F.struct(
                     F.lit("discount").alias("col"),

@@ -1609,8 +1609,13 @@ def t20_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     xs = F.col("xs")
+    # try_element_at: a 1-day series has no x2 — the trend seed (and
+    # everything derived from it) degrades to NULL exactly like the
+    # oracle's xs[2] -> NULL, instead of ANSI element_at raising
+    # (code-review r4b #1)
     init = F.array(
-        F.element_at(xs, 1), F.element_at(xs, 2) - F.element_at(xs, 1)
+        F.element_at(xs, 1),
+        F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1),
     )
     rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
 
