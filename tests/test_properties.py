@@ -299,3 +299,58 @@ def test_bloom_filter_never_false_negative(spark, n_hot, n_probe, seed):
     )
     fp = bloom_prune(cold, "k", bloom).count()
     assert fp <= max(1, n_probe // 2), f"implausible FP count {fp}/{n_probe}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    dup_every=st.integers(min_value=1, max_value=7),
+    bucket_width=st.sampled_from([1, 3, 16]),
+    frame_end=st.sampled_from([0, -1]),
+)
+def test_bucketed_prefix_sum_equals_window_sum(
+    spark, n, dup_every, bucket_width, frame_end
+):
+    """operators/enumeration.bucketed_prefix_sum must be RESULT-
+    IDENTICAL to SUM() OVER (PARTITION BY g ORDER BY ... ROWS
+    UNBOUNDED PRECEDING .. frame_end) for any size, tie density,
+    bucket width, and both frame ends (CURRENT ROW and 1 PRECEDING) —
+    the property the r4 g11/v13/l21/t19 rewrites rest on. Also checks
+    the totals join against SUM() OVER (PARTITION BY g)."""
+    from pyspark.sql import Window as W
+
+    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % dup_every).alias("k"),  # deliberate key ties
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 5 + 1).alias("v"),
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["cum"], r["cum_tot"])
+        for r in bucketed_prefix_sum(
+            df,
+            F.floor(F.col("k") / bucket_width),
+            order,
+            {"cum": "v"},
+            ("g",),
+            frame_end=frame_end,
+            totals=True,
+        ).collect()
+    }
+    w = (
+        W.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, frame_end)
+    )
+    want = {
+        r["id"]: (r["cum"], r["cum_tot"])
+        for r in df.select(
+            "id",
+            F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cum"),
+            F.sum("v").over(W.partitionBy("g")).alias("cum_tot"),
+        ).collect()
+    }
+    assert got == want
