@@ -1103,3 +1103,169 @@ def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "l34_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 10)
+    SELECT q_id, c_id, neg_label, cos_r, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT q.q_id, c.vec_id AS c_id, c.label AS neg_label,
+               ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos_r,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                                           c.vec_id ASC) AS rank
+        FROM q JOIN e c ON c.label <> q.q_label
+    )
+    WHERE rank <= 3
+    """,
+)
+def l34_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34: hard-negative mining for contrastive training — for each
+    query vector, the top-3 most-similar vectors with a DIFFERENT
+    label: maximally confusable cross-class examples, the negatives
+    that actually move a contrastive/embedding loss (random negatives
+    are trivially separable). Exactly l3's broadcast-scan kernel plus
+    a label-mismatch pair filter; per-query WindowGroupLimit keeps 3.
+    At scale the ANN shortlist (l3b/l3k) generates candidates first
+    and this exact pass re-ranks the shortlist — same two-tier
+    discipline as l3l."""
+    from meepo_spark.functions.vectors import cosine_with_norms, norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cn"),
+        F.col("label").alias("neg_label"),
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        c.join(F.broadcast(q), F.col("neg_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "c_id",
+            "neg_label",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "neg_label", F.round("cos", 6).alias("cos_r"), "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+@register(
+    "l35_embedding_drift",
+    oracle="""
+    WITH comp AS (
+        SELECT label, vec_id % 2 AS shard, t.i AS pos,
+               CAST(SUM(CAST(embedding[t.i + 1] AS DECIMAL(25,10))) AS DOUBLE)
+                   / COUNT(*) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings, range(64) t(i)
+        GROUP BY label, vec_id % 2, t.i
+    ),
+    paired AS (
+        SELECT a.label, a.pos, a.c AS c0, b.c AS c1,
+               a.n AS n0, b.n AS n1
+        FROM comp a JOIN comp b
+          ON a.label = b.label AND a.pos = b.pos
+         AND a.shard = 0 AND b.shard = 1
+    ),
+    folded AS (
+        SELECT label, MAX(n0) AS n_even, MAX(n1) AS n_odd,
+               list_sum(LIST(c0 * c1 ORDER BY pos)) AS dot,
+               list_sum(LIST(c0 * c0 ORDER BY pos)) AS s0,
+               list_sum(LIST(c1 * c1 ORDER BY pos)) AS s1
+        FROM paired GROUP BY label
+    )
+    SELECT label, n_even, n_odd,
+           ROUND(dot / (SQRT(s0) * SQRT(s1)) + 1e-9, 6) + 0.0 AS centroid_cos_r
+    FROM folded ORDER BY label
+    """,
+)
+def l35_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35: embedding drift monitor — per label, the cosine between
+    the centroids of two deterministic corpus shards (vec_id parity
+    stands in for yesterday/today): centroid_cos ≈ 1 means the
+    embedding space is stable across batches; a drop is the alarm a
+    re-embedding pipeline pages on (model silently updated, encoder
+    version skew, corrupted batch).
+
+    Exactness, two layers: centroid components are DECIMAL-exact sums
+    over the posexploded values (l3e's discipline — order-independent,
+    map-side combinable) divided once in double; the 64-term
+    dot/norm folds then run in POSITION order on both engines
+    (F.aggregate ≡ list_sum(LIST ... ORDER BY pos)). Shuffle carries
+    labels × dims × 2 partial sums — never vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("shard"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .groupBy("label", "shard", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = comp.filter(F.col("shard") == 0).select(
+        "label", "pos", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    b = comp.filter(F.col("shard") == 1).select(
+        "label", "pos", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    paired = a.join(b, ["label", "pos"])
+
+    def fold(expr_name: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col(expr_name).alias("x")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        )
+
+    folded = (
+        paired.select(
+            "label",
+            "pos",
+            F.col("n0").alias("n_even"),
+            F.col("n1").alias("n_odd"),
+            (F.col("c0") * F.col("c1")).alias("p_dot"),
+            (F.col("c0") * F.col("c0")).alias("p0"),
+            (F.col("c1") * F.col("c1")).alias("p1"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n_even").cast("long").alias("n_even"),
+            F.max("n_odd").cast("long").alias("n_odd"),
+            fold("p_dot").alias("dot"),
+            fold("p0").alias("s0"),
+            fold("p1").alias("s1"),
+        )
+    )
+    return folded.select(
+        "label",
+        "n_even",
+        "n_odd",
+        (
+            F.round(F.col("dot") / (F.sqrt("s0") * F.sqrt("s1")) + 1e-9, 6) + 0.0
+        ).alias("centroid_cos_r"),
+    ).orderBy("label")
