@@ -754,54 +754,56 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     of integers is IEEE-exact), broadcast back for one counting
     scan.
 
-    Scale shape: melt is a map-side Expand; each measure's quartile
-    is one percentile aggregate; the fence count partial-aggregates.
-    Two passes over the fact total — intrinsic to any exact-quantile
-    fence."""
+    Scale shape: NO melt — the oracle melts for SQL convenience, but
+    tripling fact rows through an Expand doubled-and-some the cost
+    (a first cut at 5.3 s was the whole bench's worst query). All six
+    quartiles come from ONE wide aggregate over the 3 integer-unit
+    columns (value-map percentiles, the v4 discipline), the fences
+    broadcast back as one row, and a second wide aggregate counts
+    all three fence breaches in the same pass. Two column-pruned
+    scans of the fact total — intrinsic to any exact-quantile fence
+    — and the shuffle carries 1 row each time. ROUND before every
+    double->BIGINT cast on BOTH sides (bare casts truncate in Spark
+    but round in DuckDB — the dq6 trap)."""
     li = table(spark, sf_dir, "lineitem")
-    m = li.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("extendedprice").alias("col"),
-                    F.round(F.col("l_extendedprice") * 100)
-                    .cast("long")
-                    .alias("cents"),
-                ),
-                F.struct(
-                    F.lit("quantity").alias("col"),
-                    # ROUND before the cast on BOTH sides: bare
-                    # double->BIGINT truncates in Spark but rounds in
-                    # DuckDB (code-review r4b #2, the dq6 trap)
-                    F.round(F.col("l_quantity") * 100).cast("long").alias("cents"),
-                ),
-                F.struct(
-                    F.lit("discount").alias("col"),
-                    F.round(F.col("l_discount") * 10000).cast("long").alias("cents"),
-                ),
-            )
-        ).alias("r")
-    ).select("r.col", "r.cents")
-    q = m.groupBy("col").agg(
-        F.percentile("cents", F.lit(0.25)).alias("q1"),
-        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    units = {
+        "extendedprice": F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "quantity": F.round(F.col("l_quantity") * 100).cast("long"),
+        "discount": F.round(F.col("l_discount") * 10000).cast("long"),
+    }
+    m = li.select(*[c.alias(name) for name, c in units.items()])
+    q = m.agg(
         F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile(name, F.array(F.lit(0.25), F.lit(0.75))).alias(f"q_{name}")
+            for name in units
+        ],
     )
-    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
-    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
-    return (
-        m.join(F.broadcast(q), "col")
-        .groupBy("col", "n", "q1", "q3")
-        .agg(
-            F.sum(
-                F.when((F.col("cents") < lo) | (F.col("cents") > hi), 1).otherwise(0)
-            ).alias("n_outliers")
-        )
-        .select(
-            "col",
-            "n",
-            (F.round("q1", 2) + 0.0).alias("q1"),
-            (F.round("q3", 2) + 0.0).alias("q3"),
-            "n_outliers",
-        )
+
+    def fence_count(name: str):
+        q1, q3 = F.col(f"q_{name}")[0], F.col(f"q_{name}")[1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        return F.sum(
+            F.when((F.col(name) < lo) | (F.col(name) > hi), 1).otherwise(0)
+        ).alias(f"o_{name}")
+
+    counted = m.crossJoin(F.broadcast(q)).agg(
+        F.first("n").alias("n"),
+        *[F.first(f"q_{name}").alias(f"q_{name}") for name in units],
+        *[fence_count(name) for name in units],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col"),
+                F.col("n").alias("n"),
+                (F.round(F.col(f"q_{name}")[0], 2) + 0.0).alias("q1"),
+                (F.round(F.col(f"q_{name}")[1], 2) + 0.0).alias("q3"),
+                F.col(f"o_{name}").alias("n_outliers"),
+            )
+            for name in units
+        ]
+    )
+    return counted.select(F.explode(rows).alias("r")).select(
+        "r.col", "r.n", "r.q1", "r.q3", "r.n_outliers"
     )
