@@ -1638,3 +1638,99 @@ def t20_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(trd + 1e-9, 4) + 0.0).alias("trend_r"),
         (F.round(lvl + 3 * trd + 1e-9, 4) + 0.0).alias("forecast3_r"),
     ).orderBy("event_type")
+
+
+@register(
+    "e15_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', CAST(ts AS DATE)) AS DATE) AS wk
+        FROM events
+    ),
+    flags AS (
+        SELECT user_id, wk,
+               MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+        FROM uw
+    ),
+    states AS (
+        SELECT wk,
+               CASE WHEN wk = first_wk THEN 'new'
+                    WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM flags
+    ),
+    churn AS (
+        SELECT CAST(wk + INTERVAL 7 DAY AS DATE) AS wk, 'churned' AS state
+        FROM (
+            SELECT user_id, wk,
+                   LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+            FROM uw
+        )
+        WHERE next_wk IS DISTINCT FROM wk + INTERVAL 7 DAY
+          AND wk + INTERVAL 7 DAY <= (SELECT MAX(wk) FROM uw)
+    )
+    SELECT STRFTIME(wk, '%Y-%m-%d') AS week, state,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT wk, state FROM states UNION ALL SELECT wk, state FROM churn)
+    GROUP BY wk, state
+    """,
+)
+def e15_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: weekly growth accounting — every active (user, week) is
+    NEW (first-ever week), RETAINED (also active the week before) or
+    RESURRECTED (returning after a gap), and a user active in week w
+    but not w+1 counts as CHURNED in w+1 (capped at the last observed
+    week so the open week never reports phantom churn). The
+    new/retained/resurrected/churned ledger is THE growth dashboard
+    identity: retained(w) − churned(w) telescopes to the active-user
+    delta.
+
+    Scale shape: the fact reduces once to distinct (user, week); both
+    windows partition on user_id (high-cardinality) over ≤
+    weeks-per-user rows; the census is a tiny (week, state)
+    aggregate. Integer date arithmetic throughout."""
+    uw = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    wu = W.partitionBy("user_id")
+    wo = wu.orderBy("wk")
+    flags = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(wu).alias("first_wk"),
+        F.lag("wk").over(wo).alias("prev_wk"),
+        F.lead("wk").over(wo).alias("next_wk"),
+    )
+    states = flags.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        flags.crossJoin(F.broadcast(max_wk))
+        .filter(
+            (
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") != F.date_add("wk", 7))
+            )
+            & (F.date_add("wk", 7) <= F.col("max_wk"))
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("state"))
+    )
+    return (
+        states.unionByName(churn)
+        .groupBy(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"), "state"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

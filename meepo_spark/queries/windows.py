@@ -1023,3 +1023,54 @@ def g20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users_merged"))
     )
     return direct.join(resharded, "event_type")
+
+
+@register(
+    "g21_join_skew_f2",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT)          AS n_rows,
+           CAST(COUNT(*) AS BIGINT)        AS n_keys,
+           CAST(SUM(n * n) AS BIGINT)      AS f2,
+           CAST(MAX(n) AS BIGINT)          AS max_key,
+           ROUND(SUM(n * n) * 1.0 / (SUM(n) * SUM(n) / COUNT(*)) + 1e-9, 4)
+               + 0.0 AS skew_ratio
+    FROM c GROUP BY event_type
+    """,
+)
+def g21_join_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21: second frequency moment (F2) of the join-key distribution
+    per event type — F2 = Σ count(key)² IS the self-join output size,
+    so this one aggregate answers 'will joining/grouping on user_id
+    skew?' before the join runs: skew_ratio = F2 / (uniform F2) is
+    1.0 for perfectly even keys and grows with the hottest keys
+    (max_key pinpoints the salting candidates — j11's input
+    decision). Two stacked hash aggregates, both map-side combined;
+    exact integers, one rounded ratio of exact integers. At 100 TB
+    this is the cheap planning probe run before choosing broadcast /
+    salt / AQE-skew strategies."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("event_type").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("n") * F.col("n")).alias("f2"),
+        F.max("n").alias("max_key"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.col("n"))
+                * 1.0
+                / (F.sum("n") * F.sum("n") / F.count(F.lit(1)))
+                + 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("skew_ratio"),
+    )

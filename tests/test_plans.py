@@ -547,3 +547,40 @@ def test_bench_no_per_query_regression_vs_prev_round():
     assert not blown, "per-query regressions vs previous round:\n" + "\n".join(
         f"  {q}: {v}" for q, v in sorted(blown.items())
     )
+
+
+def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
+    """Catalyst must inject a dynamic-pruning subquery when a
+    partitioned fact joins a filtered dim on the partition column —
+    the mechanism that lets the A8 event-store layout skip partitions
+    selected at RUNTIME by the dim side (broadcast filter), not just
+    by literal predicates. Guards the layout + join contract the CDC
+    replay path depends on at 100 TB."""
+    from meepo_spark.catalog import table as t
+
+    src = str(tmp_path / "store")
+    (
+        t(spark, SF_DIR, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    fact = spark.read.parquet(src)
+    dim_src = str(tmp_path / "dim")
+    (
+        t(spark, SF_DIR, "events")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn(
+            "tag", F.when(F.dayofmonth("event_date") <= 2, "keep").otherwise("drop")
+        )
+        .write.mode("overwrite")
+        .parquet(dim_src)
+    )
+    # DPP requires a SELECTIVE FILTER on the dim side (a limit does
+    # not qualify as filteringHasBenefit) over a real scan
+    dim = spark.read.parquet(dim_src).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "event_date").groupBy("tag").count()
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
