@@ -97,6 +97,8 @@ NESTED_LOOP_WAIVED = {
     "l33_dsir_importance",  # 1-row feature-total crossJoin(broadcast)
     "e14_active_user_ratios",  # 1-row calendar-span crossJoin(broadcast)
     "e13_windowed_funnel",  # two 1-row step-census crossJoin(broadcast)s
+    "e15_growth_accounting",  # 1-row max-week crossJoin(broadcast)
+    "l34_hard_negatives",  # 10-row query-vector broadcast, theta join
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
