@@ -99,6 +99,7 @@ NESTED_LOOP_WAIVED = {
     "e13_windowed_funnel",  # two 1-row step-census crossJoin(broadcast)s
     "e15_growth_accounting",  # 1-row max-week crossJoin(broadcast)
     "l34_hard_negatives",  # 10-row query-vector broadcast, theta join
+    "dq10_iqr_outlier_census",  # 1-row quartile-fence crossJoin(broadcast)
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
