@@ -952,3 +952,81 @@ def l30_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("pos") * 1.0 / F.count(F.lit(1)) + 1e-9, 4) + 0.0
         ).alias("observed_rate"),
     )
+
+
+@register(
+    "l36_duplicate_ngram_fraction",
+    oracle="""
+    WITH tg AS (
+        SELECT doc_id, lang, n_chars,
+               unnest(list_transform(
+                   range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' '))) AS g
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, lang, n_chars, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tg GROUP BY doc_id, lang, n_chars, g
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c) + 1e-9, 6) AS dup_frac,
+               ROUND(MIN({'nc': -c, 'g': g}).nc * -1.0 * LENGTH(MIN({'nc': -c, 'g': g}).g)
+                     / MAX(n_chars) + 1e-9, 6) AS top_frac
+        FROM cnt GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(dup_frac) + 1e-9, 4) + 0.0 AS avg_dup_trigram_frac,
+           ROUND(AVG(top_frac) + 1e-9, 4) + 0.0 AS avg_top_trigram_frac,
+           CAST(SUM(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetitive
+    FROM per_doc GROUP BY lang
+    """,
+)
+def l36_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36: the Gopher/MassiveText duplicate-n-gram repetition
+    signals (Rae et al. 2021 §A1.1): per doc, the fraction of trigram
+    OCCURRENCES that are repeats (1 − distinct/total) and the
+    character mass of the single most frequent trigram — the two
+    screens that catch looping generations and boilerplate that
+    l4h's unigram TTR misses (a doc can have high unigram diversity
+    while looping a 3-token phrase). Tie on the top trigram breaks
+    lexicographically via a (−count, gram) struct-min on both
+    engines.
+
+    Per-doc fractions are exact integer ratios rounded at 6dp; the
+    per-lang report rounds the averages at 4dp (the l4m two-level
+    discipline). One explode off the shared tokenized frame, one
+    (doc, gram) partial-aggregated count, one doc rollup."""
+    from meepo_spark.queries.doc_cache import tokenized_docs
+
+    d = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    tg = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
+        ).alias("g"),
+    )
+    cnt = tg.groupBy("doc_id", "lang", "n_chars", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = F.min(F.struct((-F.col("c")).alias("nc"), F.col("g")))
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) * 1.0 / F.sum("c") + 1e-9, 6
+        ).alias("dup_frac"),
+        F.round(
+            top["nc"] * -1.0 * F.length(top["g"]) / F.max("n_chars") + 1e-9, 6
+        ).alias("top_frac"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("dup_frac") + 1e-9, 4) + 0.0).alias("avg_dup_trigram_frac"),
+        (F.round(F.avg("top_frac") + 1e-9, 4) + 0.0).alias("avg_top_trigram_frac"),
+        F.sum(F.when(F.col("dup_frac") > 0.2, 1).otherwise(0)).alias("n_repetitive"),
+    )
