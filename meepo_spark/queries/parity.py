@@ -820,3 +820,91 @@ def a22_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c2", F.lit(0)) - F.coalesce("c1", F.lit(0))
         ).alias("cents_delta"),
     )
+
+
+@register(
+    "a23_offset_gap_census",
+    oracle="""
+    WITH log AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'users_write'
+                               WHEN 'purchase' THEN 'orders_write'
+                               WHEN 'click' THEN 'users_update'
+                               WHEN 'view' THEN 'users_update'
+                               ELSE 'users_delete' END AS topic,
+               event_id AS off
+        FROM events
+    ),
+    seq AS (
+        SELECT topic, off,
+               LAG(off) OVER (PARTITION BY topic ORDER BY off) AS prev_off
+        FROM log
+    )
+    SELECT topic,
+           CAST(COUNT(*) AS BIGINT)                         AS n_offsets,
+           CAST(MAX(off) - MIN(off) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+           CAST(SUM(CASE WHEN off - prev_off > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+           CAST(MAX(CASE WHEN prev_off IS NOT NULL
+                    THEN off - prev_off - 1 ELSE 0 END) AS BIGINT)
+               AS max_gap
+    FROM seq GROUP BY topic
+    """,
+)
+def a23_offset_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: binlog offset-gap census per topic — count of missing
+    offsets (range-minus-count, O(1) after one aggregate), number of
+    gap RUNS and the widest gap (per-topic LAG). Partitioned topics
+    interleave one global offset sequence, so every topic legally has
+    gaps; what this monitors is gap GROWTH between checkpoints — the
+    replication-loss alarm a CDC consumer (a10/a14's ledger) pages
+    on.
+
+    Scale shape — adjacency WITHOUT the tiny-key window (the oracle's
+    per-topic LAG funnels the whole log through |topics| tasks; the
+    engine uses the two-level bucket discipline instead): offsets
+    split into 2²⁰-wide ranges, the within-range LAG partitions on
+    (topic, range) — bounded at 2²⁰ rows by construction — and the
+    range-BOUNDARY gaps come from one LAG over the tiny per-range
+    aggregate (≤ offsets/2²⁰ rows per topic). Local and boundary gap
+    counts/maxima combine exactly: every adjacent offset pair lives
+    either inside one range or across one boundary. Exact integers
+    throughout."""
+    topic_col = (
+        F.when(F.col("event_type") == "signup", "users_write")
+        .when(F.col("event_type") == "purchase", "orders_write")
+        .when(F.col("event_type").isin("click", "view"), "users_update")
+        .otherwise("users_delete")
+    )
+    ev = table(spark, sf_dir, "events")
+    log = ev.select(
+        topic_col.alias("topic"),
+        F.col("event_id").alias("off"),
+        F.floor(F.col("event_id") / 1_048_576).alias("rng"),
+    )
+    w_in = W.partitionBy("topic", "rng").orderBy("off")
+    seq = log.withColumn("prev_off", F.lag("off").over(w_in))
+    gap = F.col("off") - F.col("prev_off") - 1
+    per_range = seq.groupBy("topic", "rng").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("off").alias("min_off"),
+        F.max("off").alias("max_off"),
+        F.sum(F.when(gap > 0, 1).otherwise(0)).alias("gaps_loc"),
+        F.max(F.when(F.col("prev_off").isNotNull(), gap).otherwise(0)).alias(
+            "maxgap_loc"
+        ),
+    )
+    w_b = W.partitionBy("topic").orderBy("rng")
+    bridged = per_range.withColumn(
+        "bgap", F.col("min_off") - F.lag("max_off").over(w_b) - 1
+    )
+    return bridged.groupBy("topic").agg(
+        F.sum("n").alias("n_offsets"),
+        (F.max("max_off") - F.min("min_off") + 1 - F.sum("n")).alias("n_missing"),
+        (
+            F.sum("gaps_loc")
+            + F.sum(F.when(F.col("bgap") > 0, 1).otherwise(0))
+        ).alias("n_gaps"),
+        F.greatest(
+            F.max("maxgap_loc"), F.max(F.coalesce(F.col("bgap"), F.lit(0)))
+        ).alias("max_gap"),
+    )

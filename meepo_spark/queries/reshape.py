@@ -695,3 +695,56 @@ def v16_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 + 1e-9, 4).alias("p1"),
         F.round(z + 1e-9, 4).alias("z_stat"),
     )
+
+
+@register(
+    "v20_mode_percentile_disc",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag, q
+    )
+    SELECT c.l_returnflag,
+           MIN({'nn': -n, 'q': q}).q        AS mode_qty,
+           -MIN({'nn': -n, 'q': q}).nn      AS mode_count,
+           d.p50, d.p90
+    FROM c
+    JOIN (
+        SELECT l_returnflag,
+               CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS BIGINT) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    ) d USING (l_returnflag)
+    GROUP BY c.l_returnflag, d.p50, d.p90
+    """,
+)
+def v20_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V20: modal value and DISCRETE percentiles per group — the two
+    order statistics v4's interpolating quantiles don't give: the
+    most frequent actual value (mode, ties broken to the SMALLEST
+    value via a (−count, value) struct-min — builtin mode() is
+    tie-nondeterministic on both engines) and the smallest value
+    whose cumulative frequency reaches p (percentile_disc ≡ DuckDB
+    quantile_disc, verified to share the lower-bound convention —
+    always a value that EXISTS, which is what inventory/SKU style
+    reporting needs). Mode reduces the fact to a value-count table
+    first (map-side combined); the discrete percentiles are one
+    value-map aggregate."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    c = li.groupBy("l_returnflag", "q").agg(F.count(F.lit(1)).alias("n"))
+    top = F.min(F.struct((-F.col("n")).alias("nn"), F.col("q")))
+    modes = c.groupBy("l_returnflag").agg(
+        top["q"].alias("mode_qty"), (-top["nn"]).alias("mode_count")
+    )
+    disc = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY q)")
+        .cast("long")
+        .alias("p90"),
+    )
+    return modes.join(disc, "l_returnflag")
