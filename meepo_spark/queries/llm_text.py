@@ -999,8 +999,6 @@ def l36_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang report rounds the averages at 4dp (the l4m two-level
     discipline). One explode off the shared tokenized frame, one
     (doc, gram) partial-aggregated count, one doc rollup."""
-    from meepo_spark.queries.doc_cache import tokenized_docs
-
     d = tokenized_docs(spark, sf_dir)
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))

@@ -701,7 +701,7 @@ def v16_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v20_mode_percentile_disc",
     oracle="""
     WITH c AS (
-        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY l_returnflag, q
     )
@@ -731,8 +731,10 @@ def v20_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting needs). Mode reduces the fact to a value-count table
     first (map-side combined); the discrete percentiles are one
     value-map aggregate."""
+    # ROUND before the double->BIGINT cast on BOTH sides (the dq6
+    # trap: bare casts truncate in Spark but round in DuckDB)
     li = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+        "l_returnflag", F.round(F.col("l_quantity")).cast("long").alias("q")
     )
     c = li.groupBy("l_returnflag", "q").agg(F.count(F.lit(1)).alias("n"))
     top = F.min(F.struct((-F.col("n")).alias("nn"), F.col("q")))

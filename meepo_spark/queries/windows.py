@@ -1058,16 +1058,27 @@ def g21_join_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # DECIMAL intermediates (code-review r4c #2): long n*n and
+    # sum(n)^2 wrap past ~3e9 rows per key/type — exactly the scale
+    # this probe exists for; DuckDB auto-promotes to HUGEINT, Spark
+    # needs the explicit decimal. The ratio divides the exact
+    # decimals once in double.
+    nd = F.col("n").cast("decimal(19,0)")
     return c.groupBy("event_type").agg(
         F.sum("n").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum(F.col("n") * F.col("n")).alias("f2"),
+        F.sum(nd * nd).cast("long").alias("f2"),
         F.max("n").alias("max_key"),
         (
             F.round(
-                F.sum(F.col("n") * F.col("n"))
-                * 1.0
-                / (F.sum("n") * F.sum("n") / F.count(F.lit(1)))
+                F.sum(nd * nd).cast("double")
+                / (
+                    (
+                        F.sum("n").cast("decimal(19,0)")
+                        * F.sum("n").cast("decimal(19,0)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
                 + 1e-9,
                 4,
             )
