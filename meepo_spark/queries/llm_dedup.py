@@ -776,3 +776,53 @@ def l2g_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ver.filter(c >= 0.5)
         .select("id_a", "id_b", F.round(c, 4).alias("containment"))
     )
+
+
+@register(
+    "l37_minhash_mergeability",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sig_equal
+    FROM documents
+    """,
+)
+def l37_minhash_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37: MinHash signature MERGEABILITY, graded as a property (the
+    g3/g3b convention — the oracle emits the expected all-equal
+    census): sig(A ∪ B) = elementwise-min(sig(A), sig(B)). This
+    identity is WHY distributed MinHash works — each shard sketches
+    its shingles independently and signatures combine by min, the
+    same mergeable-state argument as HLL union (g3b) and bitmap OR
+    (g20). The check splits every doc's shingle set in two by shingle
+    -hash parity, signs each half with the SAME 24 seeded
+    permutations (min over an empty half = the other half's value via
+    null-skipping min), min-merges, and counts docs whose merged
+    signature equals the directly-computed one — which must be ALL
+    of them, exactly, not approximately."""
+    from meepo_spark.operators.dedup import hashed_shingles, minhash_signatures
+
+    NH = 24
+    d = table(spark, sf_dir, "documents")
+    sh = hashed_shingles(d, "text", "doc_id", 3)
+    direct = minhash_signatures(sh, NH)
+    halves = minhash_signatures(
+        sh.withColumn("half", F.pmod(F.col("shingle"), F.lit(2)))
+        .withColumn("id", F.concat_ws("#", F.col("id"), F.col("half")))
+        .drop("half"),
+        NH,
+    )
+    merged = (
+        halves.withColumn("id", F.split(F.col("id"), "#")[0].cast("long"))
+        .groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(NH)])
+    )
+    j = direct.alias("a").join(
+        merged.alias("b"), F.col("a.id") == F.col("b.id")
+    )
+    cmp_expr = F.lit(True)
+    for i in range(NH):
+        cmp_expr = cmp_expr & (F.col(f"a.h{i}") == F.col(f"b.h{i}"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(cmp_expr, 1).otherwise(0)).cast("long").alias("n_sig_equal"),
+    )

@@ -378,3 +378,51 @@ def u7_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.round(scorer("user_id", "value"), 4) + 0.0).alias("weighted"),
     )
+
+
+@cache
+def _pandas_mean():
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(np.mean(v.to_numpy()))
+
+    return pmean
+
+
+@register(
+    "u8_pandas_window_agg",
+    oracle="""
+    SELECT event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 + 1e-9, 4) + 0.0 AS rolling_mean
+    FROM events WHERE user_id < 30
+    """,
+)
+def u8_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8: a GROUPED_AGG pandas UDF used as a WINDOW function — the
+    fourth UDF surface (after u1 scalar, u7 iterator, u3 group-agg):
+    Spark evaluates the Arrow-batched aggregate once per frame, which
+    is how a custom rolling statistic (a numpy/scipy kernel Spark
+    lacks) runs over ordered frames without leaving the window
+    operator. The stand-in kernel is a plain mean so DuckDB's AVG
+    OVER the identical 4-row frame grades it; a real deployment swaps
+    in the library call with zero plan changes. Bounded frame (3
+    PRECEDING) over a high-cardinality user partition."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        (F.round(_pandas_mean()("value").over(w) + 1e-9, 4) + 0.0).alias(
+            "rolling_mean"
+        ),
+    )
