@@ -1085,3 +1085,60 @@ def g21_join_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "w10_ignore_nulls_family",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END AS purch_cents
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id, event_id,
+           last_value(purch_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING)                    AS last_purchase,
+           first_value(purch_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                            AS first_purchase,
+           nth_value(purch_cents, 2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                            AS second_purchase
+    FROM e
+    """,
+)
+def w10_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: the IGNORE NULLS window family — last_value (the
+    forward-fill / last-observation-carried-forward primitive t8's
+    gap fill builds on), first_value, and nth_value over a sparse
+    measure (purchase cents, NULL on every other event type). The
+    null-skipping variants are what make windows usable on sparse
+    event attributes without pre-filtering away the timeline rows.
+    Per-user partitions (high-cardinality), exact integer cents, µs
+    + event_id total order."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("purch_cents"),
+    )
+    wo = W.partitionBy("user_id").orderBy("us", "event_id")
+    run = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last("purch_cents", ignorenulls=True).over(run).alias("last_purchase"),
+        F.first("purch_cents", ignorenulls=True).over(full).alias("first_purchase"),
+        F.nth_value("purch_cents", 2, ignoreNulls=True)
+        .over(full)
+        .alias("second_purchase"),
+    )
