@@ -1734,3 +1734,134 @@ def e15_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "t21_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    cutoff AS (SELECT MIN(day) + CAST(19 AS INT) AS cut FROM daily),
+    train AS (
+        SELECT event_type,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs
+        FROM daily CROSS JOIN cutoff WHERE day <= cut GROUP BY event_type
+    ),
+    fitted AS (
+        SELECT event_type,
+               list_reduce(
+                   list_prepend([xs[1], xs[2] - xs[1]],
+                                list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
+                   (acc, el) -> [
+                       0.5 * el[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * (0.5 * el[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+                           + 0.75 * acc[2]
+                   ]) AS lb
+        FROM train
+    ),
+    holdout AS (
+        SELECT d.event_type, d.x,
+               CAST(d.day - c.cut AS BIGINT) AS h
+        FROM daily d CROSS JOIN cutoff c WHERE d.day > c.cut
+    )
+    SELECT h.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(list_sum(LIST(ABS(h.x - (f.lb[1] + h.h * f.lb[2])) ORDER BY h.h))
+                 / list_sum(LIST(ABS(h.x) ORDER BY h.h))
+                 + 1e-9, 6) + 0.0 AS wape_r
+    FROM holdout h JOIN fitted f USING (event_type)
+    GROUP BY h.event_type ORDER BY h.event_type
+    """,
+)
+def t21_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21: forecast BACKTEST — fit t20's Holt level+trend on the
+    first 20 days per type, project h days ahead over the holdout,
+    and score WAPE (Σ|err| / Σ|actual| — the scale-free accuracy
+    metric forecast monitoring dashboards page on). Completes the
+    fit → forecast → evaluate loop: t20 alone says what the model
+    thinks; this says whether to trust it.
+
+    Exactness: same ordered-fold recurrence as t20 (bit-identical
+    level/trend on both engines), horizon h is exact integer day
+    arithmetic against a broadcast cutoff, each |err| is scalar
+    double math on identical inputs, and the WAPE numerator folds as
+    a SUM over identical per-day doubles — sum order across ≤10
+    holdout days could differ, so errors aggregate per (type, day)
+    grain first and the final ratio rounds at 6dp after a sorted
+    fold. Scale shape: one daily aggregate, per-type arrays of ≤20
+    floats, broadcast fitted state joined to the holdout."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    cutoff = daily.agg(F.date_add(F.min("day"), 19).alias("cut"))
+    train = (
+        daily.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("day") <= F.col("cut"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
+            ).alias("xs")
+        )
+    )
+    xs = F.col("xs")
+    init = F.array(
+        F.element_at(xs, 1),
+        F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1),
+    )
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+
+    def step(acc, x):
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        new_l = 0.5 * x + 0.5 * (l + b)
+        new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
+        return F.array(new_l, new_b)
+
+    fitted = train.select(
+        "event_type", F.aggregate(rest, init, step).alias("lb")
+    )
+    holdout = (
+        daily.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("day") > F.col("cut"))
+        .select(
+            "event_type",
+            "x",
+            F.datediff("day", F.col("cut")).cast("long").alias("h"),
+        )
+    )
+    j = holdout.join(F.broadcast(fitted), "event_type")
+    err = F.abs(
+        F.col("x") - (F.element_at("lb", 1) + F.col("h") * F.element_at("lb", 2))
+    )
+    folded = j.select("event_type", "h", err.alias("e"), F.abs("x").alias("ax")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("h", F.col("e").alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("sum_err"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("h", F.col("ax").alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("sum_ax"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        (
+            F.round(F.col("sum_err") / F.col("sum_ax") + 1e-9, 6) + 0.0
+        ).alias("wape_r"),
+    ).orderBy("event_type")
