@@ -100,6 +100,7 @@ NESTED_LOOP_WAIVED = {
     "e15_growth_accounting",  # 1-row max-week crossJoin(broadcast)
     "l34_hard_negatives",  # 10-row query-vector broadcast, theta join
     "dq10_iqr_outlier_census",  # 1-row quartile-fence crossJoin(broadcast)
+    "t21_forecast_backtest",  # 1-row cutoff-date crossJoin(broadcast)
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
