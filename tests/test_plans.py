@@ -584,3 +584,53 @@ def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
     joined = fact.join(dim, "event_date").groupBy("tag").count()
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketing is the pre-paid shuffle (§4.2): two tables bucketed
+    8-ways on the same join key must SortMergeJoin with NO Exchange
+    on either side — the co-located join the brief's 100 TB posture
+    names for repeated big-big joins. Guards that the catalog write
+    path (bucketBy + saveAsTable) and the bucketed-scan read path
+    stay wired through Spark upgrades."""
+    name_a, name_b = "bkt_orders_t", "bkt_lineitem_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+    spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+    (
+        table(spark, SF_DIR, "orders")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(name_a)
+    )
+    (
+        table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(name_b)
+    )
+    try:
+        a = spark.table(name_a)
+        b = spark.table(name_b)
+        joined = a.join(
+            b, a.o_orderkey == b.l_orderkey
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("q"))
+        # disable auto-broadcast so the join strategy is the bucketed
+        # sort-merge, not a broadcast that would hide the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan, plan[:1500]
+        # exactly ONE Exchange in the whole tree: the post-join
+        # aggregation shuffle — neither join input re-shuffles
+        # (tree section = everything before the first detail block)
+        tree = plan.split("\n\n(")[0]
+        assert tree.count("Exchange") == 1, tree
+        assert "Bucketed: true" in plan, plan[:1500]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")
