@@ -501,19 +501,20 @@ BENCH_REGRESSION_WAIVED: dict[str, str] = {
     "l21_classifier_auc": "same r4 rewrite class (0.76->~1.1s local): "
     "score-band prefix sums replace a per-source window over "
     "near-unique scores that grew ~2 rows/doc",
-    "a11_rebuild_asof": "run noise, not a code change: same-code bench "
-    "history reads 0.58/0.71/1.07s (BENCH_history.jsonl) — re-examine "
-    "in r5; delete this entry once a clean run lands",
 }
 
 
 def test_bench_no_per_query_regression_vs_prev_round():
-    """VERDICT r3 #2: a real per-query regression must not hide inside
-    whole-run environment variance (the r3 129-vs-158 s band moved
-    nearly every family uniformly). Compares the last written
-    BENCH.json against BENCH_prev.json (the accepted previous-round
-    map — the driver's own post-round run when available), NORMALIZED
-    by the median ratio across shared queries so a uniform environment
+    """VERDICT r3 #2 + r4 #1: a real per-query regression must not hide
+    inside whole-run environment variance, and — the r4 refinement — a
+    single noisy sample of an UNCHANGED query must not trip the gate
+    (q21 flagged at the top of its measured 1.8-2.3 s band). The
+    per-query baseline is therefore the MIN over the recent
+    BENCH_history.jsonl band at the same sf (last 10 runs, plus
+    BENCH_prev.json as a floor member): identical code re-benched
+    lands somewhere in its band, and min-of-band is the one statistic
+    a noisy high sample cannot move. Ratios are still NORMALIZED by
+    the median ratio across shared queries so a uniform environment
     shift cancels out. Flags normalized ratio > 1.5x with an absolute
     excess > 0.4 s; deliberate trades go in BENCH_REGRESSION_WAIVED."""
     import json
@@ -521,30 +522,48 @@ def test_bench_no_per_query_regression_vs_prev_round():
     import statistics
 
     root = os.path.join(os.path.dirname(__file__), os.pardir)
-    cur_p, prev_p = os.path.join(root, "BENCH.json"), os.path.join(root, "BENCH_prev.json")
-    if not (os.path.exists(cur_p) and os.path.exists(prev_p)):
+    cur_p = os.path.join(root, "BENCH.json")
+    hist_p = os.path.join(root, "BENCH_history.jsonl")
+    prev_p = os.path.join(root, "BENCH_prev.json")
+    if not os.path.exists(cur_p):
         pytest.skip("bench artifacts not present")
     with open(cur_p) as fh:
         cur = json.load(fh)
-    with open(prev_p) as fh:
-        prev = json.load(fh)
-    if cur.get("sf") != prev.get("sf"):
-        pytest.skip(f"sf mismatch: {cur.get('sf')} vs {prev.get('sf')}")
+
+    # Per-query baseline: min over the recent same-sf history band.
+    base: dict[str, float] = {}
+    runs = []
+    if os.path.exists(hist_p):
+        with open(hist_p) as fh:
+            runs = [json.loads(line) for line in fh if line.strip()]
+        runs = [r for r in runs if r.get("sf") == cur.get("sf")][-10:]
+    if os.path.exists(prev_p):
+        with open(prev_p) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == cur.get("sf"):
+            runs.append(prev)
+    # The most recent history row is usually THIS run (bench.py appends
+    # before pytest reads) — a self-comparison is harmless (ratio 1.0)
+    # and excluding it is impossible without timestamps in BENCH.json.
+    for r in runs:
+        for q, s in (r.get("queries") or {}).items():
+            if s and s > 0 and (q not in base or s < base[q]):
+                base[q] = s
     shared = {
-        q: (cur["queries"][q], prev["queries"][q])
-        for q in cur["queries"].keys() & prev["queries"].keys()
-        if cur["queries"][q] > 0 and prev["queries"][q] > 0
+        q: (cur["queries"][q], base[q])
+        for q in cur["queries"].keys() & base.keys()
+        if cur["queries"][q] > 0
     }
     if len(shared) < 20:
         pytest.skip("too few shared queries to normalize")
     ratios = {q: c / p for q, (c, p) in shared.items()}
     env = statistics.median(ratios.values())  # uniform environment drift
     blown = {
-        q: f"{p:.2f}s -> {c:.2f}s (norm {ratios[q] / env:.2f}x, env {env:.2f}x)"
+        q: f"band-min {p:.2f}s -> {c:.2f}s (norm {ratios[q] / env:.2f}x, env {env:.2f}x)"
         for q, (c, p) in shared.items()
         if ratios[q] / env > 1.5 and c - p * env > 0.4 and q not in BENCH_REGRESSION_WAIVED
     }
-    assert not blown, "per-query regressions vs previous round:\n" + "\n".join(
+    assert not blown, "per-query regressions vs recent bench band:\n" + "\n".join(
         f"  {q}: {v}" for q, v in sorted(blown.items())
     )
 
