@@ -51,9 +51,18 @@ def idempotent_foreach_batch(ledger: EpochLedger, write_fn):
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if ledger.committed(epoch_id):
             return
-        deduped = batch_df.dropDuplicates(["txn_id", "pk", "offset"])
-        write_fn(deduped, epoch_id)
-        ledger.commit(epoch_id, {"rows": deduped.count()})
+        # persist() so the dedup (a shuffle over the micro-batch) runs
+        # ONCE per epoch: write_fn materializes the cache, the ledger
+        # row count reads it back — not a second full recompute. A
+        # write_fn that already knows its row count may return it and
+        # skip the count() action entirely.
+        deduped = batch_df.dropDuplicates(["txn_id", "pk", "offset"]).persist()
+        try:
+            written = write_fn(deduped, epoch_id)
+            rows = written if isinstance(written, int) else deduped.count()
+            ledger.commit(epoch_id, {"rows": rows})
+        finally:
+            deduped.unpersist()
 
     return body
 
