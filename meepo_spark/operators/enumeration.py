@@ -44,6 +44,29 @@ __all__ = ["bucketed_row_number", "bucketed_ntile", "bucketed_prefix_sum"]
 MAX_BUCKETS = 65536
 
 
+def _offset_guard(ordinal: Column) -> Column:
+    """Executor-side enforcement of the MAX_BUCKETS contract (ADVICE
+    r4): woven into the offsets projection as a +0 term so Catalyst
+    cannot prune it, it raises a diagnosable error the moment any
+    group's bucket ordinal exceeds MAX_BUCKETS — instead of letting a
+    data-growing bucket expression ride the F.broadcast hint into a
+    driver OOM. Costs one row_number over the already-tiny bucket
+    aggregate (same partition+order as the offset window, so it folds
+    into the same WindowExec)."""
+    return F.coalesce(
+        F.assert_true(
+            ordinal <= MAX_BUCKETS,
+            F.lit(
+                "bucketed enumeration: more than "
+                f"{MAX_BUCKETS} buckets in one group — the bucket "
+                "expression grows with the data; divide by a width "
+                "that caps the distinct-bucket count"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+
+
 def bucketed_row_number(
     df: DataFrame,
     bucket: Column,
@@ -76,9 +99,13 @@ def bucketed_row_number(
         (W.partitionBy(*part) if part else W).orderBy(ob)
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    chk_w = (W.partitionBy(*part) if part else W).orderBy(ob)
     offsets = counts.select(
         *part, "__bkt",
-        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+        (
+            F.coalesce(F.sum("__n").over(off_w), F.lit(0))
+            + _offset_guard(F.row_number().over(chk_w))
+        ).alias("__off"),
     )
     rn_w = W.partitionBy(*part, "__bkt").orderBy(*order_cols)
     return (
@@ -204,12 +231,14 @@ def bucketed_prefix_sum(
         .orderBy(F.col("__bkt").asc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    chk_w = (W.partitionBy(*part) if part else W).orderBy(F.col("__bkt").asc())
+    guard = _offset_guard(F.row_number().over(chk_w))
     offsets = sums.select(
         *part,
         "__bkt",
         *[
-            F.coalesce(F.sum(f"__s_{out}").over(off_w), F.lit(0)).alias(f"__o_{out}")
-            for out in vals
+            (F.coalesce(F.sum(f"__s_{out}").over(off_w), F.lit(0)) + (guard if i == 0 else F.lit(0))).alias(f"__o_{out}")
+            for i, out in enumerate(vals)
         ],
     )
     res = b.join(F.broadcast(offsets), [*part, "__bkt"])

@@ -52,11 +52,15 @@ class SessionFrameCache:
             self._frames.pop(key)
             self._frames[key] = df
             return df
-        df = build(spark, sf_dir).persist()
+        # Evict BEFORE building (ADVICE r4): if a cross-app unpersist
+        # ever failed outside the swallowed classes, failing here loses
+        # nothing, whereas failing after build() would orphan the
+        # just-persisted frame outside the cache.
         for k in [k for k in self._frames if k[0] != app_id]:
             self._evict(k)
         own = [k for k in self._frames if k[0] == app_id]
         for k in own[: max(0, len(own) + 1 - self.max_per_app)]:
             self._evict(k)
+        df = build(spark, sf_dir).persist()
         self._frames[key] = df
         return df

@@ -1035,7 +1035,7 @@ def g20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(SUM(n) AS BIGINT)          AS n_rows,
            CAST(COUNT(*) AS BIGINT)        AS n_keys,
-           CAST(SUM(n * n) AS BIGINT)      AS f2,
+           CAST(SUM(n * n) AS DECIMAL(38,0)) AS f2,
            CAST(MAX(n) AS BIGINT)          AS max_key,
            ROUND(SUM(n * n) * 1.0 / (SUM(n) * SUM(n) / COUNT(*)) + 1e-9, 4)
                + 0.0 AS skew_ratio
@@ -1058,16 +1058,19 @@ def g21_join_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # DECIMAL intermediates (code-review r4c #2): long n*n and
-    # sum(n)^2 wrap past ~3e9 rows per key/type — exactly the scale
-    # this probe exists for; DuckDB auto-promotes to HUGEINT, Spark
-    # needs the explicit decimal. The ratio divides the exact
-    # decimals once in double.
+    # DECIMAL intermediates AND output (code-review r4c #2 + ADVICE
+    # r4): long n*n and sum(n)^2 wrap past ~3e9 rows per key/type —
+    # exactly the scale this probe exists for; DuckDB auto-promotes
+    # to HUGEINT, Spark needs the explicit decimal. f2 is EMITTED as
+    # decimal(38,0) too (a BIGINT output column would silently-NULL
+    # at the same scale the intermediate was widened for; oracle
+    # mirrors with HUGEINT→DECIMAL(38,0)). The ratio divides the
+    # exact decimals once in double.
     nd = F.col("n").cast("decimal(19,0)")
     return c.groupBy("event_type").agg(
         F.sum("n").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum(nd * nd).cast("long").alias("f2"),
+        F.sum(nd * nd).cast("decimal(38,0)").alias("f2"),
         F.max("n").alias("max_key"),
         (
             F.round(

@@ -45,6 +45,10 @@ discipline).
 
 from __future__ import annotations
 
+import json
+import os
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -130,6 +134,28 @@ def _batch_dirs(
     return sorted(out)
 
 
+def _prior_max_doc_id(index_dir: str, exclude_batch: int | None) -> int | None:
+    """Max doc_id across prior batches' watermark sidecars — O(#batches)
+    driver-side JSON reads, NOT a corpus scan. Sidecars live beside the
+    index (local/NFS paths; a cloud deployment folds the same two
+    integers into the sink's own commit metadata)."""
+    best: int | None = None
+    if not os.path.isdir(index_dir):
+        return None
+    for name in os.listdir(index_dir):
+        if not name.startswith("batch="):
+            continue
+        if exclude_batch is not None and name == f"batch={exclude_batch}":
+            continue
+        wm = os.path.join(index_dir, name, "_wm.json")
+        if os.path.exists(wm):
+            with open(wm) as fh:
+                mx = json.load(fh).get("max_doc_id")
+            if mx is not None and (best is None or mx > best):
+                best = mx
+    return best
+
+
 def read_survivor_index(
     spark: SparkSession, index_dir: str, exclude_batch: int | None = None
 ) -> DataFrame:
@@ -163,16 +189,46 @@ def start_incremental_dedup(
     num_hashes: int = 96,
     bands: int = 48,
     max_files_per_trigger: int = 1,
+    enforce_replay_order: bool = False,
 ):
     """Run the incremental dedup pipeline over a document file stream
     to completion (availableNow) and return the finished query.
 
     ``corpus_hashes`` must be a (h: string) frame of the existing
     corpus's content digests — the only corpus state the exact probe
-    needs."""
+    needs.
+
+    The batch-equivalence invariant (module docstring) requires
+    doc_ids to arrive non-decreasing across batches, but
+    FileStreamSource orders files by MODIFICATION TIME with
+    nondeterministic tie-breaks (ADVICE r4) — coarse-mtime filesystems
+    can reorder sequentially-appended chunks. The convention is
+    therefore made structural: each batch commit records its
+    (min, max) doc_id in a ``_wm.json`` sidecar, and every batch is
+    checked against the prior watermark — a violation raises when
+    ``enforce_replay_order`` (callers relying on batch-equivalence,
+    e.g. doc_id-ordered replays, should pass True and give chunk files
+    monotone mtimes), else warns and degrades to the documented
+    first-arrival semantics."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         prior = read_survivor_index(spark, index_dir, exclude_batch=batch_id)
+        lo, hi = batch_df.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        if lo is None:
+            return  # empty batch: nothing to index or watermark
+        prior_max = _prior_max_doc_id(index_dir, exclude_batch=batch_id)
+        if prior_max is not None and lo < prior_max:
+            msg = (
+                f"incremental dedup batch {batch_id}: min doc_id {lo} < "
+                f"prior batches' max {prior_max} — out-of-order arrival; "
+                "admitted set reflects FIRST-ARRIVAL order, not global "
+                "ids (batch-equivalence void for this run)"
+            )
+            if enforce_replay_order:
+                raise RuntimeError(msg)
+            warnings.warn(msg, stacklevel=2)
         # 1. within-batch exact dedup: min-id keeper per content hash
         hashed = batch_df.select("doc_id", "lang", "text", F.md5("text").alias("h"))
         keeper = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
@@ -223,6 +279,10 @@ def start_incremental_dedup(
         out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             f"{index_dir}/batch={batch_id}"
         )
+        # watermark sidecar AFTER the data commit (a retry that died
+        # mid-write re-enters with exclude_batch and rewrites both)
+        with open(f"{index_dir}/batch={batch_id}/_wm.json", "w") as fh:
+            json.dump({"batch": batch_id, "min_doc_id": lo, "max_doc_id": hi}, fh)
 
     stream = (
         spark.readStream.schema(doc_schema)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+import pytest
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -354,3 +355,26 @@ def test_bucketed_prefix_sum_equals_window_sum(
         ).collect()
     }
     assert got == want
+
+
+def test_bucketed_enumeration_guard_raises_on_bucket_blowup(spark, monkeypatch):
+    """ADVICE r4: the MAX_BUCKETS contract must fail DIAGNOSABLY, not
+    as a driver OOM at the broadcast — an adversarial bucket expression
+    (the raw key, distinct-per-row) must raise the woven-in
+    executor-side assert in both bucketed helpers, while a conforming
+    width still passes untouched."""
+    import meepo_spark.operators.enumeration as en
+
+    monkeypatch.setattr(en, "MAX_BUCKETS", 16)
+    df = spark.range(100).select(F.col("id"), F.lit(1).alias("v"))
+    order = [F.col("id").asc()]
+    with pytest.raises(Exception, match="buckets"):
+        en.bucketed_prefix_sum(df, F.col("id"), order, {"cum": "v"}).collect()
+    with pytest.raises(Exception, match="buckets"):
+        en.bucketed_row_number(df, F.col("id"), order).collect()
+    ok = en.bucketed_prefix_sum(
+        df, F.floor(F.col("id") / 10), order, {"cum": "v"}
+    )
+    assert ok.count() == 100
+    ok2 = en.bucketed_row_number(df, F.floor(F.col("id") / 10), order)
+    assert ok2.count() == 100

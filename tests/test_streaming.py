@@ -699,6 +699,15 @@ def test_l10s_streaming_incremental_dedup_batch_equivalence(spark, sf_dir, tmp_p
 
     src = str(tmp_path / "src")
     chunked = incoming.withColumn("__chunk", F.ntile(4).over(W.orderBy("doc_id")))
+    # ADVICE r4: FileStreamSource orders by mtime with nondeterministic
+    # tie-breaks — sequentially-appended chunks can tie on coarse-mtime
+    # filesystems and reorder batches. Force strictly-monotone mtimes
+    # so the doc_id-ordered replay convention is structural, and let
+    # the pipeline ASSERT it (enforce_replay_order below).
+    import glob as _glob
+    import os as _os
+
+    stamped: set[str] = set()
     for i in range(1, 5):
         (
             chunked.filter(F.col("__chunk") == i)
@@ -707,6 +716,10 @@ def test_l10s_streaming_incremental_dedup_batch_equivalence(spark, sf_dir, tmp_p
             .write.mode("append")
             .parquet(src)
         )
+        for p in _glob.glob(src + "/*.parquet"):
+            if p not in stamped:
+                _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+                stamped.add(p)
 
     index_dir = str(tmp_path / "index")
     start_incremental_dedup(
@@ -716,6 +729,7 @@ def test_l10s_streaming_incremental_dedup_batch_equivalence(spark, sf_dir, tmp_p
         corpus_hashes,
         index_dir,
         checkpoint=str(tmp_path / "ckpt"),
+        enforce_replay_order=True,
     )
     streamed = sorted(
         r[0] for r in admitted_docs(spark, index_dir).select("doc_id").collect()
