@@ -152,16 +152,44 @@ def l3c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l3d_ivf_topk")  # rows-only: approximate by construction
+@register(
+    "l3d_ivf_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings)
+    SELECT q_id, c_id, cos_r, CAST(rank AS BIGINT) AS rank,
+           TRUE AS ivf_recall_ge_2
+    FROM (
+        SELECT q_id, c_id,
+               ROUND(list_cosine_similarity(q_vec, c_vec), 6) AS cos_r,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY list_cosine_similarity(q_vec, c_vec) DESC,
+                                           c_id ASC) AS rank
+        FROM q JOIN c ON q_id <> c_id
+    )
+    WHERE rank <= 5
+    """,
+)
 def l3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path #2: IVF — k-means coarse quantizer (16 cells,
     trained on a deterministic corpus sample), queries probe their 8
     nearest cells, exact rank within. Complements the sign-LSH path:
     cells adapt to the data distribution, but this fixture's top-5
     neighbors are near-uniformly spread across cells, so recall ≈
-    probed fraction (measured 0.84 at 8/16; a clustered production
-    corpus does much better). Recall@5 property-tested against the
-    exact operator in tests/test_llm.py."""
+    probed fraction (a clustered production corpus does much better).
+
+    VERDICT r4 #5 — statistical oracle for the trained path: the
+    trained codebook has no SQL form, so instead of going rows-only
+    the query emits the EXACT cosine top-5 (cross-engine verified by
+    DuckDB, the real content) plus per-query ``ivf_recall_ge_2`` —
+    |IVF-top5 ∩ exact-top5| >= 2 — computed from the live IVF run in
+    the same query. The gate is the measured per-query minimum across
+    sf0.001/0.01/0.1 (2 at sf0.1; 3 elsewhere), and the IVF output is
+    partition-layout-deterministic (verified across local[8]/
+    local[32] session shapes), so a quantizer/assignment bug flips
+    the flag to false and hash-fails the driver compare. Raw IVF
+    recall is additionally property-tested in tests/test_llm.py."""
     from meepo_spark.operators.similarity import ivf_cosine_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -169,11 +197,27 @@ def l3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return ivf_cosine_topk(
+    ivf = ivf_cosine_topk(
         q, c, dim=DIM, k=5, n_centroids=16, n_probe=8,
         pair_filter=F.col("q_id") != F.col("c_id"),
-    ).select(
-        "q_id", "c_id", F.round("cos", 6).alias("cos_r"), "rank"
+    ).select("q_id", "c_id")
+    exact = cosine_topk(
+        q, c, k=5,
+        query_id="q_id", query_vec="q_vec", corpus_id="c_id", corpus_vec="c_vec",
+        pair_filter=F.col("q_id") != F.col("c_id"),
+    )
+    hits = (
+        exact.select("q_id", "c_id")
+        .join(ivf, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return exact.join(F.broadcast(hits), "q_id", "left").select(
+        "q_id",
+        "c_id",
+        F.round("cos", 6).alias("cos_r"),
+        "rank",
+        (F.coalesce("hits", F.lit(0)) >= 2).alias("ivf_recall_ge_2"),
     )
 
 
@@ -430,7 +474,25 @@ def l3h_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l3i_pq_topk")  # rows-only: approximate by construction
+@register(
+    "l3i_pq_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings)
+    SELECT q_id, c_id, dot_r, CAST(rank AS BIGINT) AS rank,
+           TRUE AS pq_recall_ge_3
+    FROM (
+        SELECT q_id, c_id,
+               ROUND(list_dot_product(q_vec, c_vec), 6) AS dot_r,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY list_dot_product(q_vec, c_vec) DESC,
+                                           c_id ASC) AS rank
+        FROM q JOIN c ON q_id <> c_id
+    )
+    WHERE rank <= 5
+    """,
+)
 def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path #4: product quantization with asymmetric distance
     (ADC) and exact re-rank — corpus compressed to 16 one-byte codes
@@ -442,9 +504,17 @@ def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the ANN family: LSH buckets (l3b) prune by hash, IVF
     (l3d) prunes by cell, int8 (l3f) compresses 4×, PQ compresses 16×
     — production systems (FAISS IVF-PQ) compose the IVF prune with
-    this PQ scan. Recall@5 ≈ 0.92 here, property-tested vs exact MIPS
-    in tests/test_llm.py; the FIXED 10-vector probe set broadcasts,
-    so the corpus is read exactly once."""
+    this PQ scan.
+
+    VERDICT r4 #5 — statistical oracle for the trained path: trained
+    PQ codebooks have no SQL form, so the query emits the EXACT MIPS
+    top-5 (DuckDB-verified) plus per-query ``pq_recall_ge_3`` —
+    |PQ-top5 ∩ exact-top5| >= 3, the measured per-query minimum
+    across sf0.001/0.01/0.1 — computed from the live PQ run in the
+    same query (output verified partition-layout-deterministic). A
+    codebook/encode/LUT bug flips the flag and hash-fails the driver
+    compare; raw recall (≈0.92 overall) stays property-tested vs
+    exact MIPS in tests/test_llm.py."""
     from meepo_spark.operators.similarity import pq_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -452,10 +522,40 @@ def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return pq_topk(
+    pq = pq_topk(
         q, c, dim=DIM, k=5, m=16, ksub=16, rerank=50,
         pair_filter=F.col("q_id") != F.col("c_id"),
-    ).select("q_id", "c_id", F.round("dotp", 4).alias("dot_r"), "rank")
+    ).select("q_id", "c_id")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("c_vec"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", dot.alias("dot"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+    hits = (
+        exact.select("q_id", "c_id")
+        .join(pq, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return exact.join(F.broadcast(hits), "q_id", "left").select(
+        "q_id",
+        "c_id",
+        F.round("dot", 6).alias("dot_r"),
+        "rank",
+        (F.coalesce("hits", F.lit(0)) >= 3).alias("pq_recall_ge_3"),
+    )
 
 
 @register(

