@@ -57,6 +57,36 @@ def events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def typed_changes(
+    changes: DataFrame,
+    payload_schema,
+    src: str = "row",
+    out: str = "row_t",
+) -> DataFrame:
+    """Promote an untyped ``MAP<STRING,STRING>`` payload column to a
+    typed STRUCT lane (VERDICT r4 #4) — the schema-registry step that
+    turns meepo's stringly row images into analyzable columns.
+
+    Per registry field: ``row[name]`` extracted and ``try_cast`` to
+    the declared type — JVM-side, ANSI-safe (a malformed value becomes
+    NULL instead of failing the pipeline; the registry owner alerts on
+    NULL-rate, not on crashed jobs). Drift contract matches a16's
+    unionByName discipline: keys absent from the map → NULL fields
+    (old producer, new schema); map keys absent from the schema are
+    ignored (new producer, old consumer); a NULL map (deletes) → NULL
+    struct. Typed lanes promoted under DIFFERENT registry versions
+    re-merge with ``unionByName(allowMissingColumns=True)``, which
+    null-fills missing NESTED struct fields by name — never positional
+    mis-binds."""
+    fields = [
+        F.col(src).getItem(f.name).try_cast(f.dataType).alias(f.name)
+        for f in payload_schema.fields
+    ]
+    return changes.withColumn(
+        out, F.when(F.col(src).isNotNull(), F.struct(*fields))
+    )
+
+
 def read_change_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming ingest of captured change events (parquet dir; Kafka+
     Debezium JSON lands in the same schema in production). Explicit
