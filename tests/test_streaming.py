@@ -173,12 +173,28 @@ def test_t6_stateful_session_tracker(spark, events, tmp_path):
         output_mode="append",
     )
     got = {
-        (r["user_id"], r["first_ts"].strftime("%Y-%m-%d %H:%M:%S"), r["n_events"])
+        (
+            r["user_id"],
+            r["first_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["last_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["n_events"],
+        )
         for r in drop_flush(streamed).collect()
     }
-    batch = session_agg(one_user, gap="30 minutes")
+    # compare against the GRADED t23 twin (the tracker's exact output
+    # contract incl. raw last_ts — VERDICT r4 #6), restricted to the
+    # replayed user
+    from conftest import SF_DIR
+
+    from meepo_spark.registry import QUERIES, load_all
+
+    load_all()
+    batch = QUERIES["t23_session_tracker"](spark, SF_DIR).filter(
+        F.col("user_id") == one_user.select("user_id").first()[0]
+    )
     want = {
-        (r["user_id"], r["s_start"], r["n_events"]) for r in batch.collect()
+        (r["user_id"], r["first_ts"], r["last_ts"], r["n_events"])
+        for r in batch.collect()
     }
     assert got, "stateful tracker emitted nothing"
     assert got <= want, f"sessions disagree: extra={got - want}"
@@ -404,6 +420,77 @@ def test_j9b_stream_stream_left_outer_join(spark, events, replay_dir, tmp_path):
     assert_batch_equivalent(spark, batch, streamed, ["v_user", "view_id", "buy_id"])
     # the left-outer part actually fired: some views are unconverted
     assert streamed.filter(F.col("buy_id").isNull()).count() > 0
+
+
+def test_j9c_stream_stream_full_outer_join(spark, events, replay_dir, tmp_path):
+    """J9c (VERDICT r4 #6): watermarked stream-stream FULL OUTER join
+    — BOTH unmatched classes must surface: views that never converted
+    within 24h (null buy_id) AND purchases with no preceding view
+    (null view_id), each releasable only once the watermark proves no
+    partner can arrive. Batch twin = the same spec with no-op
+    watermarks; its per-user census is the graded
+    t24_full_outer_converts oracle row."""
+    from meepo_spark.streaming.harness import FLUSH_EVENT_TYPE, FLUSH_USER_ID
+
+    def converts(stream, keep_flush):
+        types_v = ["view"] + ([FLUSH_EVENT_TYPE] if keep_flush else [])
+        types_b = ["purchase"] + ([FLUSH_EVENT_TYPE] if keep_flush else [])
+        views = (
+            stream.filter(F.col("event_type").isin(types_v))
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        buys = (
+            stream.filter(F.col("event_type").isin(types_b))
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("buy_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "1 hour")
+        )
+        return views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+            "full_outer",
+        ).select("v_user", "view_id", "b_user", "buy_id")
+
+    streamed = run_streaming(
+        spark,
+        replay_dir,
+        lambda s: converts(s, keep_flush=True),
+        str(tmp_path / "ck_j9c"),
+    ).filter(
+        (F.col("v_user").isNull() | (F.col("v_user") != FLUSH_USER_ID))
+        & (F.col("b_user").isNull() | (F.col("b_user") != FLUSH_USER_ID))
+    )
+    batch = converts(events, keep_flush=False)
+
+    # null-coalesce before comparing: full-outer rows carry NULLs in
+    # the leading keys and Python tuple sort can't order None vs int
+    def cmp_cols(df):
+        return df.select(
+            *[
+                F.coalesce(F.col(c), F.lit(-999)).alias(c)
+                for c in ["v_user", "view_id", "b_user", "buy_id"]
+            ]
+        )
+
+    assert_batch_equivalent(
+        spark,
+        cmp_cols(batch),
+        cmp_cols(streamed),
+        ["v_user", "view_id", "b_user", "buy_id"],
+    )
+    # both outer classes actually fired
+    assert streamed.filter(F.col("buy_id").isNull()).count() > 0
+    assert streamed.filter(F.col("view_id").isNull()).count() > 0
 
 
 def test_observe_metrics_piggyback_on_query(spark, events):
