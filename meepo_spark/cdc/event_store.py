@@ -189,3 +189,109 @@ class EventStore:
                 shutil.rmtree(os.path.join(self.path, name))
                 dropped.append(name)
         return dropped
+
+
+class TransactionalEventStore(EventStore):
+    """EventStore whose write path is governed by the Delta-lite
+    ``CommitLog`` (VERDICT r4 #7): data files become visible only via
+    an atomic single-file manifest commit, never by directory listing.
+
+    Layout under ``path``::
+
+        _commits.json            the manifest (atomic os.replace swaps)
+        data/epoch=<id>/         one parquet dir per committed epoch
+        snapshots/v<version>/    compaction outputs
+
+    Crash matrix (tests/test_commit_log.py):
+      * die after data write, before commit  → rows invisible; epoch
+        replay overwrites the dir and commits — converges, no dupes;
+      * die mid-manifest write               → previous manifest stays
+        authoritative (torn ``.tmp`` ignored);
+      * die between snapshot write and swap  → old file set still
+        served; re-running compaction converges;
+      * redeliver a committed epoch          → manifest no-op.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        super().__init__(spark, path)
+        from meepo_spark.cdc.commit_log import CommitLog
+
+        self.commits = CommitLog(path)
+
+    def _epoch_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.path, "data", f"epoch={epoch_id}")
+
+    # --- write path ---------------------------------------------------
+    def append_epoch(self, changes: DataFrame, epoch_id: int) -> bool:
+        """Idempotent transactional append: parquet lands in the epoch
+        dir FIRST (overwrite — a retry rewrites the same dir), then one
+        manifest commit makes it visible. Returns False when the epoch
+        was already committed (redelivery): the data dir is left
+        untouched — the committed files are the record."""
+        if self.commits.committed(epoch_id):
+            return False
+        target = self._epoch_dir(epoch_id)
+        (
+            changes.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(target)
+        )
+        return self.commits.commit(epoch_id, [target])
+
+    # --- read path ----------------------------------------------------
+    def log(self) -> DataFrame:
+        """Committed rows only — the file list comes from the manifest,
+        so orphan dirs from a crashed writer are invisible. Each
+        committed dir is its own scan (multi-root partition discovery
+        would conflict) unioned by name: predicate/partition pruning
+        applies per scan, and compaction keeps the union width at
+        1 + epochs-since-compaction, so the plan never grows without
+        bound."""
+        from functools import reduce
+
+        dirs = self.commits.files()
+        if not dirs:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        scans = [
+            self.spark.read.parquet(d).select(*[f.name for f in LOG_SCHEMA.fields])
+            for d in dirs
+        ]
+        return reduce(lambda a, b: a.unionByName(b), scans)
+
+    # --- maintenance --------------------------------------------------
+    def compact_txn(self) -> DataFrame:
+        """Compaction with an atomic manifest swap: write the latest
+        image per (table, pk) to a NEW snapshot dir, then replace the
+        live file set in one manifest version. Late redeliveries of
+        pre-compaction epochs stay no-ops (epoch ids are retained)."""
+        snap_dir = os.path.join(
+            self.path, "snapshots", f"v{self.commits.version() + 1}"
+        )
+        latest = (
+            self.log()
+            .groupBy("schema_name", "table", "pk")
+            .agg(
+                F.max_by(
+                    F.struct("action", "row", "old_row", "ts", "offset", "txn_id"),
+                    F.struct("ts", "offset"),
+                ).alias("last")
+            )
+            .select(
+                F.col("last.action").alias("action"),
+                F.col("last.row").alias("row"),
+                F.col("last.old_row").alias("old_row"),
+                F.col("last.ts").alias("ts"),
+                F.col("last.offset").alias("offset"),
+                F.col("last.txn_id").alias("txn_id"),
+                "schema_name",
+                "table",
+                "pk",
+            )
+            .filter(F.col("action") != "delete")
+            .withColumn("event_date", F.to_date("ts"))
+            .select(*[f.name for f in LOG_SCHEMA.fields])
+        )
+        latest.write.mode("overwrite").partitionBy("event_date").parquet(snap_dir)
+        self.commits.compact([snap_dir], {"snapshot": snap_dir})
+        return self.log()

@@ -1,0 +1,135 @@
+"""Delta-lite commit protocol (VERDICT r4 #7): atomic single-file
+manifest commits for the event store — crash-in-the-middle matrix.
+Every "crash" is simulated by doing exactly what a killed process
+leaves behind: data written but no manifest entry, a torn ``.tmp``
+manifest, a snapshot written but not swapped in."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from meepo_spark.cdc.commit_log import CommitLog
+from meepo_spark.cdc.event_store import TransactionalEventStore
+from meepo_spark.cdc.events import events_as_changes
+
+from conftest import SF_DIR
+
+
+def test_commit_log_primitives(tmp_path):
+    log = CommitLog(str(tmp_path / "s"))
+    assert log.version() == 0 and log.files() == []
+    assert log.commit(0, ["a"], {"rows": 10}) is True
+    assert log.commit(0, ["a-retry"]) is False, "redelivered epoch must no-op"
+    assert log.files() == ["a"]
+    assert log.epoch_meta(0)["rows"] == 10
+    log.commit(1, ["b"])
+    assert log.files() == ["a", "b"] and log.version() == 2
+    # compaction swaps the file set but keeps epoch ids
+    v = log.compact(["snap"], {"n": 2})
+    assert log.files() == ["snap"] and v == 3
+    assert log.committed(0) and log.committed(1)
+    assert log.commit(1, ["b-late"]) is False, "pre-compaction epoch replays stay no-ops"
+
+
+def test_torn_manifest_write_is_invisible(tmp_path):
+    """A crash mid-manifest-write leaves a dangling .tmp; the previous
+    complete manifest must stay authoritative and the next commit must
+    recover."""
+    log = CommitLog(str(tmp_path / "s"))
+    log.commit(0, ["a"])
+    with open(log.path + ".tmp", "w") as fh:
+        fh.write('{"version": 99, "epochs": {"trunc')  # torn write
+    assert log.files() == ["a"] and log.version() == 1
+    assert log.commit(1, ["b"]) is True
+    assert log.files() == ["a", "b"] and log.version() == 2
+
+
+def test_crash_between_data_write_and_commit_converges(spark, tmp_path):
+    """The VERDICT r4 #7 done-criterion: kill between write and commit
+    → the orphan data is invisible to every reader; replaying the
+    epoch overwrites the dir, commits once, and the log converges with
+    no duplicates."""
+    ch = events_as_changes(spark, SF_DIR).limit(200)
+    store = TransactionalEventStore(spark, str(tmp_path / "txstore"))
+    e0 = ch.filter(F.col("offset") % 2 == 0)
+    e1 = ch.filter(F.col("offset") % 2 == 1)
+    assert store.append_epoch(e0, 0) is True
+    n0 = store.log().count()
+    assert n0 == e0.count()
+
+    # simulate the crash: epoch 1's parquet lands, NO commit follows
+    (
+        e1.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(store._epoch_dir(1))
+    )
+    assert store.log().count() == n0, "uncommitted epoch dir leaked into reads"
+    assert store.replay("users", None, "2024-01-01", "2030-01-01").count() <= n0
+
+    # driver restarts and replays epoch 1 through the normal path
+    assert store.append_epoch(e1, 1) is True
+    assert store.log().count() == ch.count()
+    # a second redelivery is a manifest no-op and changes nothing
+    assert store.append_epoch(e1, 1) is False
+    assert store.log().count() == ch.count()
+    # identity-level convergence, not just counts
+    got = sorted(
+        (r["pk"], r["offset"]) for r in store.log().select("pk", "offset").collect()
+    )
+    want = sorted((r["pk"], r["offset"]) for r in ch.select("pk", "offset").collect())
+    assert got == want
+
+
+def test_compaction_crash_then_rerun_converges(spark, tmp_path):
+    """Crash AFTER the snapshot parquet is written but BEFORE the
+    manifest swap: the old file set still serves reads; re-running
+    compaction converges; post-compaction reads equal the latest-image
+    semantics; pre-compaction epochs remain no-ops afterwards."""
+    ch = events_as_changes(spark, SF_DIR).limit(300)
+    store = TransactionalEventStore(spark, str(tmp_path / "txc"))
+    store.append_epoch(ch.filter(F.col("offset") % 3 == 0), 0)
+    store.append_epoch(ch.filter(F.col("offset") % 3 == 1), 1)
+    store.append_epoch(ch.filter(F.col("offset") % 3 == 2), 2)
+    full = store.log().count()
+    assert full == ch.count()
+
+    # expected post-compaction state: latest non-delete image per pk
+    want = (
+        store.log()
+        .groupBy("table", "pk")
+        .agg(
+            F.max_by(F.struct("action", "offset"), F.struct("ts", "offset")).alias("l")
+        )
+        .filter(F.col("l.action") != "delete")
+        .count()
+    )
+
+    # simulated crash: snapshot dir written, manifest NOT swapped
+    orphan = os.path.join(store.path, "snapshots", "v999")
+    store.log().filter(F.col("action") != "delete").write.mode("overwrite").parquet(
+        orphan
+    )
+    assert store.log().count() == full, "unswapped snapshot leaked into reads"
+
+    # rerun compaction through the real path
+    compacted = store.compact_txn()
+    assert compacted.count() == want
+    assert store.commits.files() != [] and len(store.commits.files()) == 1
+    # redelivery of a pre-compaction epoch after compaction: no-op
+    assert store.append_epoch(ch.filter(F.col("offset") % 3 == 1), 1) is False
+    assert store.log().count() == want
+
+
+def test_manifest_is_json_single_file(tmp_path):
+    """The protocol artifact itself: one JSON file, no marker dirs."""
+    log = CommitLog(str(tmp_path / "s"))
+    log.commit(5, ["x"], {"rows": 1})
+    entries = os.listdir(str(tmp_path / "s"))
+    assert entries == ["_commits.json"]
+    with open(log.path) as fh:
+        state = json.load(fh)
+    assert state["epochs"]["5"]["files"] == ["x"]
