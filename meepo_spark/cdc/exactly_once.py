@@ -16,32 +16,30 @@ idempotence. Two cooperating pieces:
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 class EpochLedger:
-    """Tiny atomic batch-id ledger (a file per committed epoch). In
-    production this is the transactional sink's own commit table
-    (Delta txn log, JDBC upsert keyed by epoch); the contract is just
-    'committed(epoch) is durable and atomic'."""
+    """Atomic batch-id ledger, backed by the Delta-lite single-file
+    CommitLog (VERDICT r4 #7 — previously a file-per-epoch marker
+    directory). In production this is the transactional sink's own
+    commit table (Delta txn log, JDBC upsert keyed by epoch); the
+    contract is just 'committed(epoch) is durable and atomic', which
+    the manifest's os.replace swap provides — plus torn-write safety
+    the marker files never had."""
 
     def __init__(self, path: str):
+        from meepo_spark.cdc.commit_log import CommitLog
+
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        self._log = CommitLog(path)
 
     def committed(self, epoch_id: int) -> bool:
-        return os.path.exists(os.path.join(self.path, f"{epoch_id}.json"))
+        return self._log.committed(epoch_id)
 
     def commit(self, epoch_id: int, meta: dict | None = None) -> None:
-        tmp = os.path.join(self.path, f".{epoch_id}.tmp")
-        final = os.path.join(self.path, f"{epoch_id}.json")
-        with open(tmp, "w") as f:
-            json.dump({"epoch": epoch_id, **(meta or {})}, f)
-        os.replace(tmp, final)  # atomic on POSIX
+        self._log.commit(epoch_id, [], meta)
 
 
 def idempotent_foreach_batch(ledger: EpochLedger, write_fn):
