@@ -1335,3 +1335,227 @@ def l33_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("w") + 1e-9, 3) + 0.0).alias("avg_log_importance"),
         F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).alias("n_target_like"),
     )
+
+
+@register(
+    "l38_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               SUM(SQRT(n_docs)) AS z,
+               CAST(FLOOR(SUM(n_docs) * 0.5) AS BIGINT) AS b
+        FROM counts
+    ),
+    shares AS (
+        SELECT c.lang, c.n_docs, t.b,
+               SQRT(c.n_docs) / t.z AS p,
+               CAST(FLOOR(t.b * SQRT(c.n_docs) / t.z + 1e-9) AS BIGINT) AS alloc0,
+               t.b * SQRT(c.n_docs) / t.z
+                   - FLOOR(t.b * SQRT(c.n_docs) / t.z + 1e-9) AS rem
+        FROM counts c CROSS JOIN tot t
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY ROUND(rem, 6) DESC, lang) AS rr,
+               SUM(alloc0) OVER () AS base_total
+        FROM shares
+    )
+    SELECT lang, n_docs,
+           CAST(alloc0 + CASE WHEN rr <= b - base_total THEN 1 ELSE 0 END
+                AS BIGINT)                                   AS alloc,
+           ROUND(p + 1e-9, 4)                                AS share_r
+    FROM ranked
+    """,
+)
+def l38_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38: temperature-flattened language mixture (the mT5/UNIMAX
+    family: p_l ∝ n_l^α with α = 0.5) with an EXACT integer budget
+    split by the largest-remainder (Hamilton) method — Σ alloc always
+    equals the budget, unlike independent floors/rounds. α = 0.5 is
+    deliberately sqrt: IEEE sqrt is correctly rounded, so the shares
+    are bit-identical across engines where a pow(x, 0.3) could drift
+    an ulp and flip a floor at the boundary.
+
+    Scale shape: one 5-row language aggregate + broadcast scalar
+    totals; the ranking window runs over the 5-row share frame
+    (bounded by |langs|, never data-sized). The allocation this emits
+    is what a 100 TB pretraining sampler consumes as per-language
+    acceptance quotas — l22 grades rate-based acceptance, this grades
+    the integer budget ledger."""
+    d = table(spark, sf_dir, "documents").select("lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(F.sqrt("n_docs")).alias("z"),
+        F.floor(F.sum("n_docs") * 0.5).cast("long").alias("b"),
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "b",
+        (F.sqrt("n_docs") / F.col("z")).alias("p"),
+        F.floor(F.col("b") * F.sqrt("n_docs") / F.col("z") + 1e-9)
+        .cast("long")
+        .alias("alloc0"),
+        (
+            F.col("b") * F.sqrt("n_docs") / F.col("z")
+            - F.floor(F.col("b") * F.sqrt("n_docs") / F.col("z") + 1e-9)
+        ).alias("rem"),
+    )
+    w = W.orderBy(F.round("rem", 6).desc(), F.col("lang").asc())
+    ranked = shares.select(
+        "*",
+        F.row_number().over(w).alias("rr"),
+        F.sum("alloc0").over(W.partitionBy()).alias("base_total"),
+    )
+    return ranked.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("alloc0")
+            + F.when(F.col("rr") <= F.col("b") - F.col("base_total"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+        F.round(F.col("p") + 1e-9, 4).alias("share_r"),
+    )
+
+
+@register(
+    "l39_c4_cleaning_census",
+    oracle="""
+    WITH f AS (
+        SELECT lang,
+               len(string_split(text, ' '))                    AS words,
+               length(replace(text, ' ', ''))                  AS chars_ns,
+               CASE WHEN text LIKE '%.' THEN 0 ELSE 1 END      AS no_punct,
+               CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS brace,
+               CASE WHEN contains(lower(text), 'lorem ipsum')
+                    THEN 1 ELSE 0 END                          AS lorem
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, no_punct, brace, lorem,
+               CASE WHEN words < 20 THEN 1 ELSE 0 END AS short_doc,
+               CASE WHEN chars_ns < 3 * words
+                      OR chars_ns > 10 * words THEN 1 ELSE 0 END AS badlen
+        FROM f
+    )
+    SELECT lang,
+           COUNT(*)                              AS n_docs,
+           CAST(SUM(short_doc) AS BIGINT)        AS n_too_short,
+           CAST(SUM(no_punct) AS BIGINT)         AS n_no_terminal_punct,
+           CAST(SUM(brace) AS BIGINT)            AS n_brace,
+           CAST(SUM(lorem) AS BIGINT)            AS n_lorem,
+           CAST(SUM(badlen) AS BIGINT)           AS n_bad_wordlen,
+           CAST(SUM(CASE WHEN short_doc + no_punct + brace + lorem + badlen = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           ROUND(SUM(CASE WHEN short_doc + no_punct + brace + lorem + badlen = 0
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*) + 1e-9, 4)
+                                                 AS pass_rate
+    FROM g GROUP BY lang
+    """,
+)
+def l39_c4_cleaning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39: C4/RefinedWeb-style cleaning-rule census per language —
+    the web-scale pre-filter that runs BEFORE dedup: too-short docs,
+    missing terminal punctuation, code markers ('{'), boilerplate
+    ('lorem ipsum'), and implausible mean word length. The word-length
+    gate is kept in INTEGER arithmetic (chars < 3*words or >
+    10*words) so no double ratio can drift an inequality across
+    engines. One map-side projection + one aggregate: at 100 TB this
+    is a single scan whose selectivity report (pass_rate) is what the
+    pipeline owner reads before committing the budget downstream."""
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    chars_ns = F.length(F.regexp_replace("text", " ", ""))
+    short_doc = (words < 20).cast("int")
+    no_punct = (~F.col("text").endswith(".")).cast("int")
+    brace = F.col("text").contains("{").cast("int")
+    lorem = F.lower(F.col("text")).contains("lorem ipsum").cast("int")
+    badlen = ((chars_ns < 3 * words) | (chars_ns > 10 * words)).cast("int")
+    g = d.select(
+        "lang",
+        short_doc.alias("short_doc"),
+        no_punct.alias("no_punct"),
+        brace.alias("brace"),
+        lorem.alias("lorem"),
+        badlen.alias("badlen"),
+    )
+    clean = (
+        F.col("short_doc") + F.col("no_punct") + F.col("brace")
+        + F.col("lorem") + F.col("badlen")
+        == 0
+    ).cast("int")
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("short_doc").cast("long").alias("n_too_short"),
+        F.sum("no_punct").cast("long").alias("n_no_terminal_punct"),
+        F.sum("brace").cast("long").alias("n_brace"),
+        F.sum("lorem").cast("long").alias("n_lorem"),
+        F.sum("badlen").cast("long").alias("n_bad_wordlen"),
+        F.sum(clean).cast("long").alias("n_pass"),
+        F.round(F.sum(clean) / F.count(F.lit(1)) + 1e-9, 4).alias("pass_rate"),
+    )
+
+
+@register(
+    "l40_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token
+    ),
+    vocab AS (
+        SELECT token FROM df ORDER BY df DESC, token ASC LIMIT 500
+    )
+    SELECT t.lang,
+           COUNT(*)                                            AS total_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) + 1e-9, 4)                         AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.lang
+    """,
+)
+def l40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40: tokenizer-vocabulary coverage — build a 500-entry vocab
+    from global document frequency (ties broken by token, a total
+    order) and report per-language out-of-vocabulary token rates, the
+    number that decides whether a tokenizer underserves a language
+    (the fertility complement to l12).
+
+    Scale shape: DF is one explode + one (token) hash aggregate with
+    map-side combine; the vocab cut is orderBy().limit(500) — a
+    TakeOrderedAndProject whose cost is a per-partition top-k merge,
+    NEVER a global sort (the bound is structural, vocab can be
+    millions of distinct tokens at 100 TB); membership is a 500-row
+    broadcast left-anti-style join against the token stream."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    df_counts = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    vocab = (
+        df_counts.orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(500)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(oov).cast("long").alias("oov_tokens"),
+        F.round(F.sum(oov) / F.count(F.lit(1)) + 1e-9, 4).alias("oov_rate"),
+    )
