@@ -538,3 +538,50 @@ def f16_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quarter_start"
         ),
     )
+
+
+@register(
+    "f19_regexp_family",
+    oracle=r"""
+    WITH x AS (
+        SELECT event_type, props,
+               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+               len(regexp_extract_all(props, '\d'))                   AS n_digits,
+               regexp_replace(props, '\d+', '#', 'g')                 AS masked,
+               CASE WHEN regexp_matches(event_type, '^(view|click)$')
+                    THEN 1 ELSE 0 END                                 AS is_vc
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*)                                  AS n,
+           CAST(SUM(k_val) AS BIGINT)                AS k_sum,
+           CAST(SUM(n_digits) AS BIGINT)             AS total_digits,
+           CAST(COUNT(DISTINCT masked) AS BIGINT)    AS n_masked_patterns,
+           CAST(MAX(is_vc) AS BIGINT)                AS matches_vc
+    FROM x GROUP BY event_type
+    """,
+)
+def f19_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: the regexp function family over the JSON-ish props column
+    — capture-group extraction (regexp_extract + cast), match counting
+    (regexp_count), masking rewrite (regexp_replace, the PII-scrub
+    primitive), and anchored alternation matching (rlike). Patterns
+    stay in the \\d / anchored-literal subset where Java regex and
+    DuckDB's RE2 agree exactly. All four run JVM-side inside one
+    projection — a 100 TB log-scrubbing pass is this exact plan: scan
+    → regex projection → small aggregate, no Python anywhere."""
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_val"),
+        F.regexp_count("props", F.lit(r"\d")).alias("n_digits"),
+        F.regexp_replace("props", r"\d+", "#").alias("masked"),
+        F.col("event_type").rlike("^(view|click)$").cast("long").alias("is_vc"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k_val").cast("long").alias("k_sum"),
+        F.sum("n_digits").cast("long").alias("total_digits"),
+        F.countDistinct("masked").alias("n_masked_patterns"),
+        F.max("is_vc").alias("matches_vc"),
+    )

@@ -1010,3 +1010,79 @@ def a24_typed_payload_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("cents_untyped"),
         F.count("row_t.source_offset").alias("n_v2_offsets"),
     )
+
+
+@register(
+    "a25_out_of_order_depth",
+    oracle="""
+    WITH log AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'users_write'
+                               WHEN 'error' THEN 'users_delete'
+                               ELSE 'users_update' END AS topic,
+               event_id AS off, ts
+        FROM events
+    ),
+    ranked AS (
+        SELECT topic,
+               ROW_NUMBER() OVER (PARTITION BY topic ORDER BY off ASC) AS r_off,
+               ROW_NUMBER() OVER (PARTITION BY topic
+                                  ORDER BY ts ASC, off ASC)            AS r_ts
+        FROM log
+    ),
+    d AS (SELECT topic, ABS(r_off - r_ts) AS disp FROM ranked)
+    SELECT topic,
+           COUNT(*)                                          AS n_events,
+           CAST(SUM(CASE WHEN disp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_displaced,
+           CAST(MAX(disp) AS BIGINT)                         AS max_disp,
+           CAST(quantile_disc(disp, 0.5) AS BIGINT)          AS p50_disp,
+           CAST(quantile_disc(disp, 0.95) AS BIGINT)         AS p95_disp
+    FROM d GROUP BY topic
+    """,
+)
+def a25_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: out-of-order DEPTH distribution per topic — a20 reports
+    how often the binlog ingest is out of order; this reports how FAR:
+    each event's displacement between its arrival rank (by offset) and
+    its event-time rank (by ts, offset), summarized as exact discrete
+    percentiles. The number that sizes streaming watermarks (p95
+    displacement ≈ how much reordering state a consumer must hold)
+    and validates the ingest path after a replication change.
+
+    Scale shape: both per-topic ranks come from
+    operators/enumeration.bucketed_row_number (offset-range and
+    calendar-date buckets respectively) — topics are a tiny key, so a
+    naive per-topic window would serialize the whole log into 3 tasks;
+    the bucketed form keeps every wide stage parallel across buckets
+    (the o7 discipline, plancheck-audited)."""
+    from meepo_spark.operators.enumeration import bucketed_row_number
+
+    log = topic(events_as_changes(spark, sf_dir)).select("topic", "offset", "ts")
+    r1 = bucketed_row_number(
+        log,
+        F.floor(F.col("offset") / 1_048_576),
+        [F.col("offset").asc()],
+        ("topic",),
+        out="r_off",
+    )
+    r2 = bucketed_row_number(
+        r1,
+        F.to_date("ts"),
+        [F.col("ts").asc(), F.col("offset").asc()],
+        ("topic",),
+        out="r_ts",
+    )
+    d = r2.select("topic", F.abs(F.col("r_off") - F.col("r_ts")).alias("disp"))
+    return d.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("disp") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_displaced"),
+        F.max("disp").alias("max_disp"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY disp)")
+        .cast("long")
+        .alias("p50_disp"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY disp)")
+        .cast("long")
+        .alias("p95_disp"),
+    )

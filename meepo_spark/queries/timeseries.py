@@ -1865,3 +1865,71 @@ def t21_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_err") / F.col("sum_ax") + 1e-9, 6) + 0.0
         ).alias("wape_r"),
     ).orderBy("event_type")
+
+
+@register(
+    "e16_time_to_convert",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS fv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id, MIN(e.ts) AS fp, MIN(f.fv) AS fv
+        FROM events e JOIN fv f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > f.fv
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT STRFTIME(date_trunc('week', fv), '%Y-%m-%d') AS cohort_week,
+               date_diff('microsecond', fv, fp) AS delay_us
+        FROM fp
+    )
+    SELECT cohort_week,
+           COUNT(*)                                        AS n_converted,
+           CAST(quantile_disc(delay_us, 0.5) AS BIGINT)    AS p50_delay_us,
+           CAST(quantile_disc(delay_us, 0.9) AS BIGINT)    AS p90_delay_us,
+           CAST(MAX(delay_us) AS BIGINT)                   AS max_delay_us
+    FROM d GROUP BY cohort_week
+    """,
+)
+def e16_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: funnel latency — time from a user's FIRST view to their
+    first subsequent purchase, summarized per first-view cohort week
+    with exact discrete percentiles over integer microsecond delays
+    (percentile_disc ≡ DuckDB quantile_disc lower-bound convention;
+    no interpolation, no float drift). Complements e9 (per-conversion
+    lag) with the user-grain first-touch metric growth teams track.
+
+    Scale shape: two hash aggregates on user_id and one equi-join on
+    the same key (co-partitioned — no extra exchange after the first
+    shuffle); the percentile runs per cohort over user-grain rows
+    (|users|, 10× smaller than the fact) partitioned by cohort, which
+    grows with the calendar, not the data."""
+    e = table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"), F.min("fv").alias("fv"))
+    )
+    d = fp.select(
+        F.date_format(F.date_trunc("week", "fv"), "yyyy-MM-dd").alias("cohort_week"),
+        (F.unix_micros("fp") - F.unix_micros("fv")).alias("delay_us"),
+    )
+    return d.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("long")
+        .alias("p50_delay_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("long")
+        .alias("p90_delay_us"),
+        F.max("delay_us").alias("max_delay_us"),
+    )
