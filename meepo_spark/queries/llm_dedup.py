@@ -826,3 +826,137 @@ def l37_minhash_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(cmp_expr, 1).otherwise(0)).cast("long").alias("n_sig_equal"),
     )
+
+
+@register(
+    "l41_lsh_band_tuning",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT s.c * 1.0 / (la.ln + lb.ln - s.c) AS j
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+        WHERE s.c * 1.0 / (la.ln + lb.ln - s.c) >= 0.6
+    ),
+    configs AS (
+        SELECT UNNEST([2, 3, 4, 6]) AS r, UNNEST([48, 32, 24, 16]) AS b
+    )
+    SELECT c.r, c.b,
+           COUNT(*)                                             AS n_pairs,
+           ROUND(AVG(1 - POWER(1 - POWER(p.j, c.r), c.b)) + 1e-9, 4)
+                                                                AS avg_recall_r,
+           ROUND(MIN(1 - POWER(1 - POWER(p.j, c.r), c.b)) + 1e-9, 4)
+                                                                AS min_recall_r
+    FROM configs c CROSS JOIN pairs p
+    GROUP BY c.r, c.b
+    """,
+)
+def l41_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41: LSH banding-parameter tuning — the S-curve planning probe
+    run before committing a (rows, bands) split of the 96-hash budget.
+    For each candidate config with r×b = 96, the expected per-pair
+    collision probability 1-(1-J^r)^b is evaluated at the EXACT
+    Jaccard of every verified near-dup pair (the l2 pair set, shared
+    session cache) and summarized as mean and worst-case expected
+    recall: the table that says 'r=2 keeps J≥0.6 recall at ~1.0,
+    r=6 would drop the borderline pairs'. At 100 TB this choice IS
+    the dedup cost model — candidate volume scales with b·(bucket
+    collision rate) while recall falls with r — and it costs one pass
+    over the already-materialized pair frame crossed with a 4-row
+    config literal."""
+    pairs = _verified_pairs(spark, sf_dir).select("jaccard")
+    configs = spark.createDataFrame(
+        [(2, 48), (3, 32), (4, 24), (6, 16)], "r int, b int"
+    )
+    recall = 1 - F.pow(1 - F.pow(F.col("jaccard"), F.col("r")), F.col("b"))
+    return (
+        F.broadcast(configs)
+        .crossJoin(pairs)
+        .groupBy("r", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(recall) + 1e-9, 4).alias("avg_recall_r"),
+            F.round(F.min(recall) + 1e-9, 4).alias("min_recall_r"),
+        )
+    )
+
+
+@register(
+    "l43_dup_quality_interaction",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_ids AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM shared s
+            JOIN lens la ON s.id_a = la.doc_id
+            JOIN lens lb ON s.id_b = lb.doc_id
+            WHERE s.c * 1.0 / (la.ln + lb.ln - s.c) >= 0.6
+            UNION ALL
+            SELECT id_b FROM shared s
+            JOIN lens la ON s.id_a = la.doc_id
+            JOIN lens lb ON s.id_b = lb.doc_id
+            WHERE s.c * 1.0 / (la.ln + lb.ln - s.c) >= 0.6
+        )
+    ),
+    tiled AS (
+        SELECT doc_id, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT t.decile,
+           COUNT(*)                                                AS n_docs,
+           CAST(COUNT(di.doc_id) AS BIGINT)                        AS n_dup_docs,
+           ROUND(COUNT(di.doc_id) * 1.0 / COUNT(*) + 1e-9, 4)      AS dup_rate
+    FROM tiled t LEFT JOIN dup_ids di ON t.doc_id = di.doc_id
+    GROUP BY t.decile
+    """,
+)
+def l43_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43: does near-duplication correlate with document length? The
+    dup-rate-by-size-decile diagnostic curation teams pull before
+    deciding whether dedup is silently biasing the corpus short or
+    long (near-dup membership from the shared l2 pair cache; deciles
+    over (n_chars, doc_id) — a total order, so NTILE is
+    deterministic). Deciles come from operators/enumeration.
+    bucketed_ntile: a global NTILE window would serialize the corpus
+    into one task; the bucketed form stays parallel (o7 discipline).
+    Membership is a broadcast-friendly semi-ish left join against the
+    distinct dup-id set, which is bounded by the verified pair
+    count."""
+    from meepo_spark.operators.enumeration import bucketed_ntile
+
+    pairs = _verified_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tiled = bucketed_ntile(
+        d,
+        F.col("n_chars").cast("double"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        10,
+        out="decile",
+    )
+    joined = tiled.join(dup_ids, "doc_id", "left")
+    return joined.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("__dup").cast("long").alias("n_dup_docs"),
+        F.round(F.count("__dup") / F.count(F.lit(1)) + 1e-9, 4).alias("dup_rate"),
+    )

@@ -520,3 +520,99 @@ def m5_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("confidence").desc(), F.col("ant").asc(), F.col("con").asc())
         .limit(25)
     )
+
+
+@register(
+    "m6_markov_stationary",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS i, nxt AS j, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT event_type AS s FROM events),
+    grid AS (SELECT a.s AS i, b.s AS j FROM states a CROSS JOIN states b),
+    rowtot AS (SELECT i, SUM(n) AS tot FROM c GROUP BY i),
+    p AS (
+        SELECT g.i, g.j,
+               (COALESCE(c.n, 0) + 1.0)
+               / (COALESCE(r.tot, 0) + (SELECT COUNT(*) FROM states)) AS p
+        FROM grid g
+        LEFT JOIN c ON g.i = c.i AND g.j = c.j
+        LEFT JOIN rowtot r ON g.i = r.i
+    ),
+    pi0 AS (SELECT s, 1.0 / (SELECT COUNT(*) FROM states) AS v FROM states),
+    pi1 AS (SELECT p.j AS s, SUM(pi0.v * p.p) AS v FROM pi0 JOIN p ON pi0.s = p.i GROUP BY p.j),
+    pi2 AS (SELECT p.j AS s, SUM(pi1.v * p.p) AS v FROM pi1 JOIN p ON pi1.s = p.i GROUP BY p.j),
+    pi3 AS (SELECT p.j AS s, SUM(pi2.v * p.p) AS v FROM pi2 JOIN p ON pi2.s = p.i GROUP BY p.j),
+    pi4 AS (SELECT p.j AS s, SUM(pi3.v * p.p) AS v FROM pi3 JOIN p ON pi3.s = p.i GROUP BY p.j),
+    pi5 AS (SELECT p.j AS s, SUM(pi4.v * p.p) AS v FROM pi4 JOIN p ON pi4.s = p.i GROUP BY p.j),
+    pi6 AS (SELECT p.j AS s, SUM(pi5.v * p.p) AS v FROM pi5 JOIN p ON pi5.s = p.i GROUP BY p.j),
+    pi7 AS (SELECT p.j AS s, SUM(pi6.v * p.p) AS v FROM pi6 JOIN p ON pi6.s = p.i GROUP BY p.j),
+    pi8 AS (SELECT p.j AS s, SUM(pi7.v * p.p) AS v FROM pi7 JOIN p ON pi7.s = p.i GROUP BY p.j)
+    SELECT s AS state, ROUND(v + 1e-9, 6) AS pi_r
+    FROM pi8
+    """,
+)
+def m6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: stationary distribution of the user-journey Markov chain —
+    m2 builds the transition matrix; this answers 'where do journeys
+    spend their time in the long run'. Laplace-smoothed transition
+    probabilities p(i→j) = (c_ij + 1)/(c_i + |S|) (smoothing makes
+    the chain ergodic, so the power iteration converges regardless of
+    absorbing patterns in the raw counts), then 8 fixed power
+    iterations from the uniform vector — the fixed budget is what
+    makes the iteration SQL-unrollable for the oracle (the l3g Lloyd
+    recipe).
+
+    Scale shape: ONE windowed pass over the fact builds the
+    consecutive-pair counts (partitioned by user_id — a real key);
+    everything after operates on the |S|² = 25-row matrix and the
+    |S|-row vector, so 8 iterations cost 8 joins of tiny broadcast
+    frames, independent of corpus size — the g10 pagerank anatomy."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("i"), F.col("nxt").alias("j")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    states = e.select(F.col("event_type").alias("s")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("k"))
+    grid = (
+        states.select(F.col("s").alias("i"))
+        .crossJoin(states.select(F.col("s").alias("j")))
+    )
+    rowtot = c.groupBy("i").agg(F.sum("n").alias("tot"))
+    p = (
+        grid.join(c, ["i", "j"], "left")
+        .join(rowtot, "i", "left")
+        .crossJoin(F.broadcast(n_states))
+        .select(
+            "i",
+            "j",
+            (
+                (F.coalesce("n", F.lit(0)) + 1.0)
+                / (F.coalesce("tot", F.lit(0)) + F.col("k"))
+            ).alias("p"),
+        )
+    )
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "s", (F.lit(1.0) / F.col("k")).alias("v")
+    )
+    for _ in range(8):
+        pi = (
+            pi.join(F.broadcast(p), pi["s"] == p["i"])
+            .groupBy(F.col("j").alias("s2"))
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+            .withColumnRenamed("s2", "s")
+        )
+    return pi.select("s", F.round(F.col("v") + 1e-9, 6).alias("pi_r")).withColumnRenamed(
+        "s", "state"
+    )

@@ -101,6 +101,12 @@ NESTED_LOOP_WAIVED = {
     "l34_hard_negatives",  # 10-row query-vector broadcast, theta join
     "dq10_iqr_outlier_census",  # 1-row quartile-fence crossJoin(broadcast)
     "t21_forecast_backtest",  # 1-row cutoff-date crossJoin(broadcast)
+    # round-5 additions, bounded-by-construction broadcasts:
+    "l3d_ivf_topk",  # 10-query broadcast probe side for the in-query
+    # exact top-5 (the statistical-oracle twin of the IVF run), same
+    # shape as l3/l3h/l3i
+    "l38_temperature_mixture",  # 1-row (n, z, b) totals crossJoin(broadcast)
+    "l41_lsh_band_tuning",  # 4-row (r, b) config-grid crossJoin(broadcast)
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
@@ -139,6 +145,14 @@ WINDOW_WAIVED = {
     "g14_triangle_count",      # rank over the TakeOrdered 20-row frame
     "g10_pagerank_trade",      # rank over the <=25-node nation graph
     "l14_hybrid_retrieval",    # ranks over the two 50-row shortlists
+    # round-5:
+    "a25_out_of_order_depth",  # per-topic offsets over offset-range /
+                               # calendar-date bucket aggregates
+                               # (bucketed_row_number x2)
+    "l38_temperature_mixture", # remainder rank over the |langs|-row
+                               # (5) share frame
+    "l43_dup_quality_interaction",  # per-bucket offsets over the
+                               # 32-bucket ntile aggregate
 }
 
 JOIN_KINDS = (
