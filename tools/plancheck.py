@@ -107,6 +107,8 @@ NESTED_LOOP_WAIVED = {
     # shape as l3/l3h/l3i
     "l38_temperature_mixture",  # 1-row (n, z, b) totals crossJoin(broadcast)
     "l41_lsh_band_tuning",  # 4-row (r, b) config-grid crossJoin(broadcast)
+    "l43_dup_quality_interaction",  # 1-row (lo, hi, N) ntile-range broadcast
+    "m6_markov_stationary",  # |S|x|S| (25-row) state grid + 1-row |S| scalar
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
