@@ -80,6 +80,16 @@ class CommitLog:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self.path)  # atomic on POSIX
+        # The rename itself lives in the directory entry: without a
+        # directory fsync a post-commit power loss can roll the manifest
+        # back to the previous version while the sink write survived —
+        # redelivery would then double-write the epoch. fsync the dir to
+        # make committed() durable, not merely atomic.
+        dir_fd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
 
     def commit(
         self, epoch_id: int, add_files: list[str], meta: dict | None = None

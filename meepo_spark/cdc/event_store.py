@@ -221,6 +221,33 @@ class TransactionalEventStore(EventStore):
     def _epoch_dir(self, epoch_id: int) -> str:
         return os.path.join(self.path, "data", f"epoch={epoch_id}")
 
+    # --- inherited raw-directory paths are OFF here --------------------
+    # The base class's append/streaming_sink write event_date= dirs
+    # straight under the root (invisible to the manifest — silent data
+    # loss on read), and expire() lists the root for event_date= dirs it
+    # will never find in the data/epoch=<id> layout (silent retention
+    # no-op). Fail loudly instead of bypassing the commit protocol.
+    def append(self, changes: DataFrame) -> None:
+        raise NotImplementedError(
+            "TransactionalEventStore: use append_epoch(df, epoch_id) — "
+            "raw append() would bypass the commit manifest and its rows "
+            "would never be visible to log()"
+        )
+
+    def streaming_sink(self, changes: DataFrame, checkpoint: str):
+        raise NotImplementedError(
+            "TransactionalEventStore: drive the stream through "
+            "foreachBatch -> append_epoch(batch, epoch_id); the raw "
+            "parquet sink bypasses the commit manifest"
+        )
+
+    def expire(self, before) -> list[str]:
+        raise NotImplementedError(
+            "TransactionalEventStore: directory-listing retention does "
+            "not apply to the manifest layout; compact_txn() then drop "
+            "pre-snapshot epochs via the manifest instead"
+        )
+
     # --- write path ---------------------------------------------------
     def append_epoch(self, changes: DataFrame, epoch_id: int) -> bool:
         """Idempotent transactional append: parquet lands in the epoch
@@ -253,8 +280,16 @@ class TransactionalEventStore(EventStore):
         dirs = self.commits.files()
         if not dirs:
             return self.spark.createDataFrame([], LOG_SCHEMA)
+        # Explicit schema, never inference: a committed EMPTY epoch is a
+        # legal manifest entry whose dir holds only _SUCCESS (partitionBy
+        # on zero rows emits no part files) — schema inference would
+        # raise "Unable to infer schema" there and poison every read of
+        # the store. With the schema pinned, an empty dir is just an
+        # empty scan.
         scans = [
-            self.spark.read.parquet(d).select(*[f.name for f in LOG_SCHEMA.fields])
+            self.spark.read.schema(LOG_SCHEMA)
+            .parquet(d)
+            .select(*[f.name for f in LOG_SCHEMA.fields])
             for d in dirs
         ]
         return reduce(lambda a, b: a.unionByName(b), scans)

@@ -57,7 +57,13 @@ def idempotent_foreach_batch(ledger: EpochLedger, write_fn):
         deduped = batch_df.dropDuplicates(["txn_id", "pk", "offset"]).persist()
         try:
             written = write_fn(deduped, epoch_id)
-            rows = written if isinstance(written, int) else deduped.count()
+            # bool subclasses int: a write_fn returning a True/False
+            # success flag must not be recorded as rows=1/0.
+            rows = (
+                written
+                if isinstance(written, int) and not isinstance(written, bool)
+                else deduped.count()
+            )
             ledger.commit(epoch_id, {"rows": rows})
         finally:
             deduped.unpersist()

@@ -56,6 +56,40 @@ def cosine_topk(
     )
 
 
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "c_id",
+    corpus_vec: str = "c_vec",
+    pair_filter=None,
+) -> DataFrame:
+    """Exact top-k by RAW inner product (maximum-inner-product search)
+    — cosine_topk's twin for retrieval modes where vector norm carries
+    signal. Same anatomy: broadcast query side, one corpus pass, the
+    sequential-double ``dot`` fold (bit-matches DuckDB
+    list_dot_product), ranked window with (dot DESC, corpus_id ASC)
+    tie-break, WindowGroupLimit keeps k rows per query. Shared by
+    l3h_mips_topk and l3i_pq_topk's exact re-rank so the two stay in
+    tie-break/precision lockstep by construction."""
+    joined = spread(corpus, corpus_id).crossJoin(F.broadcast(queries))
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        dot(F.col(query_vec), F.col(corpus_vec)).alias("dot"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

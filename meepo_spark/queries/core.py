@@ -545,7 +545,7 @@ def f16_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH x AS (
         SELECT event_type, props,
-               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+               TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
                len(regexp_extract_all(props, '\d'))                   AS n_digits,
                regexp_replace(props, '\d+', '#', 'g')                 AS masked,
                CASE WHEN regexp_matches(event_type, '^(view|click)$')
@@ -573,7 +573,11 @@ def f19_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     x = e.select(
         "event_type",
-        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_val"),
+        # try_cast both sides: regexp_extract yields '' on no-match, and
+        # CAST('' AS BIGINT) raises under ANSI (Spark bare session) and
+        # in DuckDB — a future fixture with a props row missing "k"
+        # would turn a value difference into an engine crash.
+        F.regexp_extract("props", r'"k": (\d+)', 1).try_cast("long").alias("k_val"),
         F.regexp_count("props", F.lit(r"\d")).alias("n_digits"),
         F.regexp_replace("props", r"\d+", "#").alias("masked"),
         F.col("event_type").rlike("^(view|click)$").cast("long").alias("is_vc"),

@@ -447,6 +447,8 @@ def l3h_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths apply after the standard MIPS-to-cosine reduction (append
     a norm-completion dimension), at which point l3b/l3d serve
     MIPS unchanged."""
+    from meepo_spark.operators.similarity import mips_topk
+
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").between(20, 29)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -454,24 +456,9 @@ def l3h_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("c_vec"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
-    return (
-        F.broadcast(q)
-        .join(c, F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", dot.alias("dot"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("q_id", "c_id", F.round("dot", 6).alias("dot_r"), "rank")
-    )
+    return mips_topk(
+        q, c, k=5, pair_filter=F.col("q_id") != F.col("c_id")
+    ).select("q_id", "c_id", F.round("dot", 6).alias("dot_r"), "rank")
 
 
 @register(
@@ -515,7 +502,7 @@ def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook/encode/LUT bug flips the flag and hash-fails the driver
     compare; raw recall (≈0.92 overall) stays property-tested vs
     exact MIPS in tests/test_llm.py."""
-    from meepo_spark.operators.similarity import pq_topk
+    from meepo_spark.operators.similarity import mips_topk, pq_topk
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -526,23 +513,7 @@ def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, c, dim=DIM, k=5, m=16, ksub=16, rerank=50,
         pair_filter=F.col("q_id") != F.col("c_id"),
     ).select("q_id", "c_id")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("c_vec"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
-    exact = (
-        F.broadcast(q)
-        .join(c, F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", dot.alias("dot"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
+    exact = mips_topk(q, c, k=5, pair_filter=F.col("q_id") != F.col("c_id"))
     hits = (
         exact.select("q_id", "c_id")
         .join(pq, ["q_id", "c_id"])

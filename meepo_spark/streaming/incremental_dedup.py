@@ -149,8 +149,20 @@ def _prior_max_doc_id(index_dir: str, exclude_batch: int | None) -> int | None:
             continue
         wm = os.path.join(index_dir, name, "_wm.json")
         if os.path.exists(wm):
-            with open(wm) as fh:
-                mx = json.load(fh).get("max_doc_id")
+            try:
+                with open(wm) as fh:
+                    mx = json.load(fh).get("max_doc_id")
+            except (json.JSONDecodeError, OSError):
+                # A corrupt sidecar (pre-atomic-write legacy, or disk
+                # damage) must not kill every future batch: the batch's
+                # DATA commit is what matters; losing its watermark only
+                # weakens the ordering check for this run.
+                warnings.warn(
+                    f"unreadable watermark sidecar {wm}; ordering check "
+                    "degrades to the remaining sidecars",
+                    stacklevel=2,
+                )
+                continue
             if mx is not None and (best is None or mx > best):
                 best = mx
     return best
@@ -212,6 +224,17 @@ def start_incremental_dedup(
     first-arrival semantics."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the micro-batch is read once from source files, then
+        # served from cache to BOTH the watermark min/max aggregate and
+        # the dedup pipeline (hash, shingle, band) — without it the
+        # watermark is a full extra scan of every batch's input.
+        batch_df = batch_df.persist()
+        try:
+            _process_batch_inner(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _process_batch_inner(batch_df: DataFrame, batch_id: int) -> None:
         prior = read_survivor_index(spark, index_dir, exclude_batch=batch_id)
         lo, hi = batch_df.agg(
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
@@ -280,9 +303,17 @@ def start_incremental_dedup(
             f"{index_dir}/batch={batch_id}"
         )
         # watermark sidecar AFTER the data commit (a retry that died
-        # mid-write re-enters with exclude_batch and rewrites both)
-        with open(f"{index_dir}/batch={batch_id}/_wm.json", "w") as fh:
+        # mid-write re-enters with exclude_batch and rewrites both).
+        # tmp + fsync + atomic rename: a committed batch is never
+        # redelivered, so a torn sidecar would otherwise persist forever
+        # (same discipline as CommitLog._swap).
+        wm_path = f"{index_dir}/batch={batch_id}/_wm.json"
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"batch": batch_id, "min_doc_id": lo, "max_doc_id": hi}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, wm_path)
 
     stream = (
         spark.readStream.schema(doc_schema)

@@ -149,6 +149,26 @@ def test_exactly_once_redelivery(spark, changes, tmp_path):
     )
     base.unpersist()
 
+    # Code-review r5 #5: bool subclasses int — a write_fn returning a
+    # True/False success flag must NOT be recorded as rows=1/0; the
+    # ledger falls back to the real count.
+    def write_flag(df, epoch):
+        df.write.mode("append").parquet(out)
+        return True
+
+    body_flag = idempotent_foreach_batch(ledger, write_flag)
+    body_flag(changes.limit(25), 10)
+    assert ledger._log.epoch_meta(10)["rows"] == 25
+
+    # and an int return IS trusted verbatim (skips the count action)
+    def write_count(df, epoch):
+        df.write.mode("append").parquet(out)
+        return 17
+
+    body_cnt = idempotent_foreach_batch(ledger, write_count)
+    body_cnt(changes.limit(30), 11)
+    assert ledger._log.epoch_meta(11)["rows"] == 17
+
 
 def test_in_doubt_detection(spark):
     prepared = spark.createDataFrame(

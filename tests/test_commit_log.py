@@ -133,3 +133,67 @@ def test_manifest_is_json_single_file(tmp_path):
     with open(log.path) as fh:
         state = json.load(fh)
     assert state["epochs"]["5"]["files"] == ["x"]
+
+
+def test_committed_empty_epoch_does_not_poison_reads(spark, tmp_path):
+    """Code-review r5 #1: partitionBy on a ZERO-row epoch emits only
+    _SUCCESS — a committed empty epoch is a legal manifest entry whose
+    dir has no part files. log()/replay()/compact_txn() must keep
+    working off the pinned LOG_SCHEMA instead of dying in schema
+    inference on the part-file-less dir forever after."""
+    ch = events_as_changes(spark, SF_DIR).limit(50)
+    store = TransactionalEventStore(spark, str(tmp_path / "txe"))
+    assert store.append_epoch(ch, 0) is True
+    empty = ch.filter(F.lit(False))
+    assert store.append_epoch(empty, 1) is True  # committed, zero rows
+    assert store.log().count() == ch.count()
+    assert store.replay("users", None, "2024-01-01", "2030-01-01").count() >= 0
+    compacted = store.compact_txn()
+    assert compacted.count() > 0
+
+
+def test_transactional_store_blocks_raw_directory_paths(spark, tmp_path):
+    """Code-review r5 #4: the base class's append/streaming_sink/expire
+    read or write the raw directory layout, silently bypassing the
+    manifest (append's rows would never be visible; expire would no-op).
+    They must fail loudly on the transactional store."""
+    import pytest
+
+    ch = events_as_changes(spark, SF_DIR).limit(10)
+    store = TransactionalEventStore(spark, str(tmp_path / "txraw"))
+    with pytest.raises(NotImplementedError):
+        store.append(ch)
+    with pytest.raises(NotImplementedError):
+        store.streaming_sink(ch, str(tmp_path / "ckpt"))
+    with pytest.raises(NotImplementedError):
+        store.expire("2024-01-01")
+
+
+def test_manifest_swap_fsyncs_directory(tmp_path, monkeypatch):
+    """Code-review r5 #3: commit durability = tmp fsync + atomic rename
+    + DIRECTORY fsync (the rename lives in the dir entry). Assert the
+    dir-fd fsync actually happens on every swap."""
+    import os as _os
+
+    synced_dirs = []
+    real_fsync = _os.fsync
+    real_open = _os.open
+
+    opened = {}
+
+    def spy_open(path, flags, *a, **k):
+        fd = real_open(path, flags, *a, **k)
+        opened[fd] = path
+        return fd
+
+    def spy_fsync(fd):
+        p = opened.get(fd)
+        if p is not None and _os.path.isdir(p):
+            synced_dirs.append(p)
+        return real_fsync(fd)
+
+    monkeypatch.setattr(_os, "open", spy_open)
+    monkeypatch.setattr(_os, "fsync", spy_fsync)
+    log = CommitLog(str(tmp_path / "d"))
+    log.commit(0, ["a"])
+    assert str(tmp_path / "d") in synced_dirs

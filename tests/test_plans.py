@@ -509,14 +509,16 @@ def test_bench_no_per_query_regression_vs_prev_round():
     inside whole-run environment variance, and — the r4 refinement — a
     single noisy sample of an UNCHANGED query must not trip the gate
     (q21 flagged at the top of its measured 1.8-2.3 s band). The
-    per-query baseline is therefore the MIN over the recent
+    per-query baseline is the LOWER QUARTILE over the recent
     BENCH_history.jsonl band at the same sf (last 10 runs, plus
-    BENCH_prev.json as a floor member): identical code re-benched
-    lands somewhere in its band, and min-of-band is the one statistic
-    a noisy high sample cannot move. Ratios are still NORMALIZED by
-    the median ratio across shared queries so a uniform environment
-    shift cancels out. Flags normalized ratio > 1.5x with an absolute
-    excess > 0.4 s; deliberate trades go in BENCH_REGRESSION_WAIVED."""
+    BENCH_prev.json as a band member): a noisy HIGH sample cannot move
+    it, and — unlike a plain min (code-review r5) — one anomalously
+    FAST outlier (warm FS cache, idle machine) cannot permanently
+    deflate the baseline and flip the gate into false failures on
+    unchanged code. Ratios are still NORMALIZED by the median ratio
+    across shared queries so a uniform environment shift cancels out.
+    Flags normalized ratio > 1.5x with an absolute excess > 0.4 s;
+    deliberate trades go in BENCH_REGRESSION_WAIVED."""
     import json
     import os
     import statistics
@@ -530,8 +532,8 @@ def test_bench_no_per_query_regression_vs_prev_round():
     with open(cur_p) as fh:
         cur = json.load(fh)
 
-    # Per-query baseline: min over the recent same-sf history band.
-    base: dict[str, float] = {}
+    # Per-query baseline: lower quartile over the recent same-sf band.
+    samples: dict[str, list[float]] = {}
     runs = []
     if os.path.exists(hist_p):
         with open(hist_p) as fh:
@@ -547,8 +549,11 @@ def test_bench_no_per_query_regression_vs_prev_round():
     # and excluding it is impossible without timestamps in BENCH.json.
     for r in runs:
         for q, s in (r.get("queries") or {}).items():
-            if s and s > 0 and (q not in base or s < base[q]):
-                base[q] = s
+            if s and s > 0:
+                samples.setdefault(q, []).append(s)
+    base = {
+        q: sorted(vals)[(len(vals) - 1) // 4] for q, vals in samples.items()
+    }
     shared = {
         q: (cur["queries"][q], base[q])
         for q in cur["queries"].keys() & base.keys()

@@ -923,3 +923,73 @@ def test_l10s_replay_excludes_own_batch_partition(spark, tmp_path):
     assert (
         read_survivor_index(spark, str(tmp_path / "nope")).schema == INDEX_SCHEMA
     )
+
+
+def test_session_gap_exact_tie_merges_cross_engine(spark):
+    """Code-review r5 #6 probe, resolved EMPIRICALLY: an event exactly
+    gap after the previous one MERGES into the session in Spark's
+    session_window (verified: 3 events at 0/30/59:59 min with a 30-min
+    gap -> ONE session), matching the t23 oracle's `<= INTERVAL` gap
+    island and the stateful tracker's strict-`>` close. This pins the
+    exact-boundary convention for all three so a fixture regen with a
+    real tie can never silently diverge."""
+    import datetime
+
+    import duckdb
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=30)),  # exact-gap tie
+        (1, t0 + datetime.timedelta(minutes=59, seconds=59)),
+        (2, t0),
+        (2, t0 + datetime.timedelta(minutes=30, seconds=1)),  # past gap
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (r["user_id"], r["n"])
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {(1, 3), (2, 1), (2, 1)} or got == {(1, 3), (2, 1)}
+    # user 1: ONE session of 3 (tie merged); user 2: TWO sessions of 1
+    n_sessions = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    spark_sessions = {r["user_id"]: r["count"] for r in n_sessions}
+    assert spark_sessions == {1: 1, 2: 2}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, TIMESTAMP '{ts}')" for u, ts in rows
+        )
+        + ") t(user_id, ts)"
+    )
+    oracle_sessions = dict(
+        con.execute(
+            """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        )
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) FROM g GROUP BY 1
+        """
+        ).fetchall()
+    )
+    assert oracle_sessions == spark_sessions
+    # the stateful tracker's close condition is strict `>` gap —
+    # diff == gap stays in-session, the same convention
+    from meepo_spark.streaming.stateful import GAP_MS
+
+    assert 30 * 60 * 1000 == GAP_MS
