@@ -960,3 +960,80 @@ def l43_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__dup").cast("long").alias("n_dup_docs"),
         F.round(F.count("__dup") / F.count(F.lit(1)) + 1e-9, 4).alias("dup_rate"),
     )
+
+
+@register(
+    "l44_source_overlap_matrix",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(
+            range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' ')))) AS s
+        FROM documents
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source)
+    SELECT a.source AS s1,
+           b.source AS s2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           ROUND(COUNT(*)::DOUBLE
+                 / (ANY_VALUE(ta.n) + ANY_VALUE(tb.n) - COUNT(*)), 6) + 0.0
+               AS jaccard
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def l44_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44: cross-source contamination matrix — for every source pair,
+    the count and Jaccard of SHARED distinct 3-token shingles. The
+    corpus-curation view of dedup: doc-level near-dup rates (l2, l43)
+    say how much to drop; THIS says which ingest feeds overlap (a
+    crawler that re-crawls another feed's sites shows up as one hot
+    cell) and feeds the mixture debiasing decision before training.
+    Shingles come from the session-cached shingled_docs frame (same
+    xxhash64 sets the LSH pipeline signs — hash-set intersections
+    equal string-set intersections absent collisions, the identity
+    the l2 gate already rests on). Scale shape: per-source distinct
+    shingle sets via one explode + distinct (shuffle keyed by the
+    high-cardinality shingle hash), then a self-equi-join ON SHINGLE
+    whose per-key multiplicity is bounded by #sources, never by
+    corpus size, and a #sources^2-cell aggregate. The unbounded-pair
+    alternative (doc x doc) is exactly what this avoids; at real
+    scale the same plan holds with sources ~ thousands."""
+    from meepo_spark.queries.doc_cache import shingled_docs
+
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("source", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("s1"), "s")
+    b = sh.select(F.col("source").alias("s2"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("s1"), F.col("n").alias("na")))
+    tb = F.broadcast(tot.select(F.col("source").alias("s2"), F.col("n").alias("nb")))
+    return (
+        shared.join(ta, "s1")
+        .join(tb, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.round(
+                    F.col("n_shared")
+                    / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+    )

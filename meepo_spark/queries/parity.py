@@ -1086,3 +1086,73 @@ def a25_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_disp"),
     )
+
+
+@register(
+    "a26_conflict_resolution",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id AS pk,
+               CASE event_type WHEN 'signup' THEN 'write'
+                               WHEN 'error'  THEN 'delete'
+                               ELSE 'update' END AS action,
+               ts, event_id AS off
+        FROM events
+    ),
+    lastday AS (SELECT pk, MAX(CAST(ts AS DATE)) AS d FROM ch GROUP BY pk),
+    c AS (
+        SELECT ch.pk, ch.action, ch.ts, ch.off
+        FROM ch JOIN lastday l ON ch.pk = l.pk AND CAST(ch.ts AS DATE) = l.d
+    ),
+    ranked AS (
+        SELECT pk, action,
+               ROW_NUMBER() OVER (PARTITION BY pk
+                                  ORDER BY ts DESC, off DESC) AS r_lww,
+               ROW_NUMBER() OVER (PARTITION BY pk
+                                  ORDER BY (CASE action WHEN 'delete' THEN 3
+                                                        WHEN 'update' THEN 2
+                                                        ELSE 1 END) DESC,
+                                           ts DESC, off DESC) AS r_pri
+        FROM c
+    )
+    SELECT lww.action AS lww_action,
+           pri.action AS priority_action,
+           CAST(COUNT(*) AS BIGINT) AS n_pks
+    FROM (SELECT pk, action FROM ranked WHERE r_lww = 1) lww
+    JOIN (SELECT pk, action FROM ranked WHERE r_pri = 1) pri USING (pk)
+    GROUP BY 1, 2
+    """,
+)
+def a26_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: multi-writer conflict resolution census — when several
+    changes land for one pk inside a conflict window (here: the pk's
+    latest active day), a replicator must pick a winner. Two standard
+    policies are computed side by side in ONE aggregate over the
+    window: last-writer-wins (max (ts, offset)) and action-priority
+    (delete > update > write, ties by recency — tombstones must not
+    be resurrected by a same-window update). The output matrix counts
+    pks per (lww, priority) verdict pair: off-diagonal cells are
+    exactly the pks where policy CHOICE changes the converged state —
+    the number a migration between policies must reconcile. Scale:
+    pk-keyed aggregate for the window bound + pk-keyed aggregate with
+    two max_by's — both shuffle on the (high-cardinality) pk, no
+    windows over unbounded partitions, no driver state."""
+    pri = (
+        F.when(F.col("action") == "delete", 3)
+        .when(F.col("action") == "update", 2)
+        .otherwise(1)
+    )
+    ch = events_as_changes(spark, sf_dir).select(
+        "pk", "action", "ts", "offset", F.to_date("ts").alias("d")
+    )
+    lastday = ch.groupBy("pk").agg(F.max("d").alias("d"))
+    c = ch.join(lastday, ["pk", "d"])
+    winners = c.groupBy("pk").agg(
+        F.max_by("action", F.struct("ts", "offset")).alias("lww_action"),
+        F.max_by(
+            "action", F.struct(pri.alias("p"), F.col("ts"), F.col("offset"))
+        ).alias("priority_action"),
+    )
+    return winners.groupBy("lww_action", "priority_action").agg(
+        F.count(F.lit(1)).alias("n_pks")
+    )

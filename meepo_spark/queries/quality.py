@@ -807,3 +807,59 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(F.explode(rows).alias("r")).select(
         "r.col", "r.n", "r.q1", "r.q3", "r.n_outliers"
     )
+
+
+@register(
+    "dq11_schema_drift",
+    oracle=r"""
+    WITH keyed AS (
+        SELECT event_type,
+               ARRAY_TO_STRING(LIST_SORT(
+                   regexp_extract_all(props, '"(\w+)"\s*:', 1)), ',') AS sig
+        FROM events
+    ),
+    per_sig AS (
+        SELECT event_type, sig, COUNT(*) AS n
+        FROM keyed GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT)                       AS n_rows,
+           CAST(COUNT(*) AS BIGINT)                     AS n_signatures,
+           MIN(sig)                                     AS first_sig,
+           CAST(MAX(n) AS BIGINT)                       AS dominant_n,
+           CAST(SUM(CASE WHEN sig NOT LIKE '%k%' THEN n ELSE 0 END)
+                AS BIGINT)                              AS n_missing_k
+    FROM per_sig GROUP BY event_type
+    """,
+)
+def dq11_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ11: payload schema-drift census — each semi-structured props
+    payload is reduced to its sorted key-set SIGNATURE (the shape a
+    schema registry tracks), then per event_type: row count, distinct
+    signatures, lexicographically-first signature, the dominant
+    signature's support, and rows missing the contract key 'k'. The
+    production use: a producer deploy that adds/renames payload keys
+    shows up as n_signatures > 1 or n_missing_k > 0 BEFORE any typed
+    consumer breaks (a24's typed lane turns those rows into NULLs).
+    Scale: one scan, the regexp key extraction is JVM codegen, the
+    double aggregate is (event_type, sig) -> event_type over a
+    signature space bounded by real producer versions (a handful), so
+    the shuffle is tiny regardless of corpus size."""
+    e = table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_type",
+        F.array_join(
+            F.array_sort(F.regexp_extract_all("props", F.lit(r'"(\w+)"\s*:'), 1)),
+            ",",
+        ).alias("sig"),
+    )
+    per_sig = keyed.groupBy("event_type", "sig").agg(F.count(F.lit(1)).alias("n"))
+    return per_sig.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_signatures"),
+        F.min("sig").alias("first_sig"),
+        F.max("n").cast("long").alias("dominant_n"),
+        F.sum(F.when(~F.col("sig").like("%k%"), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_missing_k"),
+    )

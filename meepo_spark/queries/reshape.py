@@ -750,3 +750,73 @@ def v20_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90"),
     )
     return modes.join(disc, "l_returnflag")
+
+
+@register(
+    "v21_beta_posterior",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 4 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS x
+        FROM arms GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n, x,
+           ROUND((2.0 + x) / (4.0 + n), 6) + 0.0              AS post_mean,
+           ROUND((2.0 + x) * (2.0 + n - x)
+                 / ((4.0 + n) * (4.0 + n) * (5.0 + n)), 6) + 0.0 AS post_var,
+           ROUND((2.0 + x) / (4.0 + n)
+                 - 1.96 * sqrt((2.0 + x) * (2.0 + n - x)
+                               / ((4.0 + n) * (4.0 + n) * (5.0 + n))), 6) + 0.0
+               AS ci_lo,
+           ROUND((2.0 + x) / (4.0 + n)
+                 + 1.96 * sqrt((2.0 + x) * (2.0 + n - x)
+                               / ((4.0 + n) * (4.0 + n) * (5.0 + n))), 6) + 0.0
+               AS ci_hi
+    FROM s
+    """,
+)
+def v21_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V21: Bayesian conversion posterior per experiment arm — a
+    Beta(2,2) prior updated with each arm's (conversions, exposures)
+    in closed form: posterior mean (a+x)/(a+b+n), exact posterior
+    variance, and a normal-approximation 95% credible interval. The
+    frequentist z-test twin is v16; this is what a sequential-decision
+    dashboard reads (no p-value gymnastics at interim looks). The
+    whole computation is two exact integer aggregates (per-user
+    conversion collapse, per-arm counts) followed by scalar
+    arithmetic on a #arms-row frame — at 100 TB the plan is one
+    user-keyed shuffle and a 4-row result; the posterior math costs
+    nothing and is engine-exact (rational arithmetic in double,
+    rounded)."""
+    e = table(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 4).alias("arm"), "converted")
+    s = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("x")
+    )
+    a = 2.0 + F.col("x")
+    b = 2.0 + F.col("n") - F.col("x")
+    tot = 4.0 + F.col("n")
+    mean = a / tot
+    var = a * b / (tot * tot * (tot + 1.0))
+    return s.select(
+        F.col("arm").cast("long").alias("arm"),
+        "n",
+        "x",
+        (F.round(mean, 6) + 0.0).alias("post_mean"),
+        (F.round(var, 6) + 0.0).alias("post_var"),
+        (F.round(mean - 1.96 * F.sqrt(var), 6) + 0.0).alias("ci_lo"),
+        (F.round(mean + 1.96 * F.sqrt(var), 6) + 0.0).alias("ci_hi"),
+    )

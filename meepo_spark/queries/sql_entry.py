@@ -282,3 +282,38 @@ def sql8_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wide UNPIVOT (val FOR metric IN (n_orders, total_price, max_price))
         """
     )
+
+
+@register(
+    "sql9_group_by_all",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate < DATE '1999-01-01'
+    GROUP BY ALL
+    """,
+)
+def sql9_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL9: GROUP BY ALL (Spark 4 / DuckDB shared dialect) — the
+    grouping keys are inferred from the non-aggregate select items, so
+    wide exploratory aggregations can't silently drop a key the way a
+    hand-kept positional GROUP BY can. Identical SQL text runs on both
+    engines; Catalyst plans it exactly like the explicit-key form
+    (partial+final hash agg after one pruned scan)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_shipdate < DATE '1999-01-01'
+        GROUP BY ALL
+        """
+    )

@@ -1933,3 +1933,73 @@ def e16_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_delay_us"),
         F.max("delay_us").alias("max_delay_us"),
     )
+
+
+@register(
+    "t25_m4_downsample",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('week', CAST(ts AS DATE)) AS DATE) AS wk,
+               ts, event_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, wk, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, wk
+                                  ORDER BY ts ASC, event_id ASC)  AS r_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, wk
+                                  ORDER BY ts DESC, event_id DESC) AS r_last
+        FROM e
+    )
+    SELECT event_type,
+           STRFTIME(wk, '%Y-%m-%d')                              AS week,
+           CAST(COUNT(*) AS BIGINT)                              AS n,
+           ROUND(MIN(value), 6) + 0.0                            AS min_v,
+           ROUND(MAX(value), 6) + 0.0                            AS max_v,
+           ROUND(MAX(CASE WHEN r_first = 1 THEN value END), 6) + 0.0 AS first_v,
+           ROUND(MAX(CASE WHEN r_last  = 1 THEN value END), 6) + 0.0 AS last_v
+    FROM ranked
+    GROUP BY event_type, wk
+    """,
+)
+def t25_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25: M4 downsampling (Jugel et al., VLDB 2014) — per pixel-
+    column bucket (here: event_type x calendar week) emit the FOUR
+    values that make a line chart of any width render pixel-exact:
+    min, max, first (by event time), last. The canonical dashboard
+    query over a 100 TB event log: one scan, one hash aggregate keyed
+    by (series, bucket) — min/max are plain aggregates and first/last
+    are min_by/max_by over the (ts, event_id) total order, so there is
+    NO window over an unbounded partition and no sort; output size is
+    4 points x #buckets, independent of input rows. The oracle mirrors
+    first/last with ranked windows (DuckDB arg_min/arg_max take no
+    composite key)."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    key = F.struct("ts", "event_id")
+    return (
+        b.groupBy("event_type", "wk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.min("value"), 6) + 0.0).alias("min_v"),
+            (F.round(F.max("value"), 6) + 0.0).alias("max_v"),
+            (F.round(F.min_by("value", key), 6) + 0.0).alias("first_v"),
+            (F.round(F.max_by("value", key), 6) + 0.0).alias("last_v"),
+        )
+        .select(
+            "event_type",
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "n",
+            "min_v",
+            "max_v",
+            "first_v",
+            "last_v",
+        )
+    )
