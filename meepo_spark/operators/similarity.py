@@ -73,8 +73,13 @@ def mips_topk(
     list_dot_product), ranked window with (dot DESC, corpus_id ASC)
     tie-break, WindowGroupLimit keeps k rows per query. Shared by
     l3h_mips_topk and l3i_pq_topk's exact re-rank so the two stay in
-    tie-break/precision lockstep by construction."""
-    joined = spread(corpus, corpus_id).crossJoin(F.broadcast(queries))
+    tie-break/precision lockstep by construction. No spread() here:
+    callers pair this with other passes over the same corpus scan
+    (l3i runs PQ + exact side by side) and the extra exchange costs
+    more than the kernel parallelism it buys (measured +0.7s at
+    sf0.1); a standalone caller on a single-file corpus can spread()
+    before calling."""
+    joined = corpus.crossJoin(F.broadcast(queries))
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
     scored = joined.select(
