@@ -863,3 +863,79 @@ def dq11_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing_k"),
     )
+
+
+@register(
+    "dq12_freshness_census",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    per AS (
+        SELECT event_type,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events GROUP BY event_type
+    ),
+    recent AS (
+        SELECT e.event_type,
+               CAST(SUM(CASE WHEN date_diff('microsecond', e.ts, g.gmax)
+                                  <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_last_day,
+               CAST(SUM(CASE WHEN date_diff('microsecond', e.ts, g.gmax)
+                                  <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_last_week
+        FROM events e CROSS JOIN g GROUP BY e.event_type
+    )
+    SELECT p.event_type,
+           STRFTIME(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(date_diff('microsecond', p.last_ts,
+                          (SELECT gmax FROM g)) // 1000000 AS BIGINT)
+               AS staleness_s,
+           p.n_total,
+           r.n_last_day,
+           r.n_last_week,
+           ROUND(r.n_last_week / 7.0, 2) + 0.0 AS weekly_daily_rate
+    FROM per p JOIN recent r ON p.event_type = r.event_type
+    """,
+)
+def dq12_freshness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ12: pipeline freshness / staleness census — per event stream:
+    last-seen timestamp, staleness vs the newest event anywhere
+    (exact integer seconds via microsecond arithmetic — the j13
+    lesson: cross-engine timestamp math must stay in integral
+    microseconds), trailing 1-day / 7-day arrival counts against the
+    corpus watermark, and the implied daily rate. The check every
+    ingestion SLA monitor runs: a stalled producer shows staleness_s
+    growing while its weekly rate decays. One scan computes the
+    global watermark (1-row broadcast) and one scan aggregates per
+    stream — no windows, no driver state; at 100 TB the event_date
+    partitioning prunes the trailing-window counts to a handful of
+    partitions."""
+    e = table(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("gmax"))
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    per = (
+        e.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(us("gmax") - us("ts") <= 86400000000, 1).otherwise(0)
+            ).cast("long").alias("n_last_day"),
+            F.sum(
+                F.when(us("gmax") - us("ts") <= 604800000000, 1).otherwise(0)
+            ).cast("long").alias("n_last_week"),
+            F.max(F.col("gmax")).alias("gmax"),
+        )
+    )
+    return per.select(
+        "event_type",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        ((us("gmax") - us("last_ts")) / F.lit(1000000))
+        .cast("long")
+        .alias("staleness_s"),
+        "n_total",
+        "n_last_day",
+        "n_last_week",
+        (F.round(F.col("n_last_week") / 7.0, 2) + 0.0).alias("weekly_daily_rate"),
+    )
