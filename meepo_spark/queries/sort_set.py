@@ -498,3 +498,89 @@ def o8_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "psize", "p_partkey")
     )
+
+
+def _morton_sql(px: str, py: str, bits: int = 16) -> str:
+    """The unrolled Morton interleave as SQL text — generated by the
+    same loop as operators/zorder.interleave_bits so the two engines
+    stay in lockstep by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({px} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({py} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+               MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+        FROM lineitem
+    ),
+    scaled AS (
+        SELECT CAST(FLOOR((l_partkey - b.plo) * 65535.0 / (b.phi - b.plo))
+                    AS BIGINT) AS px,
+               CAST(FLOOR((l_suppkey - b.slo) * 65535.0 / (b.shi - b.slo))
+                    AS BIGINT) AS py
+        FROM lineitem CROSS JOIN b
+    ),
+    z AS (SELECT px, py, {_morton_sql('px', 'py')} AS zval FROM scaled)
+    SELECT CAST(zval >> 24 AS BIGINT)        AS bucket,
+           CAST(COUNT(*) AS BIGINT)          AS n,
+           CAST(MAX(px) - MIN(px) AS BIGINT) AS px_span,
+           CAST(MAX(py) - MIN(py) AS BIGINT) AS py_span
+    FROM z GROUP BY 1
+    """
+
+
+@register("o9_zorder_locality", oracle=_zorder_oracle())
+def o9_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: Morton (Z-order) key locality census — scale both cluster
+    columns to 16-bit grids (min-max, two scalar aggregates in one
+    1-row broadcast), interleave the bits into the 32-bit Morton key
+    (operators/zorder.interleave_bits: unrolled JVM shifts, zero
+    Python), and report per top-8-bit z-bucket the row count and the
+    px/py coordinate SPANS. The spans ARE the pruning story the
+    zorder_write layout relies on (test_plans
+    ::test_zorder_layout_prunes_row_groups_on_both_dimensions): every
+    bucket covers a tight square in BOTH dimensions (span <= ~4k of
+    65k), which is why row-group min/max envelopes stay selective on
+    either column. The oracle's interleave expression is generated by
+    the same Python loop as the engine's, so the bit math is
+    cross-engine by construction. Scale: one scan + one bounded
+    (256-bucket) aggregate; the Morton projection is pure codegen
+    integer arithmetic."""
+    from meepo_spark.operators.zorder import interleave_bits
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_partkey").alias("plo"),
+        F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"),
+        F.max("l_suppkey").alias("shi"),
+    )
+    scaled = li.crossJoin(F.broadcast(b)).select(
+        F.floor(
+            (F.col("l_partkey") - F.col("plo"))
+            * 65535.0
+            / (F.col("phi") - F.col("plo"))
+        )
+        .cast("long")
+        .alias("px"),
+        F.floor(
+            (F.col("l_suppkey") - F.col("slo"))
+            * 65535.0
+            / (F.col("shi") - F.col("slo"))
+        )
+        .cast("long")
+        .alias("py"),
+    )
+    z = scaled.select(
+        "px", "py", interleave_bits([F.col("px"), F.col("py")], 16).alias("zval")
+    )
+    return z.groupBy(F.shiftright("zval", 24).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("px") - F.min("px")).cast("long").alias("px_span"),
+        (F.max("py") - F.min("py")).cast("long").alias("py_span"),
+    )

@@ -378,3 +378,32 @@ def test_bucketed_enumeration_guard_raises_on_bucket_blowup(spark, monkeypatch):
     assert ok.count() == 100
     ok2 = en.bucketed_row_number(df, F.floor(F.col("id") / 10), order)
     assert ok2.count() == 100
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_morton_interleave_matches_reference(spark, vals):
+    """operators/zorder.interleave_bits is the published Morton
+    formula: the unrolled JVM shift/mask expression must equal the
+    pure-Python bit-interleave on arbitrary 16-bit pairs (and be
+    monotone-per-quadrant by construction of that identity)."""
+    from meepo_spark.operators.zorder import interleave_bits, morton_reference
+
+    df = spark.createDataFrame(vals, "x int, y int")
+    got = [
+        r["z"]
+        for r in df.select(
+            interleave_bits([F.col("x"), F.col("y")], bits=16).alias("z")
+        ).collect()
+    ]
+    want = [morton_reference([x, y], bits=16) for x, y in vals]
+    assert got == want
