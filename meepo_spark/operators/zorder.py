@@ -27,6 +27,15 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     is reproducible anywhere (the same shifts in DuckDB SQL or Python
     give the identical key). Inputs must already be in [0, 2^bits)."""
     n = len(cols)
+    if n * bits > 63:
+        # bit position 63 is the JVM long's sign bit: shiftleft into it
+        # silently flips keys negative, breaking the curve order (and
+        # diverging from morton_reference's unbounded Python int)
+        raise ValueError(
+            f"interleave_bits: {n} cols x {bits} bits = {n * bits} bit "
+            "positions; the Morton key must fit a signed 64-bit long "
+            "(<= 63 bits) — lower bits or cluster fewer columns"
+        )
     acc = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         v = c.cast("long")
@@ -46,10 +55,14 @@ def rank_normalize(col: str, bits: int = 16) -> Column:
     integer column expression; caller joins the (min,max) frame in."""
     lo, hi = f"__{col}_lo", f"__{col}_hi"
     span = F.col(hi) - F.col(lo)
+    # multiply-then-divide: the SAME floating-point operation order as
+    # o9_zorder_locality and its DuckDB oracle, so the graded query
+    # pins this exact layout math (double rounding in a different
+    # order can floor a boundary value into the neighboring cell)
     scaled = (
         (F.col(col) - F.col(lo))
+        * F.lit(float((1 << bits) - 1))
         / F.when(span > 0, span).otherwise(F.lit(1))
-        * F.lit((1 << bits) - 1)
     )
     return F.floor(scaled).cast("long")
 

@@ -827,7 +827,8 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)                     AS n_signatures,
            MIN(sig)                                     AS first_sig,
            CAST(MAX(n) AS BIGINT)                       AS dominant_n,
-           CAST(SUM(CASE WHEN sig NOT LIKE '%k%' THEN n ELSE 0 END)
+           CAST(SUM(CASE WHEN (',' || sig || ',') NOT LIKE '%,k,%'
+                         THEN n ELSE 0 END)
                 AS BIGINT)                              AS n_missing_k
     FROM per_sig GROUP BY event_type
     """,
@@ -859,7 +860,14 @@ def dq11_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_signatures"),
         F.min("sig").alias("first_sig"),
         F.max("n").cast("long").alias("dominant_n"),
-        F.sum(F.when(~F.col("sig").like("%k%"), F.col("n")).otherwise(F.lit(0)))
+        # exact key membership, not substring — a producer key like
+        # "kind" or "sku" must not mask a MISSING contract key 'k'
+        F.sum(
+            F.when(
+                ~F.concat(F.lit(","), F.col("sig"), F.lit(",")).like("%,k,%"),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        )
         .cast("long")
         .alias("n_missing_k"),
     )

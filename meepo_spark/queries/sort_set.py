@@ -551,30 +551,20 @@ def o9_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine by construction. Scale: one scan + one bounded
     (256-bucket) aggregate; the Morton projection is pure codegen
     integer arithmetic."""
-    from meepo_spark.operators.zorder import interleave_bits
+    from meepo_spark.operators.zorder import interleave_bits, rank_normalize
 
     li = table(spark, sf_dir, "lineitem")
     b = li.agg(
-        F.min("l_partkey").alias("plo"),
-        F.max("l_partkey").alias("phi"),
-        F.min("l_suppkey").alias("slo"),
-        F.max("l_suppkey").alias("shi"),
+        F.min("l_partkey").cast("double").alias("__l_partkey_lo"),
+        F.max("l_partkey").cast("double").alias("__l_partkey_hi"),
+        F.min("l_suppkey").cast("double").alias("__l_suppkey_lo"),
+        F.max("l_suppkey").cast("double").alias("__l_suppkey_hi"),
     )
+    # the SAME grid-scaling expression zorder_write lays files out
+    # with — the graded query pins the layout math, not a re-derivation
     scaled = li.crossJoin(F.broadcast(b)).select(
-        F.floor(
-            (F.col("l_partkey") - F.col("plo"))
-            * 65535.0
-            / (F.col("phi") - F.col("plo"))
-        )
-        .cast("long")
-        .alias("px"),
-        F.floor(
-            (F.col("l_suppkey") - F.col("slo"))
-            * 65535.0
-            / (F.col("shi") - F.col("slo"))
-        )
-        .cast("long")
-        .alias("py"),
+        rank_normalize("l_partkey", 16).alias("px"),
+        rank_normalize("l_suppkey", 16).alias("py"),
     )
     z = scaled.select(
         "px", "py", interleave_bits([F.col("px"), F.col("py")], 16).alias("zval")

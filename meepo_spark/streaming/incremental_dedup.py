@@ -314,6 +314,16 @@ def start_incremental_dedup(
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, wm_path)
+        # rename durability needs the DIRECTORY entry persisted too —
+        # a committed batch is never redelivered, so a rolled-back
+        # rename would orphan this batch's watermark forever. (A crash
+        # BEFORE the replace leaves an inert .tmp: readers open only
+        # _wm.json, and _prior_max_doc_id degrades gracefully.)
+        dfd = os.open(os.path.dirname(wm_path), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     stream = (
         spark.readStream.schema(doc_schema)

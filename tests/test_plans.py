@@ -698,31 +698,11 @@ def test_zorder_layout_prunes_row_groups_on_both_dimensions(spark, tmp_path):
     zorder_write(li, zo, ["l_partkey", "l_suppkey"], n_files=16)
     pred = (F.col("l_partkey") <= p_hi) & (F.col("l_suppkey") <= s_hi)
 
+    from meepo_spark.plan_metrics import scan_metric_sum
+
     def scan_rows(path):
         df = spark.read.parquet(path).filter(pred).groupBy().count()
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan()
-        out = {}
-
-        def walk(node):
-            name = node.nodeName()
-            if "Scan" in name:
-                it = node.metrics().iterator()
-                while it.hasNext():
-                    kv = it.next()
-                    if kv._1() == "numOutputRows":
-                        out["rows"] = out.get("rows", 0) + kv._2().value()
-            if name == "AdaptiveSparkPlan":
-                walk(node.executedPlan())
-                return
-            if "QueryStage" in name:
-                walk(node.plan())
-                return
-            for i in range(node.children().size()):
-                walk(node.children().apply(i))
-
-        walk(plan)
-        return out["rows"]
+        return scan_metric_sum(df, keys=("numOutputRows",))["numOutputRows"]
 
     r_nat, r_zo = scan_rows(nat), scan_rows(zo)
     # correctness: identical result either way

@@ -407,3 +407,15 @@ def test_morton_interleave_matches_reference(spark, vals):
     ]
     want = [morton_reference([x, y], bits=16) for x, y in vals]
     assert got == want
+
+
+def test_morton_interleave_rejects_sign_bit_overflow(spark):
+    """4 cols x 16 bits = 64 positions would shiftleft into the JVM
+    long's sign bit, silently producing negative keys that break the
+    curve order — the operator must refuse instead."""
+    from meepo_spark.operators.zorder import interleave_bits
+
+    with pytest.raises(ValueError, match="63 bits"):
+        interleave_bits([F.lit(1)] * 4, bits=16)
+    # 3 x 16 = 48 and 2 x 16 = 32 stay in range
+    assert interleave_bits([F.lit(1)] * 3, bits=16) is not None

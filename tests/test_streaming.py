@@ -946,16 +946,17 @@ def test_session_gap_exact_tie_merges_cross_engine(spark):
         (2, t0 + datetime.timedelta(minutes=30, seconds=1)),  # past gap
     ]
     df = spark.createDataFrame(rows, "user_id int, ts timestamp")
-    got = {
+    got = sorted(
         (r["user_id"], r["n"])
         for r in df.groupBy(
             "user_id", F.session_window("ts", "30 minutes").alias("w")
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    }
-    assert got == {(1, 3), (2, 1), (2, 1)} or got == {(1, 3), (2, 1)}
-    # user 1: ONE session of 3 (tie merged); user 2: TWO sessions of 1
+    )
+    # multiset compare: user 1 ONE session of 3 (tie merged); user 2
+    # TWO sessions of 1 (a set literal would collapse the duplicate)
+    assert got == [(1, 3), (2, 1), (2, 1)]
     n_sessions = (
         df.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .count()

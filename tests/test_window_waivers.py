@@ -80,27 +80,11 @@ WAIVER_BOUNDS: dict[str, int] = {
 _LIMIT_RE = re.compile(r"limit=(\d+)")
 
 
-def _metrics(node) -> dict:
-    out = {}
-    it = node.metrics().iterator()
-    while it.hasNext():
-        kv = it.next()
-        out[kv._1()] = kv._2().value()
-    return out
-
-
-def _unwrap(node):
-    name = node.nodeName()
-    if name == "AdaptiveSparkPlan":
-        return _unwrap(node.executedPlan())
-    if "QueryStage" in name:
-        return _unwrap(node.plan())
-    return node
-
-
-def _children(node):
-    ch = node.children()
-    return [ch.apply(i) for i in range(ch.length())]
+# shared executed-plan walkers (code-review r5: one walker to rule the
+# window audit, the Z-order pruning test, and the probes)
+from meepo_spark.plan_metrics import children as _children
+from meepo_spark.plan_metrics import metrics as _metrics
+from meepo_spark.plan_metrics import unwrap as _unwrap
 
 
 def _windows(node, acc):

@@ -42,34 +42,7 @@ from meepo_spark.operators.zorder import zorder_write
 from meepo_spark.session import get_spark
 
 
-def _scan_metrics(df) -> dict:
-    """Executed-plan file-scan metrics (same walk as the window-waiver
-    audit): number of files read + scan output rows."""
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-
-    def walk(node, out):
-        name = node.nodeName()
-        if "Scan" in name:
-            m = node.metrics()
-            it = m.iterator()
-            while it.hasNext():
-                kv = it.next()
-                key = kv._1()
-                if key in ("numFiles", "numOutputRows", "filesSize"):
-                    out[key] = out.get(key, 0) + kv._2().value()
-        if name == "AdaptiveSparkPlan":
-            walk(node.executedPlan(), out)
-            return
-        if "QueryStage" in name:
-            walk(node.plan(), out)
-            return
-        for i in range(node.children().size()):
-            walk(node.children().apply(i), out)
-
-    out: dict = {}
-    walk(plan, out)
-    return out
+from meepo_spark.plan_metrics import scan_metric_sum as _scan_metrics
 
 
 def main(sf_dir: str, n_files: int) -> int:
