@@ -426,3 +426,60 @@ def u8_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_mean"
         ),
     )
+
+
+@register(
+    "u9_grouped_arrow_topchars",
+    oracle="""
+    WITH counted AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, total_chars, max_chars,
+           ROUND(total_chars * 1.0 / n_docs + 1e-9, 4) AS mean_chars
+    FROM counted
+    """,
+)
+def u9_grouped_arrow_topchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9: applyInArrow — the fifth Python boundary (after u1 scalar
+    pandas, u2 grouped-map pandas, u5 mapInArrow, u7 iterator): a
+    grouped-map kernel that receives each group as a RAW pyarrow
+    Table, no pandas materialization at all. The lowest-overhead
+    grouped surface for kernels that already speak Arrow (tokenizers,
+    Arrow-native ML featurizers): zero-copy columnar access in, one
+    RecordBatch out. The stand-in kernel computes per-group integer
+    stats with pyarrow.compute so DuckDB aggregates grade the whole
+    path exactly; a real deployment swaps the kernel body with zero
+    plan changes. Scale: one shuffle on the group key (5 langs here —
+    production keys are high-cardinality; tiny-key demo bounded by
+    the fixture's lang domain), Arrow batches stream group-at-a-time
+    through the worker."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        chars = tbl.column("n_chars")
+        total = pc.sum(chars).as_py()
+        return pa.table(
+            {
+                "lang": [tbl.column("lang")[0].as_py()],
+                "n_docs": pa.array([n], type=pa.int64()),
+                "total_chars": pa.array([total], type=pa.int64()),
+                "max_chars": pa.array(
+                    [pc.max(chars).as_py()], type=pa.int64()
+                ),
+                "mean_chars": pa.array(
+                    [round(total / n + 1e-9, 4) + 0.0], type=pa.float64()
+                ),
+            }
+        )
+
+    d = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return d.groupBy("lang").applyInArrow(
+        stats,
+        schema="lang string, n_docs long, total_chars long, "
+        "max_chars long, mean_chars double",
+    )
