@@ -2003,3 +2003,130 @@ def t25_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_v",
         )
     )
+
+
+@register(
+    "t26_holt_winters_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    seeded AS (
+        SELECT event_type, n_days, xs,
+               list_sum(xs[1:7]) / 7.0 AS l0,
+               (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0
+        FROM series
+        WHERE n_days >= 15
+    ),
+    fitted AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend(
+                       [l0, b0,
+                        xs[1] - l0, xs[2] - l0, xs[3] - l0, xs[4] - l0,
+                        xs[5] - l0, xs[6] - l0, xs[7] - l0],
+                       list_transform(xs[15:], x ->
+                           [x, 0.0::DOUBLE, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+                   (acc, el) -> list_concat(
+                       list_concat(
+                           [0.5 * (el[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                            0.25 * ((0.5 * (el[1] - acc[3])
+                                     + 0.5 * (acc[1] + acc[2])) - acc[1])
+                                + 0.75 * acc[2]],
+                           acc[4:9]),
+                       [0.25 * (el[1] - (0.5 * (el[1] - acc[3])
+                                         + 0.5 * (acc[1] + acc[2])))
+                        + 0.75 * acc[3]])) AS st
+        FROM seeded
+    )
+    SELECT event_type, n_days,
+           ROUND(st[1] + 1e-9, 4) + 0.0                     AS level_r,
+           ROUND(st[2] + 1e-9, 4) + 0.0                     AS trend_r,
+           ROUND(st[5] + 1e-9, 4) + 0.0                     AS season3_r,
+           ROUND(st[1] + 3 * st[2] + st[5] + 1e-9, 4) + 0.0 AS forecast3_r
+    FROM fitted ORDER BY event_type
+    """,
+)
+def t26_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26: Holt–Winters TRIPLE exponential smoothing (additive,
+    weekly season m=7) per event type — t20's level+trend recurrence
+    extended with a rotating 7-slot seasonal queue, still expressed
+    as one sequential fold: state = [level, trend, s(t-m+1..t)] and
+    each step consumes the queue head (the season due NOW) and
+    appends the refreshed one. Seeds: l0 = mean of week 1, b0 =
+    (mean week 2 − mean week 1)/7, s_i = x_i − l0; the fold runs
+    from day 15. α=0.5, β=γ=0.25 are binary-exact and both engines
+    fold the identical expression tree over the identical day order,
+    so state matches bit-for-bit before rounding (inputs are exact
+    integer cents). The 3-day forecast re-adds the matching seasonal
+    (queue slot 3). Scale: the fact collapses to per-(type, day)
+    cells first; per-key state is O(m); folds parallelize across
+    keys — the same recurrence-as-ordered-fold discipline as
+    t19/t20, never a driver loop."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    xs = F.col("xs")
+    wk = lambda a, b: F.aggregate(  # noqa: E731
+        F.slice(xs, a, b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    seeded = series.filter(F.col("n_days") >= 15).select(
+        "event_type",
+        "n_days",
+        "xs",
+        (wk(1, 7) / 7.0).alias("l0"),
+        ((wk(8, 7) / 7.0 - wk(1, 7) / 7.0) / 7.0).alias("b0"),
+    )
+    l0, b0 = F.col("l0"), F.col("b0")
+    init = F.concat(
+        F.array(l0, b0),
+        F.transform(F.slice(xs, 1, 7), lambda x: x - l0),
+    )
+    rest = F.slice(xs, 15, F.greatest(F.size(xs) - 14, F.lit(0)))
+
+    def step(acc, x):
+        l = F.element_at(acc, 1)
+        b = F.element_at(acc, 2)
+        s_old = F.element_at(acc, 3)
+        new_l = 0.5 * (x - s_old) + 0.5 * (l + b)
+        new_b = 0.25 * ((0.5 * (x - s_old) + 0.5 * (l + b)) - l) + 0.75 * b
+        new_s = 0.25 * (x - (0.5 * (x - s_old) + 0.5 * (l + b))) + 0.75 * s_old
+        return F.concat(F.array(new_l, new_b), F.slice(acc, 4, 6), F.array(new_s))
+
+    fitted = seeded.select(
+        "event_type",
+        "n_days",
+        F.aggregate(rest, init, step).alias("st"),
+    )
+    lvl = F.element_at("st", 1)
+    trd = F.element_at("st", 2)
+    s3 = F.element_at("st", 5)
+    return fitted.select(
+        "event_type",
+        "n_days",
+        (F.round(lvl + 1e-9, 4) + 0.0).alias("level_r"),
+        (F.round(trd + 1e-9, 4) + 0.0).alias("trend_r"),
+        (F.round(s3 + 1e-9, 4) + 0.0).alias("season3_r"),
+        (F.round(lvl + 3 * trd + s3 + 1e-9, 4) + 0.0).alias("forecast3_r"),
+    ).orderBy("event_type")
