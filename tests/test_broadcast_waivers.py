@@ -1,0 +1,80 @@
+"""Runtime bounds for the BroadcastNestedLoopJoin waivers — the same
+treatment tests/test_window_waivers.py gives the window waivers: a
+prose claim like "1-row scalar broadcast" is cheap to write and easy
+to falsify silently (the r4 window audit's FIRST run falsified 3 of
+its own waivers), so every NESTED_LOOP_WAIVED query is EXECUTED at
+sf0.1 and the rows actually flowing through each BNLJ's DIRECT build-
+side BroadcastExchange are asserted against a per-query bound.
+
+Bounds are measured values (tools/measure_broadcasts.py) with ~2x
+headroom — all are constants by construction (scalar aggregates,
+fixed probe sets, config grids, calendar spines, bounded samples),
+far below any fact-sized frame; a refactor that silently grows a
+build side to data scale fails here long before it OOMs a driver.
+
+The walk stops at any nested join so a downstream BroadcastHashJoin's
+(possibly size-gated, Catalyst-chosen) broadcast is never charged to
+the BNLJ under audit — the first measurement pass made exactly that
+over-collection mistake and read m5's 600k-row size-gated hash-join
+build as a BNLJ bound violation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from meepo_spark.registry import QUERIES, load_all
+from tools.measure_broadcasts import bnlj_broadcast_rows
+from tools.plancheck import NESTED_LOOP_WAIVED
+
+load_all()
+
+WAIVER_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_WAIVER_SF_DIR", "/root/testdata/sf0.1"
+)
+
+# default bound: a scalar/handful broadcast (measured 1-16 rows)
+DEFAULT_BOUND = 32
+BNLJ_BOUNDS: dict[str, int] = {
+    # fixed probe / seed sets
+    "l3_cosine_topk": 32,
+    "l3d_ivf_topk": 32,
+    "l3h_mips_topk": 32,
+    "l3i_pq_topk": 32,
+    "l34_hard_negatives": 32,
+    "l3l_pq_seeded_topk": 32,
+    "l3k_ivf_seeded_topk": 48,
+    # blocked pair-generator probe frames (200-doc samples)
+    "l18_dedup_signal_agreement": 512,
+    "l3c_embedding_near_dup": 512,
+    "l2c_ngram_jaccard_block": 8192,  # 2000-doc block frame if planned as BNLJ
+    "l13_dedup_threshold_curve": 64,
+    # calendar spine (|days| of the fixture month)
+    "t8_gap_fill": 128,
+    "e14_active_user_ratios": 128,
+    # config / state grids
+    "m6_markov_stationary": 64,  # |S|x|S| = 25 state grid
+    "l41_lsh_band_tuning": 32,
+    "l17_epoch_shuffle": 32,
+    "l4f_tfidf_terms": 128,  # 31-row df table
+}
+
+
+@pytest.mark.parametrize("name", sorted(NESTED_LOOP_WAIVED))
+def test_waived_bnlj_build_side_is_runtime_bounded(spark, name):
+    if name not in QUERIES:
+        pytest.skip(f"{name} not registered")
+    rows = bnlj_broadcast_rows(QUERIES[name](spark, WAIVER_SF_DIR))
+    bound = BNLJ_BOUNDS.get(name, DEFAULT_BOUND)
+    # [] is fine: AQE may plan the waived shape away at this SF — the
+    # waiver then guards a plan that can still appear at other SFs.
+    assert all(r <= bound for r in rows), (
+        f"{name}: BNLJ build side carried {rows} rows at sf0.1 "
+        f"(bound {bound}) — the waiver's bounded-broadcast claim is "
+        "falsified; fix the plan or re-justify the waiver"
+    )
