@@ -2017,7 +2017,8 @@ def t25_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     series AS (
         SELECT event_type,
                list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs,
-               CAST(COUNT(*) AS BIGINT) AS n_days
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               DATE_DIFF('day', MIN(day), MAX(day)) + 1 AS span_days
         FROM daily GROUP BY event_type
     ),
     seeded AS (
@@ -2025,7 +2026,7 @@ def t25_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sum(xs[1:7]) / 7.0 AS l0,
                (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0
         FROM series
-        WHERE n_days >= 15
+        WHERE n_days >= 15 AND n_days = span_days
     ),
     fitted AS (
         SELECT event_type, n_days,
@@ -2086,12 +2087,21 @@ def t26_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
         ).alias("xs"),
         F.count(F.lit(1)).alias("n_days"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span_days"),
     )
     xs = F.col("xs")
     wk = lambda a, b: F.aggregate(  # noqa: E731
         F.slice(xs, a, b), F.lit(0.0), lambda acc, x: acc + x
     )
-    seeded = series.filter(F.col("n_days") >= 15).select(
+    # dense-calendar guard (code-review r5c): the m=7 rotation indexes
+    # OBSERVED days, so one missing (type, day) cell would shift every
+    # later step off weekday phase — both engines would compute the
+    # identical wrong thing and the grade would still pass. A sparse
+    # series is excluded rather than silently mis-seasoned (a gap-fill
+    # spine, t8 style, is the production fix).
+    seeded = series.filter(
+        (F.col("n_days") >= 15) & (F.col("n_days") == F.col("span_days"))
+    ).select(
         "event_type",
         "n_days",
         "xs",

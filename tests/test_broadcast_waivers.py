@@ -12,11 +12,14 @@ fixed probe sets, config grids, calendar spines, bounded samples),
 far below any fact-sized frame; a refactor that silently grows a
 build side to data scale fails here long before it OOMs a driver.
 
+Fail-closed design (code-review r5c): all 54 queries are measured
+ONCE in a module fixture; a positive-control test asserts that a
+healthy majority actually produced non-empty BNLJ measurements — a
+Spark rename of the node (or a walker bug like the ReusedExchange
+skip the review caught) cannot turn the whole audit vacuous-green.
 The walk stops at any nested join so a downstream BroadcastHashJoin's
 (possibly size-gated, Catalyst-chosen) broadcast is never charged to
-the BNLJ under audit — the first measurement pass made exactly that
-over-collection mistake and read m5's 600k-row size-gated hash-join
-build as a BNLJ bound violation.
+the BNLJ under audit.
 """
 
 from __future__ import annotations
@@ -64,15 +67,38 @@ BNLJ_BOUNDS: dict[str, int] = {
     "l4f_tfidf_terms": 128,  # 31-row df table
 }
 
+# measured at sf0.1: 49 of 54 waived queries materialize >=1 BNLJ
+# (AQE plans the shape away for the handful of others at this SF)
+MIN_MEASURED = 40
+
+
+@pytest.fixture(scope="module")
+def measurements(spark):
+    out: dict[str, list[int]] = {}
+    for name in sorted(NESTED_LOOP_WAIVED):
+        if name in QUERIES:
+            out[name] = bnlj_broadcast_rows(QUERIES[name](spark, WAIVER_SF_DIR))
+    return out
+
+
+def test_audit_measures_a_majority_of_waived_plans(measurements):
+    """Positive control: the walker must actually FIND the BNLJs.
+    An empty measurement is legal per query (AQE variance) but a
+    collapse across the board means the node name or the walk broke —
+    the vacuous-green failure mode this guard closes."""
+    non_empty = sum(1 for rows in measurements.values() if rows)
+    assert non_empty >= MIN_MEASURED, (
+        f"only {non_empty}/{len(measurements)} waived queries produced a "
+        "BNLJ measurement — the audit walker is measuring nothing"
+    )
+
 
 @pytest.mark.parametrize("name", sorted(NESTED_LOOP_WAIVED))
-def test_waived_bnlj_build_side_is_runtime_bounded(spark, name):
-    if name not in QUERIES:
+def test_waived_bnlj_build_side_is_runtime_bounded(measurements, name):
+    if name not in measurements:
         pytest.skip(f"{name} not registered")
-    rows = bnlj_broadcast_rows(QUERIES[name](spark, WAIVER_SF_DIR))
+    rows = measurements[name]
     bound = BNLJ_BOUNDS.get(name, DEFAULT_BOUND)
-    # [] is fine: AQE may plan the waived shape away at this SF — the
-    # waiver then guards a plan that can still appear at other SFs.
     assert all(r <= bound for r in rows), (
         f"{name}: BNLJ build side carried {rows} rows at sf0.1 "
         f"(bound {bound}) — the waiver's bounded-broadcast claim is "

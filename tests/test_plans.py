@@ -725,21 +725,15 @@ def test_parquet_bloom_filter_skips_row_groups_on_point_lookup(spark, tmp_path):
     (min/max stats are useless when every group spans the domain).
     This is the needle-lookup complement to the Z-order test's
     range-box pruning."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), _os.pardir))
     from meepo_spark.plan_metrics import scan_metric_sum
+    from tools.bloom_probe import key_probe, write_with_bloom
 
     li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
-    # in-range absent key: TPC-H orderkeys are sparse
-    from pyspark.sql import Window as W_
-
-    absent = (
-        li.select("l_orderkey")
-        .distinct()
-        .withColumn("nxt", F.lead("l_orderkey").over(W_.orderBy("l_orderkey")))
-        .filter(F.col("nxt") > F.col("l_orderkey") + 1)
-        .select((F.col("l_orderkey") + 1).alias("gap"))
-        .first()[0]
-    )
-    ndv = li.select("l_orderkey").distinct().count()
+    _present, absent, ndv = key_probe(li)
     plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
     # dictionary encoding OFF for both: at this tiny SF every row group
     # stays dictionary-encoded and parquet's dictionary filtering
@@ -750,13 +744,7 @@ def test_parquet_bloom_filter_skips_row_groups_on_point_lookup(spark, tmp_path):
     li.repartition(8).write.option("parquet.enable.dictionary", "false").parquet(
         plain
     )
-    (
-        li.repartition(8)
-        .write.option("parquet.enable.dictionary", "false")
-        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
-        .option("parquet.bloom.filter.expected.ndv#l_orderkey", str(ndv))
-        .parquet(bloom)
-    )
+    write_with_bloom(li, bloom, ndv, n_files=8, dictionary=False)
 
     def scan_rows(path):
         df = (

@@ -38,6 +38,52 @@ from meepo_spark.plan_metrics import scan_metric_sum
 from meepo_spark.session import get_spark
 
 
+def key_probe(li, key_col: str = "l_orderkey"):
+    """(present, in-range absent, ndv) for the lookup column, computed
+    off ONE cached distinct frame (three separate distinct() jobs would
+    each re-shuffle the fact). The absent key must sit INSIDE the
+    global min/max envelope, or plain row-group stats skip everything
+    and mask the bloom effect (TPC-H orderkeys are sparse: successor
+    gaps exist). Shared by the probe and the regression test so the
+    key-selection logic cannot desynchronize."""
+    keys = li.select(key_col).distinct().cache()
+    try:
+        present = keys.orderBy(F.rand(7)).limit(1).first()[0]
+        absent = (
+            keys.withColumn("nxt", F.lead(key_col).over(Window.orderBy(key_col)))
+            .filter(F.col("nxt") > F.col(key_col) + 1)
+            .select((F.col(key_col) + 1).alias("gap"))
+            .first()[0]
+        )
+        ndv = keys.count()
+    finally:
+        keys.unpersist()
+    return present, absent, ndv
+
+
+def write_with_bloom(
+    df,
+    path: str,
+    ndv: int,
+    n_files: int,
+    key_col: str = "l_orderkey",
+    dictionary: bool = True,
+) -> None:
+    """Parquet write with a bloom filter on the lookup column.
+    ``dictionary=False`` isolates the bloom mechanism at tiny SFs
+    where parquet's dictionary filtering would otherwise already
+    reject absent keys (the regression test's regime)."""
+    w = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{key_col}", "true")
+        .option(f"parquet.bloom.filter.expected.ndv#{key_col}", str(ndv))
+    )
+    if not dictionary:
+        w = w.option("parquet.enable.dictionary", "false")
+    w.parquet(path)
+
+
 def main(sf_dir: str, n_files: int) -> int:
     spark = get_spark()
     root = tempfile.mkdtemp(prefix="bloomprobe_")
@@ -45,32 +91,12 @@ def main(sf_dir: str, n_files: int) -> int:
         li = table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey", "l_quantity"
         )
-        present = (
-            li.select("l_orderkey").distinct().orderBy(F.rand(7)).limit(1).first()[0]
-        )
-        # the absent key must sit INSIDE the global min/max envelope, or
-        # plain row-group stats skip everything and mask the bloom
-        # effect (TPC-H orderkeys are sparse: successor gaps exist)
-        absent = (
-            li.select("l_orderkey")
-            .distinct()
-            .withColumn("nxt", F.lead("l_orderkey").over(Window.orderBy("l_orderkey")))
-            .filter(F.col("nxt") > F.col("l_orderkey") + 1)
-            .select((F.col("l_orderkey") + 1).alias("gap"))
-            .first()[0]
-        )
-        ndv = li.select("l_orderkey").distinct().count()
+        present, absent, ndv = key_probe(li)
 
         li.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(root, "plain")
         )
-        (
-            li.repartition(n_files)
-            .write.mode("overwrite")
-            .option("parquet.bloom.filter.enabled#l_orderkey", "true")
-            .option("parquet.bloom.filter.expected.ndv#l_orderkey", str(ndv))
-            .parquet(os.path.join(root, "bloom"))
-        )
+        write_with_bloom(li, os.path.join(root, "bloom"), ndv, n_files)
         for layout in ("plain", "bloom"):
             df = spark.read.parquet(os.path.join(root, layout))
             for lookup, key in (("present", present), ("absent", absent)):

@@ -27,9 +27,14 @@ def bnlj_broadcast_rows(df) -> list[int]:
     def build_rows(node):
         """Descend through wrapper/codegen nodes to the first exchange;
         stop at any OTHER join so a downstream hash join's broadcast is
-        never charged to this BNLJ."""
+        never charged to this BNLJ. A ReusedExchange delegates to the
+        exchange it reuses — audit THAT node (skipping it would let a
+        fact-sized reused broadcast pass unmeasured, the exact
+        fail-open the audit exists to prevent)."""
         node = unwrap(node)
         name = node.nodeName()
+        if name == "ReusedExchange":
+            return build_rows(node.child())
         if "BroadcastExchange" in name:
             return [metrics(node).get("numOutputRows", 0)]
         if "Exchange" in name or "Join" in name:
@@ -39,7 +44,9 @@ def bnlj_broadcast_rows(df) -> list[int]:
             out += build_rows(c)
         return out
 
-    df.collect()
+    # execute without collecting rows to the driver (same choice as
+    # the window audit: metrics want execution, not materialization)
+    df._jdf.queryExecution().toRdd().count()
     plan = df._jdf.queryExecution().executedPlan()
     out = []
     for node in iter_nodes(plan):
@@ -52,7 +59,6 @@ def bnlj_broadcast_rows(df) -> list[int]:
 def main(sf_dir: str) -> int:
     load_all()
     spark = get_spark()
-    rows = {}
     for name in sorted(NESTED_LOOP_WAIVED):
         if name not in QUERIES:
             continue
@@ -60,7 +66,6 @@ def main(sf_dir: str) -> int:
             r = bnlj_broadcast_rows(QUERIES[name](spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             r = [f"ERR {e}"]
-        rows[name] = r
         print(json.dumps({name: r}), flush=True)
     return 0
 
