@@ -1156,3 +1156,78 @@ def a26_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winners.groupBy("lww_action", "priority_action").agg(
         F.count(F.lit(1)).alias("n_pks")
     )
+
+
+@register(
+    "a27_forget_pks",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id AS pk,
+               CASE event_type WHEN 'signup' THEN 'write'
+                               WHEN 'error'  THEN 'delete'
+                               ELSE 'update' END AS action,
+               ts, event_id AS off
+        FROM events
+    ),
+    forget AS (SELECT DISTINCT pk FROM ch WHERE pk % 10 = 7),
+    latest AS (
+        SELECT pk, action FROM (
+            SELECT pk, action,
+                   ROW_NUMBER() OVER (PARTITION BY pk
+                                      ORDER BY ts DESC, off DESC) AS r
+            FROM ch
+        ) WHERE r = 1
+    ),
+    snap AS (
+        SELECT l.pk FROM latest l
+        LEFT JOIN forget f ON l.pk = f.pk
+        WHERE l.action <> 'delete' AND f.pk IS NULL
+    )
+    SELECT 'log_before' AS layer,
+           CAST(COUNT(*) AS BIGINT)            AS n_rows,
+           CAST(COUNT(DISTINCT pk) AS BIGINT)  AS n_pks,
+           CAST(SUM(CASE WHEN pk % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+                                               AS n_forgotten
+    FROM ch
+    UNION ALL
+    SELECT 'snapshot_after',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT pk) AS BIGINT),
+           CAST(SUM(CASE WHEN pk % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM snap
+    """,
+)
+def a27_forget_pks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: right-to-be-forgotten propagation — given a forget list
+    (here: pks ending in 7), the published snapshot is the latest
+    image per pk MINUS tombstoned pks MINUS forgotten pks (an
+    anti-join, the crypto-shredding pattern's logical core). The
+    census emits both layers: the immutable log still counts the
+    forgotten pks' rows (n_forgotten > 0 — physical erasure there is
+    compaction + retention's job, a15/a21), while the snapshot layer
+    proves n_forgotten = 0 by construction. Scale: one pk-keyed
+    max_by for latest images, one broadcast-able anti join against
+    the forget list (tiny by nature), two bounded censuses."""
+    ch = events_as_changes(spark, sf_dir).select(
+        F.col("pk").cast("long").alias("pk"), "action", "ts", "offset"
+    )
+    forget = ch.filter(F.col("pk") % 10 == 7).select("pk").distinct()
+    latest = ch.groupBy("pk").agg(
+        F.max_by("action", F.struct("ts", "offset")).alias("action")
+    )
+    snap = latest.filter(F.col("action") != "delete").join(
+        F.broadcast(forget), "pk", "left_anti"
+    )
+
+    def census(df, layer):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("pk").alias("n_pks"),
+            F.sum(F.when(F.col("pk") % 10 == 7, 1).otherwise(0))
+            .cast("long")
+            .alias("n_forgotten"),
+        ).select(
+            F.lit(layer).alias("layer"), "n_rows", "n_pks", "n_forgotten"
+        )
+
+    return census(ch, "log_before").unionByName(census(snap, "snapshot_after"))

@@ -1145,3 +1145,89 @@ def w10_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(full)
         .alias("second_purchase"),
     )
+
+
+@register(
+    "g25_gini_revenue",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents ASC, c_custkey ASC) AS i
+        FROM spend
+    ),
+    agg AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT)          AS n,
+               CAST(SUM(cents) AS BIGINT)        AS s0,
+               CAST(SUM(i * cents) AS BIGINT)    AS s1
+        FROM ranked GROUP BY c_nationkey
+    )
+    SELECT n_name,
+           n,
+           s0 AS total_cents,
+           ROUND((2.0 * s1) / (n * 1.0 * s0) - (n + 1.0) / n, 6) + 0.0
+               AS gini
+    FROM agg JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def g25_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G25: Gini coefficient of customer spend per nation — the
+    inequality metric every marketplace/revenue dashboard carries,
+    computed EXACTLY from the rank identity
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with ranks ascending by
+    (spend, custkey). All sums are exact integer cents (s1 peaks well
+    under 2^63 at any TPC-H scale: rank ≤ |customers per nation|,
+    cents per customer bounded); the one division happens per output
+    row. The enumeration uses the bucketed discipline
+    (operators/enumeration.bucketed_row_number, bucket =
+    cents >> 16): a plain per-nation window would sort each nation's
+    full customer dimension in one task — the r3 class of
+    single-task-sort the window audit exists to prevent. Ties on
+    cents share a bucket by construction (floor of the ORDER key)."""
+    from meepo_spark.operators.enumeration import bucketed_row_number
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = bucketed_row_number(
+        spend,
+        F.shiftright("cents", 16),
+        [F.col("cents").asc(), F.col("c_custkey").asc()],
+        part_cols=("c_nationkey",),
+        out="i",
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s1"),
+    )
+    return agg.join(F.broadcast(n), agg["c_nationkey"] == n["n_nationkey"]).select(
+        "n_name",
+        "n",
+        F.col("s0").alias("total_cents"),
+        (
+            F.round(
+                (2.0 * F.col("s1")) / (F.col("n") * 1.0 * F.col("s0"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            )
+            + 0.0
+        ).alias("gini"),
+    )
