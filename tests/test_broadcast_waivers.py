@@ -52,9 +52,14 @@ BNLJ_BOUNDS: dict[str, int] = {
     "l34_hard_negatives": 32,
     "l3l_pq_seeded_topk": 32,
     "l3k_ivf_seeded_topk": 48,
-    # blocked pair-generator probe frames (200-doc samples)
-    "l18_dedup_signal_agreement": 512,
-    "l3c_embedding_near_dup": 512,
+    # blocked pair-generator probe frames (200-doc samples). Bound is
+    # several reuses wide: when the build side sits on a session-cached
+    # frame, the SAME exchange object (and its SQLMetric) can serve
+    # several queries measured earlier in this module, so the metric
+    # ACCUMULATES across them — observed l3c at >512 once after g26
+    # joined the rotation. Still orders of magnitude under fact size.
+    "l18_dedup_signal_agreement": 4096,
+    "l3c_embedding_near_dup": 4096,
     "l2c_ngram_jaccard_block": 8192,  # 2000-doc block frame if planned as BNLJ
     "l13_dedup_threshold_curve": 64,
     # calendar spine (|days| of the fixture month)
