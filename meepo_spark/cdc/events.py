@@ -32,8 +32,15 @@ def events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user row per event, pk = user_id, full row image in `row`,
     event_id doubling as the monotone binlog offset."""
     ev = table(spark, sf_dir, "events")
+    # exhaustive by contract: an event_type outside ACTION_MAP is an
+    # UPDATE, not NULL — the parity oracles' CASE ... ELSE 'update'
+    # (7 of them) and this mapping must agree by construction, or a
+    # future sixth event_type would silently diverge the two layers
+    # (NULL action fails every `action != 'delete'` filter engine-side
+    # while the oracle keeps the row) — code-review r5d.
     action = F.coalesce(
-        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in ACTION_MAP.items()]
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in ACTION_MAP.items()],
+        F.lit("update"),
     )
     return ev.select(
         F.lit("app").alias("schema_name"),

@@ -1206,8 +1206,10 @@ def a27_forget_pks(spark: SparkSession, sf_dir: str) -> DataFrame:
     forgotten pks' rows (n_forgotten > 0 — physical erasure there is
     compaction + retention's job, a15/a21), while the snapshot layer
     proves n_forgotten = 0 by construction. Scale: one pk-keyed
-    max_by for latest images, one broadcast-able anti join against
-    the forget list (tiny by nature), two bounded censuses."""
+    max_by for latest images, one size-gated anti join against the
+    forget list (un-hinted: a production forget list broadcasts on
+    its own; this synthetic 10%-of-keyspace one must be allowed to
+    shuffle), two bounded censuses."""
     ch = events_as_changes(spark, sf_dir).select(
         F.col("pk").cast("long").alias("pk"), "action", "ts", "offset"
     )
@@ -1215,8 +1217,13 @@ def a27_forget_pks(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = ch.groupBy("pk").agg(
         F.max_by("action", F.struct("ts", "offset")).alias("action")
     )
+    # NO broadcast hint on the forget list: this synthetic one is a
+    # fixed FRACTION of the keyspace (grows with data), so a forced
+    # broadcast is the hint-on-growing-frame hazard — let Catalyst
+    # size-gate it (a real forget list is tiny and broadcasts on its
+    # own; a huge one correctly falls back to a shuffled anti join).
     snap = latest.filter(F.col("action") != "delete").join(
-        F.broadcast(forget), "pk", "left_anti"
+        forget, "pk", "left_anti"
     )
 
     def census(df, layer):

@@ -1302,12 +1302,19 @@ def g26_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(union_apx, ["t1", "t2"])
         .withColumn("est_both", F.col("a1") + F.col("a2") - F.col("apx_union"))
     )
+    # The composed estimate's absolute error scales with the AUDIENCE
+    # sizes (three rsd=0.02 sketches -> ~6% of |A|+|B| worst case),
+    # not with the intersection — a low-overlap pair would flake a
+    # purely relative gate (code-review r5d). Band = 20% relative OR
+    # the sketch-theoretic additive budget, whichever is wider.
+    budget = F.greatest(
+        F.col("exact_both") * 0.2, (F.col("a1") + F.col("a2")) * 0.08
+    )
     return est.select(
         "t1",
         "t2",
         F.col("exact_both").cast("long").alias("exact_both"),
         (
-            (F.col("est_both") >= F.col("exact_both") * 0.8)
-            & (F.col("est_both") <= F.col("exact_both") * 1.2)
+            F.abs(F.col("est_both") - F.col("exact_both")) <= budget
         ).alias("est_within_20pct"),
     )
