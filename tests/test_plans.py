@@ -501,12 +501,19 @@ BENCH_REGRESSION_WAIVED: dict[str, str] = {
     "l21_classifier_auc": "same r4 rewrite class (0.76->~1.1s local): "
     "score-band prefix sums replace a per-source window over "
     "near-unique scores that grew ~2 rows/doc",
-    # (r5 interim host-drift waivers for e6/f7/f9/g14/l3d were deleted
-    # per their own instructions once the drift cleared: the 150.1s/287
-    # run has every one back inside its band — e6 0.37, f7 0.55,
-    # f9 0.58, g14 1.53, l3d 1.15. The drift episode and its bisect
-    # verification are recorded in BASELINE.md's round-5 row; the
-    # two-tier persistence gate now absorbs the one-run churn class.)
+    # (r5 interim host-drift waivers for e6/f7/f9/g14 were deleted per
+    # their own instructions once the drift cleared: the 150.1s/287 run
+    # has each back inside its band — e6 0.37, f7 0.55, f9 0.58,
+    # g14 1.53. The drift episode and its bisect verification are
+    # recorded in BASELINE.md's round-5 row; the two-tier persistence
+    # gate now absorbs the one-run churn class.)
+    "l3d_ivf_topk": "r5 VERDICT #5 rewrite trade: l3d now ALSO computes "
+    "the exact MIPS top-5 and the per-query recall gate in-query (the "
+    "statistical oracle that closed the last rows-only row), so its "
+    "steady level moved 0.7-0.96 -> ~1.15-1.2s; the band's lower "
+    "quartile still mixes pre-rewrite samples. Isolated-warm 1.20s "
+    "matches the in-bench level — cost is the added exact re-rank, "
+    "not churn. Delete once the rolling band is all post-rewrite.",
 }
 
 
