@@ -2140,3 +2140,166 @@ def t26_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(s3 + 1e-9, 4) + 0.0).alias("season3_r"),
         (F.round(lvl + 3 * trd + s3 + 1e-9, 4) + 0.0).alias("forecast3_r"),
     ).orderBy("event_type")
+
+
+@register(
+    "t27_mase_forecast_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    cutoff AS (SELECT MIN(day) + CAST(19 AS INT) AS cut FROM daily),
+    train AS (
+        SELECT event_type,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs
+        FROM daily CROSS JOIN cutoff WHERE day <= cut GROUP BY event_type
+    ),
+    fitted AS (
+        SELECT event_type,
+               list_reduce(
+                   list_prepend([xs[1], xs[2] - xs[1]],
+                                list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
+                   (acc, el) -> [
+                       0.5 * el[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * (0.5 * el[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+                           + 0.75 * acc[2]
+                   ]) AS lb
+        FROM train
+    ),
+    holdout AS (
+        SELECT d.event_type, d.day, d.x,
+               CAST(d.day - c.cut AS BIGINT) AS h
+        FROM daily d CROSS JOIN cutoff c
+        WHERE d.day > c.cut AND d.day - c.cut <= 7
+    ),
+    scored AS (
+        SELECT ho.event_type, ho.h,
+               ABS(ho.x - (f.lb[1] + ho.h * f.lb[2])) AS err_model,
+               ABS(ho.x - lag7.x)                     AS err_naive
+        FROM holdout ho
+        JOIN fitted f USING (event_type)
+        JOIN daily lag7 ON lag7.event_type = ho.event_type
+                       AND lag7.day = ho.day - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(list_sum(LIST(err_model ORDER BY h))
+                 / list_sum(LIST(err_naive ORDER BY h)) + 1e-9, 6) + 0.0
+               AS mase_r,
+           (list_sum(LIST(err_model ORDER BY h))
+            < list_sum(LIST(err_naive ORDER BY h))) AS beats_naive
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def t27_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27: MASE — the forecast-review gate t21's WAPE doesn't answer:
+    is the fitted model better than the SEASONAL-NAIVE baseline
+    (predict x[d-7])? MASE = Σ|model err| / Σ|naive err| over the same
+    7-day holdout; beats_naive is the boolean a forecast-promotion
+    pipeline actually branches on (a model with great-looking WAPE on
+    a stable series can still lose to naive — the standard Hyndman
+    critique). Same exactness discipline as t21: bit-identical Holt
+    fold, integer-day horizons against a broadcast cutoff, per-day
+    errors computed on identical doubles, and the two MAE folds sum in
+    explicit h order before the one rounded division. Scale: one
+    daily aggregate, an equi-join back to lag-7 actuals keyed on
+    (type, day), per-type O(holdout) state."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    cutoff = daily.agg(F.date_add(F.min("day"), 19).alias("cut"))
+    train = (
+        daily.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("day") <= F.col("cut"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "x"))),
+                lambda r: r["x"],
+            ).alias("xs")
+        )
+    )
+    xs = F.col("xs")
+    init = F.array(
+        F.element_at(xs, 1),
+        F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1),
+    )
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+
+    def step(acc, x):
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        new_l = 0.5 * x + 0.5 * (l + b)
+        new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
+        return F.array(new_l, new_b)
+
+    fitted = train.select(
+        "event_type", F.aggregate(rest, init, step).alias("lb")
+    )
+    holdout = (
+        daily.crossJoin(F.broadcast(cutoff))
+        .filter(
+            (F.col("day") > F.col("cut"))
+            & (F.datediff(F.col("day"), F.col("cut")) <= 7)
+        )
+        .select(
+            "event_type",
+            "day",
+            "x",
+            F.datediff(F.col("day"), F.col("cut")).cast("long").alias("h"),
+        )
+    )
+    lag7 = daily.select(
+        F.col("event_type").alias("l_type"),
+        F.col("day").alias("l_day"),
+        F.col("x").alias("x_lag7"),
+    )
+    scored = (
+        holdout.join(F.broadcast(fitted), "event_type")
+        .join(
+            lag7,
+            (F.col("l_type") == F.col("event_type"))
+            & (F.col("l_day") == F.date_sub(F.col("day"), 7)),
+        )
+        .select(
+            "event_type",
+            "h",
+            F.abs(
+                F.col("x")
+                - (F.element_at("lb", 1) + F.col("h") * F.element_at("lb", 2))
+            ).alias("err_model"),
+            F.abs(F.col("x") - F.col("x_lag7")).alias("err_naive"),
+        )
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", c))), lambda r: r[c]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            fold("err_model").alias("s_model"),
+            fold("err_naive").alias("s_naive"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            (F.round(F.col("s_model") / F.col("s_naive") + 1e-9, 6) + 0.0).alias(
+                "mase_r"
+            ),
+            (F.col("s_model") < F.col("s_naive")).alias("beats_naive"),
+        )
+        .orderBy("event_type")
+    )

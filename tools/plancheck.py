@@ -113,6 +113,7 @@ NESTED_LOOP_WAIVED = {
     "o9_zorder_locality",  # 1-row (min,max)x2 grid-bounds broadcast
     "g26_hll_intersection",  # |event_types| (5-row) type-grid broadcast
     # pairing memberships with the other types for the union sketch
+    "t27_mase_forecast_eval",  # 1-row train-cutoff-date broadcast (t21 twin)
 }
 
 # Known bounded-tiny-cardinality partition keys: a window partitioned
