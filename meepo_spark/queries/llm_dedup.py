@@ -1037,3 +1037,64 @@ def l44_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "l45_source_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               list_transform(
+                   range(greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i+1:i+3], ' ')) AS sh
+        FROM documents
+    ),
+    flat AS (SELECT source, unnest(sh) AS s FROM toks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)           AS total_shingles,
+           CAST(COUNT(DISTINCT s) AS BIGINT)  AS distinct_shingles,
+           ROUND(COUNT(DISTINCT s) * 1.0 / COUNT(*) + 1e-9, 6) + 0.0
+               AS type_token_ratio
+    FROM flat GROUP BY source
+    """,
+)
+def l45_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45: per-source corpus diversity — the type–token ratio over
+    3-token shingle OCCURRENCES (distinct/total). The curation signal
+    that complements dedup: a feed can be duplicate-free at doc grain
+    (l1) yet templated to death at n-gram grain (low TTR = boilerplate
+    / spinner output; high TTR = genuinely diverse text) — the cheap
+    proxy for the compression-ratio filters production pipelines run
+    before paying for perplexity scoring. Occurrence counts need the
+    RAW shingle stream (with repeats), so this derives from the
+    tokenized-docs session frame rather than the deduped shingle-SET
+    cache: explode tokens -> 3-gram recompose via leads... no — one
+    transform over the token array per doc, then explode; per-source
+    aggregate with map-side combine. Scale: one scan + one
+    (source, shingle)-keyed count; no joins, no windows."""
+    from meepo_spark.queries.doc_cache import tokenized_docs
+
+    d = tokenized_docs(spark, sf_dir)
+    # raw shingle stream WITH repeats (the shingled_docs cache stores
+    # the distinct set, which cannot measure occurrence totals)
+    toks = F.col("toks")
+    n = F.greatest(F.size(toks) - 2, F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            # try_element_at: a 1- or 2-token doc yields NULLs that
+            # concat_ws drops, mirroring DuckDB's short-slice join
+            F.try_element_at(toks, i + 2),
+            F.try_element_at(toks, i + 3),
+        ),
+    )
+    flat = d.select("source", F.explode(sh).alias("s"))
+    return flat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.countDistinct("s").alias("distinct_shingles"),
+        (
+            F.round(F.countDistinct("s") / F.count(F.lit(1)) + 1e-9, 6) + 0.0
+        ).alias("type_token_ratio"),
+    )
