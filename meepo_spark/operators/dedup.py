@@ -17,14 +17,20 @@ from meepo_spark.catalog import spread
 from meepo_spark.functions.text import ws_tokens
 
 
+def raw_shingles_from_tokens(toks, k: int = 3):
+    """Column: k-token shingle OCCURRENCES (with repeats) from a token
+    array — the raw stream. Short docs truncate via slice (a 2-token
+    doc yields its 2-token join), exactly the DuckDB oracles' 1-based
+    inclusive slice-join. The ONE construction of shingle semantics:
+    shingle_set wraps it with array_distinct; occurrence-grain
+    consumers (l45's type-token ratio) use it directly."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+
+
 def shingle_set(text_col, k: int = 3):
     """Column: distinct k-token shingles of a text column."""
-    toks = ws_tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    )
+    return F.array_distinct(raw_shingles_from_tokens(ws_tokens(text_col), k))
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:

@@ -1067,29 +1067,18 @@ def l45_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy for the compression-ratio filters production pipelines run
     before paying for perplexity scoring. Occurrence counts need the
     RAW shingle stream (with repeats), so this derives from the
-    tokenized-docs session frame rather than the deduped shingle-SET
-    cache: explode tokens -> 3-gram recompose via leads... no — one
-    transform over the token array per doc, then explode; per-source
+    tokenized-docs session frame (the shingled_docs cache stores the
+    distinct SET, which cannot measure occurrence totals): one
+    transform over each doc's token array, then explode; per-source
     aggregate with map-side combine. Scale: one scan + one
     (source, shingle)-keyed count; no joins, no windows."""
+    from meepo_spark.operators.dedup import raw_shingles_from_tokens
     from meepo_spark.queries.doc_cache import tokenized_docs
 
     d = tokenized_docs(spark, sf_dir)
-    # raw shingle stream WITH repeats (the shingled_docs cache stores
-    # the distinct set, which cannot measure occurrence totals)
-    toks = F.col("toks")
-    n = F.greatest(F.size(toks) - 2, F.lit(1))
-    sh = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            # try_element_at: a 1- or 2-token doc yields NULLs that
-            # concat_ws drops, mirroring DuckDB's short-slice join
-            F.try_element_at(toks, i + 2),
-            F.try_element_at(toks, i + 3),
-        ),
-    )
+    # the same shingle construction the whole l2 family signs
+    # (operators/dedup: shingle_set = array_distinct(raw stream))
+    sh = raw_shingles_from_tokens(F.col("toks"), 3)
     flat = d.select("source", F.explode(sh).alias("s"))
     return flat.groupBy("source").agg(
         F.count(F.lit(1)).alias("total_shingles"),

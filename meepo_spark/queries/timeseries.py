@@ -1545,6 +1545,50 @@ def e14_active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---- shared Holt machinery (code-review r5e) -------------------------
+# t20/t21/t26/t27 all fit exponential-smoothing folds over the SAME
+# per-(event_type, day) integer-cents series, and t20/t21/t27 share the
+# SAME Holt-linear init/step whose bit-identity across queries their
+# oracles rely on. One definition each; a fold fix (e.g. the r4b
+# try_element_at NULL-seed) now lands everywhere at once.
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) volume-value series in exact integer
+    cents, emitted as double for the folds."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+
+
+def _holt_init_rest(xs):
+    """Holt-linear seed [l0=x1, b0=x2-x1] (try_element_at: a 1-day
+    series degrades the trend to NULL like the oracle's xs[2]) and the
+    remaining fold input xs[3:]."""
+    init = F.array(
+        F.element_at(xs, 1),
+        F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1),
+    )
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+    return init, rest
+
+
+def _holt_step(acc, x):
+    """One Holt-linear update, alpha=0.5 / beta=0.25 (binary-exact)."""
+    l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+    new_l = 0.5 * x + 0.5 * (l + b)
+    new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
+    return F.array(new_l, new_b)
+
+
 @register(
     "t20_holt_linear_forecast",
     oracle="""
@@ -1593,15 +1637,7 @@ def t20_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines fold the same order, so level/trend match bit-for-bit
     before rounding. Init: l₀=x₁, b₀=x₂−x₁ (the standard two-point
     start)."""
-    daily = (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("double")
-            .alias("x")
-        )
-    )
+    daily = _daily_cents(spark, sf_dir)
     series = daily.groupBy("event_type").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
@@ -1613,17 +1649,8 @@ def t20_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everything derived from it) degrades to NULL exactly like the
     # oracle's xs[2] -> NULL, instead of ANSI element_at raising
     # (code-review r4b #1)
-    init = F.array(
-        F.element_at(xs, 1),
-        F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1),
-    )
-    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
-
-    def step(acc, x):
-        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
-        new_l = 0.5 * x + 0.5 * (l + b)
-        new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
-        return F.array(new_l, new_b)
+    init, rest = _holt_init_rest(xs)
+    step = _holt_step
 
     fitted = series.select(
         "event_type",
@@ -1794,15 +1821,7 @@ def t21_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain first and the final ratio rounds at 6dp after a sorted
     fold. Scale shape: one daily aggregate, per-type arrays of ≤20
     floats, broadcast fitted state joined to the holdout."""
-    daily = (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("double")
-            .alias("x")
-        )
-    )
+    daily = _daily_cents(spark, sf_dir)
     cutoff = daily.agg(F.date_add(F.min("day"), 19).alias("cut"))
     train = (
         daily.crossJoin(F.broadcast(cutoff))
@@ -1815,17 +1834,8 @@ def t21_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     xs = F.col("xs")
-    init = F.array(
-        F.element_at(xs, 1),
-        F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1),
-    )
-    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
-
-    def step(acc, x):
-        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
-        new_l = 0.5 * x + 0.5 * (l + b)
-        new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
-        return F.array(new_l, new_b)
+    init, rest = _holt_init_rest(xs)
+    step = _holt_step
 
     fitted = train.select(
         "event_type", F.aggregate(rest, init, step).alias("lb")
@@ -2073,15 +2083,7 @@ def t26_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells first; per-key state is O(m); folds parallelize across
     keys — the same recurrence-as-ordered-fold discipline as
     t19/t20, never a driver loop."""
-    daily = (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("double")
-            .alias("x")
-        )
-    )
+    daily = _daily_cents(spark, sf_dir)
     series = daily.groupBy("event_type").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
@@ -2207,15 +2209,7 @@ def t27_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit h order before the one rounded division. Scale: one
     daily aggregate, an equi-join back to lag-7 actuals keyed on
     (type, day), per-type O(holdout) state."""
-    daily = (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("double")
-            .alias("x")
-        )
-    )
+    daily = _daily_cents(spark, sf_dir)
     cutoff = daily.agg(F.date_add(F.min("day"), 19).alias("cut"))
     train = (
         daily.crossJoin(F.broadcast(cutoff))
@@ -2229,17 +2223,8 @@ def t27_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     xs = F.col("xs")
-    init = F.array(
-        F.element_at(xs, 1),
-        F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1),
-    )
-    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
-
-    def step(acc, x):
-        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
-        new_l = 0.5 * x + 0.5 * (l + b)
-        new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
-        return F.array(new_l, new_b)
+    init, rest = _holt_init_rest(xs)
+    step = _holt_step
 
     fitted = train.select(
         "event_type", F.aggregate(rest, init, step).alias("lb")
