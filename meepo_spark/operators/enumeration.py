@@ -232,13 +232,20 @@ def bucketed_prefix_sum(
         .rowsBetween(W.unboundedPreceding, -1)
     )
     chk_w = (W.partitionBy(*part) if part else W).orderBy(F.col("__bkt").asc())
+    # ADVICE r5 #2: weave the guard into EVERY offset column, not just
+    # the first — a caller that projects away the first output column
+    # would let Catalyst prune the only guarded expression and the
+    # executor-side bucket-blowup assert would silently vanish. All
+    # copies fold into the same WindowExec (identical partition+order).
     guard = _offset_guard(F.row_number().over(chk_w))
     offsets = sums.select(
         *part,
         "__bkt",
         *[
-            (F.coalesce(F.sum(f"__s_{out}").over(off_w), F.lit(0)) + (guard if i == 0 else F.lit(0))).alias(f"__o_{out}")
-            for i, out in enumerate(vals)
+            (F.coalesce(F.sum(f"__s_{out}").over(off_w), F.lit(0)) + guard).alias(
+                f"__o_{out}"
+            )
+            for out in vals
         ],
     )
     res = b.join(F.broadcast(offsets), [*part, "__bkt"])

@@ -1165,15 +1165,16 @@ def w10_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT c_nationkey,
-               CAST(COUNT(*) AS BIGINT)          AS n,
-               CAST(SUM(cents) AS BIGINT)        AS s0,
-               CAST(SUM(i * cents) AS BIGINT)    AS s1
+               CAST(COUNT(*) AS BIGINT)               AS n,
+               CAST(SUM(cents) AS BIGINT)             AS s0,
+               CAST(SUM(i * cents) AS DECIMAL(38,0))  AS s1
         FROM ranked GROUP BY c_nationkey
     )
     SELECT n_name,
            n,
            s0 AS total_cents,
-           ROUND((2.0 * s1) / (n * 1.0 * s0) - (n + 1.0) / n, 6) + 0.0
+           ROUND((2.0 * CAST(s1 AS DOUBLE)) / (n * 1.0 * s0)
+                 - (n + 1.0) / n, 6) + 0.0
                AS gini
     FROM agg JOIN nation ON c_nationkey = n_nationkey
     """,
@@ -1183,10 +1184,12 @@ def g25_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality metric every marketplace/revenue dashboard carries,
     computed EXACTLY from the rank identity
     G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with ranks ascending by
-    (spend, custkey). All sums are exact integer cents (s1 peaks well
-    under 2^63 at any TPC-H scale: rank ≤ |customers per nation|,
-    cents per customer bounded); the one division happens per output
-    row. The enumeration uses the bucketed discipline
+    (spend, custkey). All sums are exact integers; the rank product
+    s1 is widened to DECIMAL(38,0) (ADVICE r5: per-nation n ≈
+    6000·SF and avg spend ≈ 1.5e8 cents put s1 ≈ 2.7e15·SF², past
+    2^63 near SF≈60 — BIGINT would ANSI-crash there while DuckDB
+    auto-promotes to HUGEINT; the g21 f2 fix, mirrored). The one
+    division happens per output row in double. The enumeration uses the bucketed discipline
     (operators/enumeration.bucketed_row_number, bucket =
     cents >> 16): a plain per-nation window would sort each nation's
     full customer dimension in one task — the r3 class of
@@ -1216,7 +1219,11 @@ def g25_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("s0"),
-        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s1"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s1"),
     )
     return agg.join(F.broadcast(n), agg["c_nationkey"] == n["n_nationkey"]).select(
         "n_name",
@@ -1224,7 +1231,8 @@ def g25_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s0").alias("total_cents"),
         (
             F.round(
-                (2.0 * F.col("s1")) / (F.col("n") * 1.0 * F.col("s0"))
+                (2.0 * F.col("s1").cast("double"))
+                / (F.col("n") * 1.0 * F.col("s0"))
                 - (F.col("n") + 1.0) / F.col("n"),
                 6,
             )

@@ -49,12 +49,22 @@ def key_probe(li, key_col: str = "l_orderkey"):
     keys = li.select(key_col).distinct().cache()
     try:
         present = keys.orderBy(F.rand(7)).limit(1).first()[0]
-        absent = (
+        gap_row = (
             keys.withColumn("nxt", F.lead(key_col).over(Window.orderBy(key_col)))
             .filter(F.col("nxt") > F.col(key_col) + 1)
             .select((F.col(key_col) + 1).alias("gap"))
-            .first()[0]
+            .first()
         )
+        # ADVICE r5 #3: a dense key domain has no successor gaps —
+        # .first() returns None and the [0] below would die with an
+        # opaque TypeError inside the shared regression test. Make the
+        # precondition explicit instead.
+        if gap_row is None:
+            raise ValueError(
+                "no in-range absent key: key domain is dense — pick a "
+                f"different probe column than {key_col!r}"
+            )
+        absent = gap_row[0]
         ndv = keys.count()
     finally:
         keys.unpersist()
