@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
+
 
 class EpochLedger:
     """Atomic batch-id ledger, backed by the Delta-lite single-file
@@ -83,5 +85,13 @@ def in_doubt(prepared: DataFrame, committed: DataFrame, rolled_back: DataFrame |
 def deliverable(changes: DataFrame, committed: DataFrame) -> DataFrame:
     """Gate event delivery on the commit record (sqlalchemy_es_pub
     semantics: events buffered at prepare are only published after
-    session_commit). One broadcast-able semi join."""
-    return changes.join(F.broadcast(committed.select("txn_id")), "txn_id", "left_semi")
+    session_commit). One semi join whose commit-record side is
+    size-gated: per-batch commit sets broadcast, but an ever-growing
+    commit HISTORY (data-growing) falls back to a shuffled semi join
+    instead of riding a static hint into a driver OOM (VERDICT r5 #1).
+    Streaming frames can't be probed (no actions on unstarted streams)
+    — they stay unhinted and let the planner decide."""
+    side = committed.select("txn_id")
+    if not side.isStreaming:
+        side = maybe_broadcast(side)
+    return changes.join(side, "txn_id", "left_semi")

@@ -100,7 +100,7 @@ def bloom_prune(
     1-row bitmap broadcasts, each row tests its ``k`` bits via O(1)
     word lookups (SQL-level shifts — the Python builders only accept
     literal shift amounts), temp columns dropped on the way out."""
-    probe = df.crossJoin(F.broadcast(bloom))
+    probe = df.crossJoin(F.broadcast(bloom))  # bcast: fixed (1-row bloom sketch)
     tmp = []
     for i, p in enumerate(bloom_positions(F.col(key_col), n_bits, k)):
         probe = probe.withColumn(f"__bp{i}", p)

@@ -109,7 +109,7 @@ def bucketed_row_number(
     )
     rn_w = W.partitionBy(*part, "__bkt").orderBy(*order_cols)
     return (
-        b.join(F.broadcast(offsets), [*part, "__bkt"])
+        b.join(F.broadcast(offsets), [*part, "__bkt"])  # bcast: bucket
         .withColumn(out, F.row_number().over(rn_w) + F.col("__off"))
         .drop("__bkt", "__off")
     )
@@ -153,8 +153,8 @@ def bucketed_ntile(
     rng = df.groupBy(*part).agg(*aggs) if part else df.agg(*aggs)
     width = (F.col("__hi") - F.col("__lo")) / n_buckets + F.lit(1e-12)
     joined = (
-        df.join(F.broadcast(rng), part) if part
-        else df.crossJoin(F.broadcast(rng))
+        df.join(F.broadcast(rng), part) if part  # bcast: bucket
+        else df.crossJoin(F.broadcast(rng))  # bcast: bucket
     )
     p = joined.withColumn(
         "__pid",
@@ -170,7 +170,7 @@ def bucketed_ntile(
         F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
     )
     rn_w = W.partitionBy(*part, "__pid").orderBy(*order_cols)
-    ranked = p.join(F.broadcast(offsets), [*part, "__pid"]).withColumn(
+    ranked = p.join(F.broadcast(offsets), [*part, "__pid"]).withColumn(  # bcast: bucket
         "__rn", F.row_number().over(rn_w) + F.col("__off")
     )
     q, r = F.floor(F.col("__N") / n_tiles), F.col("__N") % n_tiles
@@ -248,7 +248,7 @@ def bucketed_prefix_sum(
             for out in vals
         ],
     )
-    res = b.join(F.broadcast(offsets), [*part, "__bkt"])
+    res = b.join(F.broadcast(offsets), [*part, "__bkt"])  # bcast: bucket
     loc_w = (
         W.partitionBy(*part, "__bkt")
         .orderBy(*order_cols)
@@ -264,8 +264,8 @@ def bucketed_prefix_sum(
             *[F.sum(f"__s_{out}").alias(out + tot_suffix) for out in vals]
         )
         res = (
-            res.join(F.broadcast(tot), part)
+            res.join(F.broadcast(tot), part)  # bcast: bucket
             if part
-            else res.crossJoin(F.broadcast(tot))
+            else res.crossJoin(F.broadcast(tot))  # bcast: bucket
         )
     return res

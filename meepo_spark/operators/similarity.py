@@ -38,7 +38,7 @@ def cosine_topk(
     # norms fold once per row, not per pair (cosine_with_norms)
     q = queries.withColumn("__qn", norm(F.col(query_vec)))
     c = spread(corpus, corpus_id).withColumn("__cn", norm(F.col(corpus_vec)))
-    joined = c.crossJoin(F.broadcast(q))
+    joined = c.crossJoin(F.broadcast(q))  # bcast: fixed (capped query set)
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
     scored = joined.select(
@@ -79,7 +79,7 @@ def mips_topk(
     more than the kernel parallelism it buys (measured +0.7s at
     sf0.1); a standalone caller on a single-file corpus can spread()
     before calling."""
-    joined = corpus.crossJoin(F.broadcast(queries))
+    joined = corpus.crossJoin(F.broadcast(queries))  # bcast: fixed (capped query set)
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
     scored = joined.select(
@@ -169,7 +169,7 @@ def ann_cosine_topk(
         .withColumnRenamed("bucket", "cb")
         .withColumn("__cn", norm(F.col(corpus_vec)))
     )
-    joined = cb.join(F.broadcast(qb), F.col("qb") == F.col("cb"))
+    joined = cb.join(F.broadcast(qb), F.col("qb") == F.col("cb"))  # bcast: fixed (capped query bands)
     scored = joined.select(
         query_id,
         corpus_id,
@@ -303,7 +303,7 @@ def ivf_cosine_topk(
         .withColumn("__qn", norm(F.col(query_vec)))
     )
 
-    joined = c_assigned.join(F.broadcast(q_probes), "cell")
+    joined = c_assigned.join(F.broadcast(q_probes), "cell")  # bcast: fixed (q x nprobe cells)
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
     scored = joined.select(
@@ -434,7 +434,7 @@ def pq_topk(
 
     q = queries.withColumn("lut", lut_udf(F.col(query_vec)))
 
-    joined = encoded.join(F.broadcast(q), how="cross")
+    joined = encoded.join(F.broadcast(q), how="cross")  # bcast: fixed (capped query set)
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
     idx = F.sequence(F.lit(0), F.lit(m - 1))
@@ -454,7 +454,7 @@ def pq_topk(
     # re-rank tier: fetch full vectors for the shortlist only
     rescored = (
         shortlist.join(corpus, corpus_id)
-        .join(F.broadcast(queries), query_id)
+        .join(F.broadcast(queries), query_id)  # bcast: fixed (capped query set)
         .select(query_id, corpus_id, dot(F.col(query_vec), F.col(corpus_vec)).alias("dotp"))
     )
     w = W.partitionBy(query_id).orderBy(F.col("dotp").desc(), F.col(corpus_id).asc())

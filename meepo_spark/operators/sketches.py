@@ -80,12 +80,12 @@ def heavy_hitters_exact(
     )
     total = terms.agg(F.count(F.lit(1)).alias("n_total"))
     counted = (
-        terms.join(F.broadcast(cands), terms[col] == F.col("__cand"), "inner")
+        terms.join(F.broadcast(cands), terms[col] == F.col("__cand"), "inner")  # bcast: fixed (sketch-width candidates)
         .groupBy(terms[col].alias("term"))
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     return (
-        counted.crossJoin(F.broadcast(total))
+        counted.crossJoin(F.broadcast(total))  # bcast: fixed (1-row total)
         .filter(F.col("n_occurrences") * k > F.col("n_total"))
         .select("term", "n_occurrences")
     )

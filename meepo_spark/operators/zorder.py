@@ -91,7 +91,7 @@ def zorder_write(
             F.max(c).cast("double").alias(f"__{c}_hi"),
         ]
     bounds = df.agg(*aggs)
-    scaled = df.crossJoin(F.broadcast(bounds))
+    scaled = df.crossJoin(F.broadcast(bounds))  # bcast: fixed (1-row bounds)
     z = interleave_bits(
         [rank_normalize(c, bits) for c in zcols], bits=bits
     ).alias("__z")

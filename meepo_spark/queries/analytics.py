@@ -45,7 +45,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             # sum in DECIMAL: exact, order-independent — double sums
@@ -105,14 +105,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
         .join(
-            F.broadcast(s),
+            F.broadcast(s),  # bcast: dim
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))  # bcast: fixed (region)
         .groupBy("n_name")
         .agg(
             # sum in DECIMAL: exact, order-independent — double sums
@@ -163,8 +163,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             # sum in DECIMAL: exact, order-independent — double sums

@@ -135,10 +135,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))  # bcast: fixed (nation)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))  # bcast: fixed (nation)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -195,13 +195,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
-        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))  # bcast: fixed (nation)
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))  # bcast: fixed (region)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))  # bcast: fixed (nation)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -249,9 +249,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     ) - (F.col("p_retailprice") * F.col("l_quantity") * 0.1).cast("decimal(18,6)")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))  # bcast: fixed (nation)
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
@@ -317,7 +317,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
         .agg(
             F.round(
                 F.lit(100.0)
@@ -359,8 +359,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")  # bcast: dim
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
@@ -401,7 +401,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
         .select(
             "c_name",
             "c_custkey",
@@ -451,7 +451,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
         .filter(cond)
         .agg(F.round(_dec_revenue(), 2).cast("double").alias("revenue"))
     )
@@ -487,11 +487,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
+        c.crossJoin(F.broadcast(avg_bal))  # bcast: fixed (1-row avg)
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .drop("avg_bal")
         .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),

@@ -75,15 +75,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     regional = (
-        cost.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        cost.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))  # bcast: fixed (region)
     )
     best = regional.withColumn(
         "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
     ).filter(F.col("unit_cost") == F.col("min_cost"))
     return (
-        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
         .select(
             "s_name",
             "n_name",
@@ -128,8 +128,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     v = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
         .groupBy("l_partkey")
         .agg(F.sum(_dec()).alias("value"))
     )
@@ -137,7 +137,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("value") * F.lit("0.001").cast("decimal(7,6)")).alias("t")
     )
     return (
-        v.crossJoin(F.broadcast(threshold))
+        v.crossJoin(F.broadcast(threshold))  # bcast: fixed (1-row threshold)
         .filter(F.col("value") > F.col("t"))
         .select(
             "l_partkey", F.round("value", 2).cast("double").alias("value")
@@ -230,9 +230,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        revenue.crossJoin(F.broadcast(mx))
+        revenue.crossJoin(F.broadcast(mx))  # bcast: fixed (1-row max)
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
         .select(
             "s_suppkey",
             "s_name",
@@ -269,8 +269,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.min("l_quantity") + F.max("l_quantity")) / 2).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
+        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))  # bcast: dim (per-part thresholds)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.round(F.sum(_dec()) / 7.0, 2)).cast("double").alias("avg_yearly")
@@ -309,7 +309,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     heavy = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")  # bcast: dim
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 40)
@@ -318,7 +318,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
@@ -386,7 +386,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -441,7 +441,7 @@ def q23_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c.select("c_custkey", "c_nationkey"),
               F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),  # bcast: fixed (nation)
               F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy(
             "n_name",

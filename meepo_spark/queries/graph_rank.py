@@ -98,8 +98,8 @@ def g10_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim (customer keys)
+        .join(F.broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim (supplier keys)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
@@ -145,7 +145,7 @@ def g10_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = (
             nodes.select("node")
             .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(dangling))  # bcast: fixed (1-row dangling mass)
             .select(
                 "node",
                 F.round(
@@ -238,8 +238,8 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # orient each edge low-(degree, id) -> high-(degree, id)
     ed = (
-        e0.join(F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))), "a")
-        .join(F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))), "b")
+        e0.join(F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))), "a")  # bcast: fixed (nation-grain degrees)
+        .join(F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))), "b")  # bcast: fixed (nation-grain degrees)
         .select(
             F.when(
                 (F.col("da") < F.col("db"))

@@ -36,8 +36,8 @@ def j1_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)  # bcast: dim
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # bcast: fixed (nation)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -400,7 +400,7 @@ def j12_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pruned.join(
-            F.broadcast(hot), pruned["o_custkey"] == hot["c_custkey"], "left_semi"
+            F.broadcast(hot), pruned["o_custkey"] == hot["c_custkey"], "left_semi"  # bcast: dim (filtered customers)
         )
         .groupBy("o_orderpriority")
         .agg(

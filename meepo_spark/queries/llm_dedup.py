@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 from meepo_spark.operators.dedup import (
     exact_jaccard,
     minhash_near_dup_pairs,
@@ -408,7 +409,10 @@ def l9_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
     comps = connected_components(pairs)  # (id, component)
     members = comps.join(
-        F.broadcast(d.select(F.col("doc_id").alias("id"), "n_chars")), "id"
+        # per-document length lookup — DATA-GROWING with the corpus
+        # (VERDICT r5 #1): size-gated instead of a forced broadcast
+        maybe_broadcast(d.select(F.col("doc_id").alias("id"), "n_chars")),
+        "id",
     )
     return members.groupBy("component").agg(
         F.max_by("id", F.struct(F.col("n_chars"), -F.col("id"))).alias("survivor_doc"),
@@ -536,7 +540,7 @@ def l13_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("jaccard").alias("j"), "id_b")
     th = spark.range(5).select((0.5 + F.col("id") * 0.1).alias("thr"))
     return (
-        scored.join(F.broadcast(th), F.lit(True), "right")
+        scored.join(F.broadcast(th), F.lit(True), "right")  # bcast: fixed (threshold grid)
         .groupBy("thr")
         .agg(
             F.sum(F.when(F.col("j") >= F.col("thr"), 1).otherwise(0)).alias("n_pairs"),
@@ -699,8 +703,10 @@ def l24_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len_bucket").alias("lb_b"),
     )
     truth = (
-        shared.join(F.broadcast(la), "id_a")
-        .join(F.broadcast(lb), "id_b")
+        # la/lb are per-document shingle-length lookups — DATA-GROWING
+        # with the corpus (VERDICT r5 #1): size-gated
+        shared.join(maybe_broadcast(la), "id_a")
+        .join(maybe_broadcast(lb), "id_b")
         .filter(
             F.col("c") / (F.col("ln_a") + F.col("ln_b") - F.col("c")) >= 0.6
         )
@@ -878,7 +884,7 @@ def l41_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recall = 1 - F.pow(1 - F.pow(F.col("jaccard"), F.col("r")), F.col("b"))
     return (
-        F.broadcast(configs)
+        F.broadcast(configs)  # bcast: fixed (config grid)
         .crossJoin(pairs)
         .groupBy("r", "b")
         .agg(
@@ -1018,8 +1024,8 @@ def l44_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    ta = F.broadcast(tot.select(F.col("source").alias("s1"), F.col("n").alias("na")))
-    tb = F.broadcast(tot.select(F.col("source").alias("s2"), F.col("n").alias("nb")))
+    ta = F.broadcast(tot.select(F.col("source").alias("s1"), F.col("n").alias("na")))  # bcast: fixed (per-source totals)
+    tb = F.broadcast(tot.select(F.col("source").alias("s2"), F.col("n").alias("nb")))  # bcast: fixed (per-source totals)
     return (
         shared.join(ta, "s1")
         .join(tb, "s2")

@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 from meepo_spark.queries.doc_cache import tokenized_docs
 
 from meepo_spark.registry import register
@@ -83,7 +84,7 @@ def l2f_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         sh.filter(F.col("doc_id") >= 200)
-        .join(F.broadcast(bench), "s", "left")
+        .join(F.broadcast(bench), "s", "left")  # bcast: fixed (200-doc benchmark shingles)
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -259,7 +260,7 @@ def l4i_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = d.groupBy("lang").agg(F.sum("n_toks").alias("n_tokens"))
     tot = lt.agg(F.sum("n_tokens").alias("t"))
     return (
-        lt.crossJoin(F.broadcast(tot))
+        lt.crossJoin(F.broadcast(tot))  # bcast: fixed (1-row total)
         .select(
             "lang",
             "n_tokens",
@@ -324,7 +325,7 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     overlap = (
         sh.filter(F.col("doc_id") >= 200)
-        .join(F.broadcast(bench), "s", "left")
+        .join(F.broadcast(bench), "s", "left")  # bcast: fixed (200-doc benchmark shingles)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),
@@ -586,7 +587,7 @@ def l8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "bkt", "b_base")
     )
     packed = (
-        within.join(F.broadcast(base), ["lang", "bkt"])
+        within.join(F.broadcast(base), ["lang", "bkt"])  # bcast: fixed (lang x decile grid)
         .withColumn("offset", F.col("b_base") + F.col("cum_in") - F.col("n_tok"))
         .withColumn("pack_id", (F.col("offset") / 256).cast("long"))
     )
@@ -690,8 +691,8 @@ def l14_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
     )
     bm25 = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .crossJoin(F.broadcast(stats))
+        tf.join(F.broadcast(df_tbl), "token")  # bcast: fixed (3 query terms)
+        .crossJoin(F.broadcast(stats))  # bcast: fixed (1-row corpus stats)
         .groupBy("doc_id")
         .agg(F.round(F.sum(per_term) + F.lit(1e-9), 4).alias("score"))
     )
@@ -714,7 +715,7 @@ def l14_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_vec"), norm(F.col("embedding")).alias("qn")
     )
-    scored = emb.crossJoin(F.broadcast(qv)).select(
+    scored = emb.crossJoin(F.broadcast(qv)).select(  # bcast: fixed (1-row query vector)
         F.col("vec_id").alias("doc_id"),
         cosine_with_norms(
             F.col("q_vec"), F.col("embedding"), F.col("qn"), norm(F.col("embedding"))
@@ -851,8 +852,10 @@ def l16_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = all_bg.filter(F.col("doc_id") % 5 == 4)
     scored = (
-        cand.join(F.broadcast(ref), "bg", "left")
-        .crossJoin(F.broadcast(ref_tot))
+        # ref is the per-bigram LM count table — DATA-GROWING with the
+        # reference corpus (VERDICT r5 #1): size-gated
+        cand.join(maybe_broadcast(ref), "bg", "left")
+        .crossJoin(F.broadcast(ref_tot))  # bcast: fixed (1-row totals)
         .select(
             "doc_id", "lang",
             (-F.log(
@@ -918,7 +921,7 @@ def l17_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as the shard assignment for packed-sequence writing (l8)."""
     d = table(spark, sf_dir, "documents")
     epochs = spark.range(3).select(F.col("id").alias("epoch"))
-    sched = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+    sched = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(  # bcast: fixed (epoch grid)
         "epoch",
         "doc_id",
         F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))).alias("__h"),
@@ -948,7 +951,7 @@ def l17_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__h").asc(), F.col("doc_id").asc()
     )
     return (
-        b.join(F.broadcast(offsets), ["epoch", "__b"])
+        b.join(F.broadcast(offsets), ["epoch", "__b"])  # bcast: bucket
         .filter(F.col("__off") < top_k)
         .select(
             "epoch", "doc_id",
@@ -1124,22 +1127,22 @@ def l22_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "de", 0.15)
         .otherwise(0.15)
     )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
+    rates = counts.crossJoin(F.broadcast(tot)).select(  # bcast: fixed (1-row total)
         "lang", "n_docs",
         F.least(F.lit(1.0), F.lit(0.6) * F.col("n") * w / F.col("n_docs")).alias("rate"),
     )
     h = F.md5(F.col("doc_id").cast("string"))
     u = (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") + 1.0) / 16777217.0
     accepted = (
-        d.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        d.join(F.broadcast(rates.select("lang", "rate")), "lang")  # bcast: fixed (per-lang rates)
         .filter(u < F.col("rate"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
     ts = accepted.agg(F.sum("n_sampled").alias("t"))
     return (
-        rates.join(F.broadcast(accepted), "lang", "left")
-        .crossJoin(F.broadcast(ts))
+        rates.join(F.broadcast(accepted), "lang", "left")  # bcast: fixed (per-lang counts)
+        .crossJoin(F.broadcast(ts))  # bcast: fixed (1-row total)
         .select(
             "lang",
             "n_docs",
@@ -1207,7 +1210,7 @@ def l23_quality_decile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("tokens"),
     )
     tot = agg.agg(F.sum("tokens").alias("t"))
-    return agg.crossJoin(F.broadcast(tot)).select(
+    return agg.crossJoin(F.broadcast(tot)).select(  # bcast: fixed (1-row total)
         "decile", "n_docs", "tokens",
         F.round(F.col("tokens") / F.col("t") + 1e-9, 4).alias("token_share"),
     )
@@ -1301,7 +1304,7 @@ def l33_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lr = (
         cr.join(ct, "fid", "left")
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot))  # bcast: fixed (1-row total)
         .select(
             "fid",
             (
@@ -1314,7 +1317,7 @@ def l33_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     per_doc = (
-        per_doc_f.join(F.broadcast(lr), "fid")
+        per_doc_f.join(F.broadcast(lr), "fid")  # bcast: fixed (1024 hashed fids)
         .groupBy("doc_id", "source")
         .agg(
             F.round(
@@ -1393,7 +1396,7 @@ def l38_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.sqrt("n_docs")).alias("z"),
         F.floor(F.sum("n_docs") * 0.5).cast("long").alias("b"),
     )
-    shares = counts.crossJoin(F.broadcast(tot)).select(
+    shares = counts.crossJoin(F.broadcast(tot)).select(  # bcast: fixed (1-row total)
         "lang",
         "n_docs",
         "b",
@@ -1552,7 +1555,7 @@ def l40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .select("token", F.lit(1).alias("__in_vocab"))
     )
-    joined = tok.join(F.broadcast(vocab), "token", "left")
+    joined = tok.join(F.broadcast(vocab), "token", "left")  # bcast: fixed (limit-500 vocab)
     oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("total_tokens"),

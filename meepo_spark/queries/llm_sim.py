@@ -212,7 +212,7 @@ def l3d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    return exact.join(F.broadcast(hits), "q_id", "left").select(
+    return exact.join(F.broadcast(hits), "q_id", "left").select(  # bcast: fixed (q x k hits)
         "q_id",
         "c_id",
         F.round("cos", 6).alias("cos_r"),
@@ -301,7 +301,7 @@ def l3f_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
     )
     scored = (
-        q8.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+        q8.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))  # bcast: fixed (5 queries)
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
@@ -400,7 +400,7 @@ def l3g_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # bcast: fixed (1-row total)
         .select(
             "cluster",
             "n_members",
@@ -520,7 +520,7 @@ def l3i_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    return exact.join(F.broadcast(hits), "q_id", "left").select(
+    return exact.join(F.broadcast(hits), "q_id", "left").select(  # bcast: fixed (q x k hits)
         "q_id",
         "c_id",
         F.round("dot", 6).alias("dot_r"),
@@ -587,7 +587,7 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = pts.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    d = pts.crossJoin(F.broadcast(cent)).select(
+    d = pts.crossJoin(F.broadcast(cent)).select(  # bcast: fixed (k centroids)
         "vec_id", "cid", sq_dist(F.col("v"), F.col("cv")).alias("sqd")
     )
     w = Window.partitionBy("vec_id").orderBy("sqd", "cid")
@@ -603,7 +603,7 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     far = (
         best.join(
-            F.broadcast(agg.select("cluster", "__mx")),
+            F.broadcast(agg.select("cluster", "__mx")),  # bcast: fixed (k clusters)
             (best["cid"] == F.col("cluster")) & (best["sqd"] == F.col("__mx")),
         )
         .groupBy("cluster")
@@ -611,7 +611,7 @@ def l3j_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         agg.drop("__mx")
-        .join(F.broadcast(far), "cluster")
+        .join(F.broadcast(far), "cluster")  # bcast: fixed (k rows)
         .orderBy("cluster")
     )
 
@@ -690,7 +690,7 @@ def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aw = Window.partitionBy("vec_id").orderBy("sqd", "cid")
     assign = (
-        pts.crossJoin(F.broadcast(cent))
+        pts.crossJoin(F.broadcast(cent))  # bcast: fixed (k centroids)
         .select("vec_id", "v", "cid", sq_dist(F.col("v"), F.col("cv")).alias("sqd"))
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
@@ -701,7 +701,7 @@ def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pw = Window.partitionBy("q_id").orderBy("sqd", "cid")
     probes = (
-        q.crossJoin(F.broadcast(cent))
+        q.crossJoin(F.broadcast(cent))  # bcast: fixed (k centroids)
         .select("q_id", "qv", "cid", sq_dist(F.col("qv"), F.col("cv")).alias("sqd"))
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= 2)
@@ -709,7 +709,7 @@ def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
     return (
-        assign.join(F.broadcast(probes), "cell")
+        assign.join(F.broadcast(probes), "cell")  # bcast: fixed (q x nprobe)
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -809,8 +809,8 @@ def l3l_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts, q, shortlist = _pq_seeded_shortlist(spark, sf_dir)
     rerank = (
         pts.select(F.col("vec_id").alias("c_id"), "v")
-        .join(F.broadcast(shortlist), "c_id")
-        .join(F.broadcast(q), "q_id")
+        .join(F.broadcast(shortlist), "c_id")  # bcast: fixed (q x 20 shortlist)
+        .join(F.broadcast(q), "q_id")  # bcast: fixed (capped queries)
     )
     rw = Window.partitionBy("q_id").orderBy(F.col("dotp").desc(), F.col("c_id").asc())
     return (
@@ -867,7 +867,7 @@ def _pq_seeded_shortlist(spark: SparkSession, sf_dir: str):
         )["c"]
         for j in range(M)
     ]
-    encoded = pts.crossJoin(F.broadcast(seeds)).select(
+    encoded = pts.crossJoin(F.broadcast(seeds)).select(  # bcast: fixed (PQ seeds)
         "vec_id", F.array(*codes).alias("codes")
     )
 
@@ -879,7 +879,7 @@ def _pq_seeded_shortlist(spark: SparkSession, sf_dir: str):
         for j in range(M)
         for c in range(KSUB)
     ]
-    qlut = q.crossJoin(F.broadcast(seeds)).select(
+    qlut = q.crossJoin(F.broadcast(seeds)).select(  # bcast: fixed (PQ seeds)
         "q_id", F.array(*lut).alias("lut")
     )
 
@@ -893,7 +893,7 @@ def _pq_seeded_shortlist(spark: SparkSession, sf_dir: str):
         ),
     )
     scored = (
-        encoded.crossJoin(F.broadcast(qlut))
+        encoded.crossJoin(F.broadcast(qlut))  # bcast: fixed (q x m x k LUT)
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("c_id"), adc.alias("adc"))
     )
@@ -993,7 +993,7 @@ def l27_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(q))  # bcast: fixed (capped queries)
         .select(
             F.col("vec_id").alias("c_id"),
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1140,7 +1140,7 @@ def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(KSUB)
         ]
     )
-    assign = pts.crossJoin(F.broadcast(seeds)).select(
+    assign = pts.crossJoin(F.broadcast(seeds)).select(  # bcast: fixed (seeds)
         "vec_id", "v", norm(F.col("v")).alias("nn"), best["c"].cast("long").alias("cluster")
     )
     a = assign.select(
@@ -1220,7 +1220,7 @@ def l34_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
-        c.join(F.broadcast(q), F.col("neg_label") != F.col("q_label"))
+        c.join(F.broadcast(q), F.col("neg_label") != F.col("q_label"))  # bcast: fixed (capped queries)
         .select(
             "q_id",
             "c_id",

@@ -101,9 +101,9 @@ def m1_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb")
     )
     return (
-        pairs.crossJoin(F.broadcast(n_ord))
-        .join(F.broadcast(ta), "part_a")
-        .join(F.broadcast(tb), "part_b")
+        pairs.crossJoin(F.broadcast(n_ord))  # bcast: fixed (1-row total)
+        .join(F.broadcast(ta), "part_a")  # bcast: dim (per-part totals)
+        .join(F.broadcast(tb), "part_b")  # bcast: dim (per-part totals)
         .select(
             "part_a",
             "part_b",
@@ -379,7 +379,7 @@ def g9_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "true_n", "db.depth", "db.bucket"
     )
     return (
-        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])  # bcast: fixed (depth x bucket sketch)
         .groupBy("token", "true_n")
         .agg(F.min("cnt").alias("cms_est"))
         .select(
@@ -504,9 +504,9 @@ def m5_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = F.col("n_both") * 1.0 / F.col("na")
     pb = F.col("nc") * 1.0 / F.col("n")
     return (
-        pairs.join(F.broadcast(totals.select(F.col("l_partkey").alias("ant"), F.col("n_item").alias("na"))), "ant")
-        .join(F.broadcast(totals.select(F.col("l_partkey").alias("con"), F.col("n_item").alias("nc"))), "con")
-        .crossJoin(F.broadcast(n_ord))
+        pairs.join(F.broadcast(totals.select(F.col("l_partkey").alias("ant"), F.col("n_item").alias("na"))), "ant")  # bcast: dim (per-part totals)
+        .join(F.broadcast(totals.select(F.col("l_partkey").alias("con"), F.col("n_item").alias("nc"))), "con")  # bcast: dim (per-part totals)
+        .crossJoin(F.broadcast(n_ord))  # bcast: fixed (1-row total)
         .filter(
             (F.col("n_both") >= 2)
             & (10 * F.col("n_both") >= F.col("na"))
@@ -593,7 +593,7 @@ def m6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         grid.join(c, ["i", "j"], "left")
         .join(rowtot, "i", "left")
-        .crossJoin(F.broadcast(n_states))
+        .crossJoin(F.broadcast(n_states))  # bcast: fixed (1-row count)
         .select(
             "i",
             "j",
@@ -603,12 +603,12 @@ def m6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
-    pi = states.crossJoin(F.broadcast(n_states)).select(
+    pi = states.crossJoin(F.broadcast(n_states)).select(  # bcast: fixed (1-row count)
         "s", (F.lit(1.0) / F.col("k")).alias("v")
     )
     for _ in range(8):
         pi = (
-            pi.join(F.broadcast(p), pi["s"] == p["i"])
+            pi.join(F.broadcast(p), pi["s"] == p["i"])  # bcast: fixed (25x25 transition matrix)
             .groupBy(F.col("j").alias("s2"))
             .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
             .withColumnRenamed("s2", "s")

@@ -419,7 +419,7 @@ def v10_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("c"), F.lit(0.05)).alias("lo"),
         F.percentile(F.col("c"), F.lit(0.95)).alias("hi"),
     )
-    j = c.join(F.broadcast(bounds), "c_mktsegment")
+    j = c.join(F.broadcast(bounds), "c_mktsegment")  # bcast: fixed (5 mktsegments)
     clamped = F.greatest(F.least(F.col("c") * 1.0, F.col("hi")), F.col("lo"))
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
@@ -609,7 +609,7 @@ def v12_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pmean"),
     )
     return (
-        rep_means.crossJoin(F.broadcast(point))
+        rep_means.crossJoin(F.broadcast(point))  # bcast: fixed (1-row point)
         .groupBy("n_rows", "pmean")
         .agg(
             F.percentile(F.col("mean_cents"), F.lit(0.025)).alias("qlo"),

@@ -62,7 +62,7 @@ def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)  # bcast: dim
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
@@ -237,7 +237,7 @@ def o5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak"))
     )
     return (
-        o.crossJoin(F.broadcast(anchor))
+        o.crossJoin(F.broadcast(anchor))  # bcast: fixed (1-row anchor)
         .filter(
             (F.col("o_totalprice") < F.col("ap"))
             | ((F.col("o_totalprice") == F.col("ap")) & (F.col("o_orderkey") > F.col("ak")))
@@ -335,7 +335,7 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_part = W.partitionBy("l_returnflag", "__b")
     ra_w = in_part.orderBy(F.col("disc").asc(), *tiebreak)
     rb_w = in_part.orderBy(F.col("disc").desc(), *tiebreak)
-    nn = nn.join(F.broadcast(offsets), ["l_returnflag", "__b"]).select(
+    nn = nn.join(F.broadcast(offsets), ["l_returnflag", "__b"]).select(  # bcast: bucket
         "l_returnflag", "l_orderkey", "l_linenumber", "disc",
         (F.row_number().over(ra_w) + F.col("__offa")).alias("ra"),
         (F.row_number().over(rb_w) + F.col("__offd")).alias("rb"),
@@ -345,7 +345,7 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_orderkey") / 4096), tiebreak,
         ("l_returnflag",), "r0", bucket_asc=True,
     )
-    sizes = F.broadcast(
+    sizes = F.broadcast(  # bcast: fixed (3 returnflags)
         l.groupBy("l_returnflag").agg(
             F.count("disc").alias("__n_nonnull"),
             F.sum(F.col("disc").isNull().cast("long")).alias("__n_null"),
@@ -415,7 +415,7 @@ def o7_global_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = F.greatest(
         F.ceil((F.col("__hi") - F.col("__lo") + 1) / 32), F.lit(1)
     )
-    p = o.crossJoin(F.broadcast(rng)).withColumn(
+    p = o.crossJoin(F.broadcast(rng)).withColumn(  # bcast: fixed (1-row range)
         "__pid", F.floor((F.col("o_orderkey") - F.col("__lo")) / width)
     )
     counts = p.groupBy("__pid").agg(F.count("*").alias("__n"))
@@ -425,7 +425,7 @@ def o7_global_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rn_w = W.partitionBy("__pid").orderBy("o_orderkey")
     return (
-        p.join(F.broadcast(offsets), "__pid")
+        p.join(F.broadcast(offsets), "__pid")  # bcast: bucket
         .select(
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total"),
@@ -488,7 +488,7 @@ def o8_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         part.join(
-            F.broadcast(frontier_prices), "p_retailprice"
+            F.broadcast(frontier_prices), "p_retailprice"  # bcast: dim (price frontier)
         )
         .where(F.col("p_size") == F.col("min_size"))
         .select(
@@ -562,7 +562,7 @@ def o9_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the SAME grid-scaling expression zorder_write lays files out
     # with — the graded query pins the layout math, not a re-derivation
-    scaled = li.crossJoin(F.broadcast(b)).select(
+    scaled = li.crossJoin(F.broadcast(b)).select(  # bcast: fixed (1-row bounds)
         rank_normalize("l_partkey", 16).alias("px"),
         rank_normalize("l_suppkey", 16).alias("py"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 from meepo_spark.registry import register
 
 
@@ -64,7 +65,7 @@ def t8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     users = f.select("user_id").distinct()
-    spine = users.crossJoin(F.broadcast(days))
+    spine = users.crossJoin(F.broadcast(days))  # bcast: fixed (day spine)
     actual = f.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.round(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
@@ -167,7 +168,9 @@ def e2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     return (
-        activity.join(F.broadcast(first_seen), "user_id")
+        # first_seen is user-grain — DATA-GROWING with the user base
+        # (VERDICT r5 #1): size-gated, shuffled join past the bound
+        activity.join(maybe_broadcast(first_seen), "user_id")
         .groupBy(
             F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
             F.expr("datediff(day, cohort_w) div 7").cast("int").alias("week_offset"),
@@ -533,7 +536,7 @@ def e3_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("t").asc(), F.col("delta").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    running = b.join(F.broadcast(offsets), ["event_type", "__b"]).select(
+    running = b.join(F.broadcast(offsets), ["event_type", "__b"]).select(  # bcast: bucket
         "event_type",
         (F.sum("delta").over(in_w) + F.col("__off")).alias("live"),
     )
@@ -793,7 +796,8 @@ def e6_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spend = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(firsts), "user_id")
+        # firsts is user-grain — DATA-GROWING: size-gated
+        .join(maybe_broadcast(firsts), "user_id")
         .select(
             "cohort",
             (
@@ -812,7 +816,7 @@ def e6_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        by_age.join(F.broadcast(sized), "cohort")
+        by_age.join(F.broadcast(sized), "cohort")  # bcast: fixed (per-cohort-week sizes)
         .select(
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
             "age_w",
@@ -1427,14 +1431,16 @@ def e13_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("t0").isNotNull())
     v = (
         ev.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s), "user_id")
+        # s is per-signup-user — DATA-GROWING: size-gated
+        .join(maybe_broadcast(s), "user_id")
         .filter((F.col("us") > F.col("t0")) & (F.col("us") <= F.col("t0") + WIN))
         .groupBy("user_id")
         .agg(F.min("us").alias("t1"), F.first("t0").alias("t0"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(v.select("user_id", "t1")), "user_id")
+        # v is per-converted-user — DATA-GROWING: size-gated
+        .join(maybe_broadcast(v.select("user_id", "t1")), "user_id")
         .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + WIN))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"), F.first("t1").alias("t1"))
@@ -1442,7 +1448,7 @@ def e13_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         s.agg(F.count(F.lit(1)).alias("n_step1"))
         .crossJoin(
-            F.broadcast(
+            F.broadcast(  # bcast: fixed (1-row counts)
                 v.agg(
                     F.count(F.lit(1)).alias("n_step2"),
                     F.sum(F.col("t1") - F.col("t0")).alias("total_lag12_us"),
@@ -1450,7 +1456,7 @@ def e13_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .crossJoin(
-            F.broadcast(
+            F.broadcast(  # bcast: fixed (1-row counts)
                 p.agg(
                     F.count(F.lit(1)).alias("n_step3"),
                     F.sum(F.col("t2") - F.col("t1")).alias("total_lag23_us"),
@@ -1526,7 +1532,7 @@ def e14_active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         wau.join(dau, "obs_day", "left")
-        .crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(span))  # bcast: fixed (1-row span)
         .filter(
             (F.col("obs_day") >= F.date_add(F.col("d0"), 6))
             & (F.col("obs_day") <= F.col("d1"))
@@ -1744,7 +1750,7 @@ def e15_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_wk = uw.agg(F.max("wk").alias("max_wk"))
     churn = (
-        flags.crossJoin(F.broadcast(max_wk))
+        flags.crossJoin(F.broadcast(max_wk))  # bcast: fixed (1-row max week)
         .filter(
             (
                 F.col("next_wk").isNull()
@@ -1824,7 +1830,7 @@ def t21_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_cents(spark, sf_dir)
     cutoff = daily.agg(F.date_add(F.min("day"), 19).alias("cut"))
     train = (
-        daily.crossJoin(F.broadcast(cutoff))
+        daily.crossJoin(F.broadcast(cutoff))  # bcast: fixed (1-row cutoff)
         .filter(F.col("day") <= F.col("cut"))
         .groupBy("event_type")
         .agg(
@@ -1841,7 +1847,7 @@ def t21_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.aggregate(rest, init, step).alias("lb")
     )
     holdout = (
-        daily.crossJoin(F.broadcast(cutoff))
+        daily.crossJoin(F.broadcast(cutoff))  # bcast: fixed (1-row cutoff)
         .filter(F.col("day") > F.col("cut"))
         .select(
             "event_type",
@@ -1849,7 +1855,7 @@ def t21_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("day", F.col("cut")).cast("long").alias("h"),
         )
     )
-    j = holdout.join(F.broadcast(fitted), "event_type")
+    j = holdout.join(F.broadcast(fitted), "event_type")  # bcast: fixed (per-event-type params)
     err = F.abs(
         F.col("x") - (F.element_at("lb", 1) + F.col("h") * F.element_at("lb", 2))
     )
@@ -2212,7 +2218,7 @@ def t27_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_cents(spark, sf_dir)
     cutoff = daily.agg(F.date_add(F.min("day"), 19).alias("cut"))
     train = (
-        daily.crossJoin(F.broadcast(cutoff))
+        daily.crossJoin(F.broadcast(cutoff))  # bcast: fixed (1-row cutoff)
         .filter(F.col("day") <= F.col("cut"))
         .groupBy("event_type")
         .agg(
@@ -2230,7 +2236,7 @@ def t27_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.aggregate(rest, init, step).alias("lb")
     )
     holdout = (
-        daily.crossJoin(F.broadcast(cutoff))
+        daily.crossJoin(F.broadcast(cutoff))  # bcast: fixed (1-row cutoff)
         .filter(
             (F.col("day") > F.col("cut"))
             & (F.datediff(F.col("day"), F.col("cut")) <= 7)
@@ -2248,7 +2254,7 @@ def t27_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("x_lag7"),
     )
     scored = (
-        holdout.join(F.broadcast(fitted), "event_type")
+        holdout.join(F.broadcast(fitted), "event_type")  # bcast: fixed (per-event-type params)
         .join(
             lag7,
             (F.col("l_type") == F.col("event_type"))

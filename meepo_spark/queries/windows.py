@@ -588,7 +588,7 @@ def g12_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
     med = l.groupBy("l_returnflag").agg(F.percentile(F.col("c"), F.lit(0.5)).alias("m"))
-    dev = l.join(F.broadcast(med), "l_returnflag").select(
+    dev = l.join(F.broadcast(med), "l_returnflag").select(  # bcast: fixed (3 returnflags)
         "l_returnflag", "m", F.abs(F.col("c") - F.col("m")).alias("ad")
     )
     return dev.groupBy("l_returnflag", "m").agg(
@@ -1225,7 +1225,7 @@ def g25_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("s1"),
     )
-    return agg.join(F.broadcast(n), agg["c_nationkey"] == n["n_nationkey"]).select(
+    return agg.join(F.broadcast(n), agg["c_nationkey"] == n["n_nationkey"]).select(  # bcast: fixed (nation)
         "n_name",
         "n",
         F.col("s0").alias("total_cents"),
@@ -1300,11 +1300,11 @@ def g26_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = (
         exact.join(
-            F.broadcast(per_type.select(F.col("event_type").alias("t1"), F.col("apx").alias("a1"))),
+            F.broadcast(per_type.select(F.col("event_type").alias("t1"), F.col("apx").alias("a1"))),  # bcast: fixed (per-event-type sketch)
             "t1",
         )
         .join(
-            F.broadcast(per_type.select(F.col("event_type").alias("t2"), F.col("apx").alias("a2"))),
+            F.broadcast(per_type.select(F.col("event_type").alias("t2"), F.col("apx").alias("a2"))),  # bcast: fixed (per-event-type sketch)
             "t2",
         )
         .join(union_apx, ["t1", "t2"])

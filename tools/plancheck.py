@@ -265,6 +265,60 @@ def wgl_final_partition_sets(plan: str) -> list[frozenset]:
     return out
 
 
+def broadcast_audit_section() -> list[str]:
+    """Tally the source-level broadcast-hint audit (VERDICT r5 #1) into
+    PLANS.md: every static ``F.broadcast(`` site carries a ``# bcast:``
+    classification marker (fixed | bucket | dim — enforced by
+    tests/test_broadcast_audit.py), and every DATA-GROWING build side
+    routes through ``operators/broadcast_gate.maybe_broadcast`` (probe-
+    gated: broadcasts under the row bound, falls back to a shuffled
+    join past it). This section is regenerated from source on every
+    plancheck run, so it cannot drift from the code."""
+    import pathlib
+
+    src = pathlib.Path(__file__).resolve().parent.parent / "meepo_spark"
+    marker = re.compile(r"#\s*bcast:\s*(\w+)")
+    counts: dict[str, int] = {}
+    gated: list[str] = []
+    for p in sorted(src.rglob("*.py")):
+        if p.name == "broadcast_gate.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#")[0]
+            if "F.broadcast(" in code:
+                m = marker.search(line)
+                cls = m.group(1) if m else "UNCLASSIFIED"
+                counts[cls] = counts.get(cls, 0) + 1
+            if "maybe_broadcast(" in code and "import" not in code:
+                gated.append(f"`{p.relative_to(src.parent)}:{i}`")
+    out = [
+        "",
+        "## Broadcast-hint audit (VERDICT r5 #1)",
+        "",
+        "Static `F.broadcast` hints by build-side class (markers",
+        "enforced by tests/test_broadcast_audit.py): "
+        + ", ".join(f"{k}={v}" for k, v in sorted(counts.items())),
+        "",
+        "- **fixed** — constant cardinality by construction (nation/",
+        "  region, 1-row stats, literal grids, k seeds/centroids,",
+        "  limit-capped frames, bounded enumerations).",
+        "- **bucket** — ≤ MAX_BUCKETS by the operators/enumeration",
+        "  contract, executor-guarded.",
+        "- **dim** — TPC-H dimension scans/projections (customer,",
+        "  supplier, part): SF-linear; the classic broadcast-dim regime",
+        "  at the SFs this repo targets. A 100 TB deployment converts",
+        "  these to maybe_broadcast or drops the hint (Catalyst then",
+        "  size-gates from parquet scan stats).",
+        "",
+        f"Data-growing build sides (size-gated via maybe_broadcast, {len(gated)}",
+        "call sites — LM count tables, per-doc/per-user lookups, FK",
+        "parent key sets, commit histories):",
+        "",
+    ]
+    out.extend(f"- {g}" for g in gated)
+    return out
+
+
 def audit(sf_dir: str) -> int:
     load_all()
     spark = get_spark("plancheck", shuffle_partitions=8)
@@ -330,6 +384,7 @@ def audit(sf_dir: str) -> int:
     ]
     for r in rows:
         out.append(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} |")
+    out.extend(broadcast_audit_section())
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out) + "\n")
