@@ -1575,6 +1575,55 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Holt smoothing constants: the ONE place α/β live (VERDICT r5
+# "what's wrong" #3 / next-round #6). The engine folds below AND all
+# four forecast oracles' DuckDB fold SQL are emitted from these, so a
+# smoothing change can never desync the two engines — previously the
+# literals were repeated in 4+ SQL strings that had to be edited in
+# lockstep. 0.5/0.25 (and their complements 0.5/0.75) are binary-exact
+# doubles, so repr() round-trips them losslessly into SQL text.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25  # doubles as the Holt-Winters seasonal gamma
+_HA, _HIA = repr(HOLT_ALPHA), repr(1.0 - HOLT_ALPHA)
+_HB, _HIB = repr(HOLT_BETA), repr(1.0 - HOLT_BETA)
+
+# Holt-LINEAR fold over a day-ordered series list `xs` → [level,
+# trend] as `lb` (t20/t21/t27). DuckDB list_reduce has no init, so the
+# seed state [l0, b0] is prepended as the first element and data
+# elements are padded to state width (the r4 recipe).
+HOLT_FOLD_SQL_LB = """list_reduce(
+                   list_prepend([xs[1], xs[2] - xs[1]],
+                                list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
+                   (acc, el) -> [
+                       {a} * el[1] + {ia} * (acc[1] + acc[2]),
+                       {b} * ({a} * el[1] + {ia} * (acc[1] + acc[2]) - acc[1])
+                           + {ib} * acc[2]
+                   ]) AS lb""".format(a=_HA, ia=_HIA, b=_HB, ib=_HIB)
+
+# Holt-WINTERS (additive, m=7) fold → 9-slot state [l, b, s1..s7] as
+# `st` (t26): each step consumes the seasonal queue head acc[3] and
+# appends the refreshed season; γ = HOLT_BETA.
+HW_FOLD_SQL_ST = """list_reduce(
+                   list_prepend(
+                       [l0, b0,
+                        xs[1] - l0, xs[2] - l0, xs[3] - l0, xs[4] - l0,
+                        xs[5] - l0, xs[6] - l0, xs[7] - l0],
+                       list_transform(xs[15:], x ->
+                           [x, 0.0::DOUBLE, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+                   (acc, el) -> list_concat(
+                       list_concat(
+                           [{a} * (el[1] - acc[3]) + {ia} * (acc[1] + acc[2]),
+                            {b} * (({a} * (el[1] - acc[3])
+                                     + {ia} * (acc[1] + acc[2])) - acc[1])
+                                + {ib} * acc[2]],
+                           acc[4:9]),
+                       [{b} * (el[1] - ({a} * (el[1] - acc[3])
+                                         + {ia} * (acc[1] + acc[2])))
+                        + {ib} * acc[3]])) AS st""".format(
+    a=_HA, ia=_HIA, b=_HB, ib=_HIB
+)
+
+
 def _holt_init_rest(xs):
     """Holt-linear seed [l0=x1, b0=x2-x1] (try_element_at: a 1-day
     series degrades the trend to NULL like the oracle's xs[2]) and the
@@ -1588,10 +1637,14 @@ def _holt_init_rest(xs):
 
 
 def _holt_step(acc, x):
-    """One Holt-linear update, alpha=0.5 / beta=0.25 (binary-exact)."""
+    """One Holt-linear update from HOLT_ALPHA / HOLT_BETA (binary-
+    exact; the same constants emit the oracle SQL above). new_b
+    repeats the new_l expression tree verbatim so both engines fold
+    the identical IEEE operation order."""
     l, b = F.element_at(acc, 1), F.element_at(acc, 2)
-    new_l = 0.5 * x + 0.5 * (l + b)
-    new_b = 0.25 * (0.5 * x + 0.5 * (l + b) - l) + 0.75 * b
+    a, ia, bt, ibt = HOLT_ALPHA, 1.0 - HOLT_ALPHA, HOLT_BETA, 1.0 - HOLT_BETA
+    new_l = a * x + ia * (l + b)
+    new_b = bt * (a * x + ia * (l + b) - l) + ibt * b
     return F.array(new_l, new_b)
 
 
@@ -1612,14 +1665,7 @@ def _holt_step(acc, x):
     ),
     fitted AS (
         SELECT event_type, n_days,
-               list_reduce(
-                   list_prepend([xs[1], xs[2] - xs[1]],
-                                list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
-                   (acc, el) -> [
-                       0.5 * el[1] + 0.5 * (acc[1] + acc[2]),
-                       0.25 * (0.5 * el[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
-                           + 0.75 * acc[2]
-                   ]) AS lb
+               """ + HOLT_FOLD_SQL_LB + """
         FROM series
     )
     SELECT event_type, n_days,
@@ -1786,14 +1832,7 @@ def e15_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fitted AS (
         SELECT event_type,
-               list_reduce(
-                   list_prepend([xs[1], xs[2] - xs[1]],
-                                list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
-                   (acc, el) -> [
-                       0.5 * el[1] + 0.5 * (acc[1] + acc[2]),
-                       0.25 * (0.5 * el[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
-                           + 0.75 * acc[2]
-                   ]) AS lb
+               """ + HOLT_FOLD_SQL_LB + """
         FROM train
     ),
     holdout AS (
@@ -2046,23 +2085,7 @@ def t25_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fitted AS (
         SELECT event_type, n_days,
-               list_reduce(
-                   list_prepend(
-                       [l0, b0,
-                        xs[1] - l0, xs[2] - l0, xs[3] - l0, xs[4] - l0,
-                        xs[5] - l0, xs[6] - l0, xs[7] - l0],
-                       list_transform(xs[15:], x ->
-                           [x, 0.0::DOUBLE, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
-                   (acc, el) -> list_concat(
-                       list_concat(
-                           [0.5 * (el[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
-                            0.25 * ((0.5 * (el[1] - acc[3])
-                                     + 0.5 * (acc[1] + acc[2])) - acc[1])
-                                + 0.75 * acc[2]],
-                           acc[4:9]),
-                       [0.25 * (el[1] - (0.5 * (el[1] - acc[3])
-                                         + 0.5 * (acc[1] + acc[2])))
-                        + 0.75 * acc[3]])) AS st
+               """ + HW_FOLD_SQL_ST + """
         FROM seeded
     )
     SELECT event_type, n_days,
@@ -2127,9 +2150,11 @@ def t26_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         l = F.element_at(acc, 1)
         b = F.element_at(acc, 2)
         s_old = F.element_at(acc, 3)
-        new_l = 0.5 * (x - s_old) + 0.5 * (l + b)
-        new_b = 0.25 * ((0.5 * (x - s_old) + 0.5 * (l + b)) - l) + 0.75 * b
-        new_s = 0.25 * (x - (0.5 * (x - s_old) + 0.5 * (l + b))) + 0.75 * s_old
+        a, ia = HOLT_ALPHA, 1.0 - HOLT_ALPHA
+        g, ig = HOLT_BETA, 1.0 - HOLT_BETA  # β and γ share the constant
+        new_l = a * (x - s_old) + ia * (l + b)
+        new_b = g * ((a * (x - s_old) + ia * (l + b)) - l) + ig * b
+        new_s = g * (x - (a * (x - s_old) + ia * (l + b))) + ig * s_old
         return F.concat(F.array(new_l, new_b), F.slice(acc, 4, 6), F.array(new_s))
 
     fitted = seeded.select(
@@ -2167,14 +2192,7 @@ def t26_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fitted AS (
         SELECT event_type,
-               list_reduce(
-                   list_prepend([xs[1], xs[2] - xs[1]],
-                                list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
-                   (acc, el) -> [
-                       0.5 * el[1] + 0.5 * (acc[1] + acc[2]),
-                       0.25 * (0.5 * el[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
-                           + 0.75 * acc[2]
-                   ]) AS lb
+               """ + HOLT_FOLD_SQL_LB + """
         FROM train
     ),
     holdout AS (
