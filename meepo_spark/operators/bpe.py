@@ -1,0 +1,133 @@
+"""BPE tokenizer TRAINING — the full iterated merge loop (VERDICT r5
+next-round #2; extends l4o's single counting step into count → merge →
+re-segment × k rounds).
+
+The distributed-scale trick is the same one every production BPE
+trainer (SentencePiece, HF tokenizers, GPT-2's original script) uses:
+train on the WORD-COUNT TABLE, not the corpus. A 100 TB corpus
+compresses to a vocabulary-sized (word, count) frame in one hash
+aggregate; every merge round then touches O(vocab × word-length)
+symbols, weighted by the counts — the corpus itself is never rescanned
+after round 0. Per round:
+
+  1. pair counting — explode each word's adjacent symbol pairs,
+     weight by word count, hash-aggregate on (left, right): one
+     map-side-combined shuffle of at most O(total symbols) rows;
+  2. argmax — the single best pair by (count DESC, left ASC, right
+     ASC), computed as a lexicographic struct-min (the l3l seeded-PQ
+     trick: one 1-row aggregate, no sort);
+  3. re-segment — a JVM-side ``F.aggregate`` fold over each word's
+     symbol array replaces adjacent (left, right) occurrences
+     GREEDILY LEFT-TO-RIGHT, non-overlapping ("aaa" + merge (a,a) →
+     ["aa","a"]), with the 1-row best pair broadcast in.
+
+``localCheckpoint`` per round cuts the lineage exactly like
+operators/graph.py's connected components — k rounds of nested
+higher-order-function expressions would otherwise stack into one
+unplannable tree; the checkpoint also materializes each round's
+segmentation so the next round's pair count starts from data, not a
+re-derivation. Iteration count is a TRAINING HYPERPARAMETER (real
+vocabularies run 30-50k merges); the graded query uses a small fixed
+k so the DuckDB oracle can unroll the loop exactly (the l3g
+Lloyd-unroll discipline) — per-round cost is scale-invariant in k.
+
+Tie-breaking is total (count, then pair lexicographic), so the merge
+table is deterministic and hash-comparable cross-engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_pair_fold(syms: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right, non-overlapping replacement of adjacent
+    (left, right) symbol pairs with their concatenation, as one
+    JVM-side fold. try_element_at (not element_at) on the accumulator:
+    the first element sees an EMPTY state and ANSI element_at raises
+    on out-of-range (the r4 trap); NULL == left is NULL, which
+    F.when treats as no-merge."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == left) & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.try_element_at(acc, F.lit(-1)), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merge_table(words: DataFrame, k: int) -> DataFrame:
+    """Train ``k`` BPE merges on a ``(word, wc)`` word-count frame;
+    returns the merge table ``(step, left, right, pair_count)`` —
+    step is 1-based merge order, pair_count the weighted adjacency
+    count at selection time.
+
+    If the pair space drains before ``k`` rounds (every word reduced
+    to one symbol), the table simply has fewer rows — the oracle's
+    unrolled SQL degrades identically (empty best ⨯ words = empty)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    segs = words.select(
+        F.split("word", "").alias("syms"), F.col("wc").cast("long").alias("wc")
+    ).localCheckpoint()
+    merges: list[DataFrame] = []
+    for step in range(1, k + 1):
+        n = F.size("syms")
+        pairs = segs.filter(n >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "wc",
+        )
+        best = pairs.groupBy("p.l", "p.r").agg(F.sum("wc").alias("cnt")).agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("l"),
+                    F.col("r"),
+                )
+            ).alias("b")
+        ).select(
+            F.col("b.l").alias("l"),
+            F.col("b.r").alias("r"),
+            (-F.col("b.nc")).cast("long").alias("cnt"),
+        ).filter(
+            # a GLOBAL agg over an empty pair set yields one all-NULL
+            # row (min of nothing), not zero rows — drop it so a
+            # drained pair space truncates the table exactly like the
+            # oracle's ORDER BY ... LIMIT 1 over empty does
+            F.col("l").isNotNull()
+        ).localCheckpoint()  # 1-row: reused by the merge-table union
+        # AND the next round's re-segmentation without recomputing the
+        # pair aggregate
+        merges.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if step < k:
+            segs = (
+                segs.crossJoin(F.broadcast(best))  # bcast: fixed (1-row best pair)
+                .select(
+                    _merge_pair_fold(
+                        F.col("syms"), F.col("l"), F.col("r")
+                    ).alias("syms"),
+                    "wc",
+                )
+                .localCheckpoint()
+            )
+    return reduce(DataFrame.unionByName, merges)

@@ -1,0 +1,93 @@
+"""operators/bpe.py — full BPE training loop (VERDICT r5 #2).
+
+The DuckDB oracle (l46) already cross-engine-checks the corpus run;
+these tests pin the OPERATOR's semantics on adversarial inputs the
+fixture text may never produce: overlapping pair runs (greedy
+left-to-right, non-overlapping), merged-symbol reuse in later rounds,
+tie-breaking, and pair-space drain before k rounds.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from meepo_spark.operators.bpe import bpe_merge_table
+
+
+def ref_bpe(words: dict[str, int], k: int):
+    """Pure-Python reference: identical greedy-left fold semantics."""
+    segs = [(list(w), c) for w, c in words.items()]
+    merges = []
+    for step in range(1, k + 1):
+        cnt: Counter = Counter()
+        for syms, wc in segs:
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += wc
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, c))
+        new = []
+        for syms, wc in segs:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new.append((out, wc))
+        segs = new
+    return merges
+
+
+def _run(spark, words: dict[str, int], k: int):
+    df = spark.createDataFrame(
+        [(w, c) for w, c in words.items()], "word string, wc long"
+    )
+    rows = bpe_merge_table(df, k).orderBy("step").collect()
+    return [(r.step, r.left, r.right, r.pair_count) for r in rows]
+
+
+def test_greedy_non_overlapping_runs(spark):
+    # "aaaa" has three (a,a) adjacencies but greedy-left merges two
+    # non-overlapping: ["aa","aa"]; round 2 then merges (aa,aa)
+    words = {"aaaa": 3}
+    assert _run(spark, words, 2) == ref_bpe(words, 2) == [
+        (1, "a", "a", 9),
+        (2, "aa", "aa", 3),
+    ]
+
+
+def test_merged_symbol_feeds_later_rounds(spark):
+    words = {"abab": 2, "ab": 1}
+    got = _run(spark, words, 3)
+    assert got == ref_bpe(words, 3)
+    # round 1 merges (a,b); round 2 must see the CREATED symbol "ab"
+    assert got[0][1:3] == ("a", "b")
+    assert got[1][1:3] == ("ab", "ab")
+
+
+def test_tie_breaks_lexicographically(spark):
+    # (a,b) and (c,d) both count 2 -> (a,b) wins
+    words = {"ab": 2, "cd": 2}
+    got = _run(spark, words, 1)
+    assert got == ref_bpe(words, 1) == [(1, "a", "b", 2)]
+
+
+def test_pair_space_drain_truncates_table(spark):
+    words = {"ab": 5}
+    got = _run(spark, words, 4)
+    assert got == ref_bpe(words, 4) == [(1, "a", "b", 5)]
+
+
+def test_randomized_against_reference(spark):
+    rng = random.Random(7)
+    alphabet = "abc"
+    words = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6))): rng.randint(
+            1, 9
+        )
+        for _ in range(12)
+    }
+    assert _run(spark, words, 5) == ref_bpe(words, 5)
