@@ -1,63 +1,103 @@
-"""Delta-lite transactional commit log (VERDICT r4 #7) — single-file
-JSON manifest with atomic-rename commits, replacing the directory
-file-markers (EpochLedger's file-per-epoch, incremental dedup's
-``batch=<id>`` listing) as the event store's commit protocol. No jars:
-plain JSON + ``os.replace``, the POSIX-atomic primitive.
+"""Delta-lite transactional commit log (VERDICT r4 #7; concurrent-
+writer fencing added for VERDICT r5 #3) — version-named JSON manifests
+committed by put-if-absent, the same optimistic-concurrency protocol a
+real Delta/Iceberg transaction log uses. No jars: plain JSON +
+``os.link`` (atomic, fails-if-exists) as the compare-and-swap
+primitive.
 
-The contract (the useful subset of a Delta/Iceberg txn log under the
-single-writer reality of a foreachBatch driver):
+The contract (the useful subset of a table-format txn log):
 
 * **Atomic visibility.** Data files are written FIRST (to plain
-  parquet dirs), then one manifest entry makes them visible. Readers
+  parquet dirs), then one manifest version makes them visible. Readers
   list files from the manifest, never from the directory — a crash
   between data write and commit leaves invisible orphan files, not a
   torn table.
-* **Torn-write safety.** The manifest is rewritten to ``.tmp`` and
-  ``os.replace``d; a crash mid-write leaves the previous complete
-  manifest in place (a dangling ``.tmp`` is ignored and overwritten
-  by the next commit).
+* **Torn-write safety.** Each manifest version is written to a
+  writer-unique ``.tmp`` and hard-linked into place; a crash mid-write
+  leaves a stray tmp the reader never looks at, and the previous
+  complete version stays authoritative.
+* **Concurrent-writer fencing (r5 #3).** The manifest NAME carries the
+  version (``_commits-00000007.json``) and ``os.link`` refuses to
+  overwrite: two drivers that both read version N and race to commit
+  N+1 resolve to exactly one winner — the loser's link fails and
+  raises :class:`ConcurrentCommitError` LOUDLY with both writer
+  tokens, instead of silently losing an epoch to an interleaved
+  read-modify-write (the single-file ``os.replace`` protocol this
+  replaces did exactly that). Every version records its ``writer``
+  token for post-mortems. A crashed winner leaves no fence debris:
+  the version file IS the commit, so there is no lock to leak.
 * **Idempotent epochs.** ``commit`` with an already-committed epoch
   is a no-op — exactly the redelivery discipline
-  ``idempotent_foreach_batch`` needs, now holding the epoch *and* its
-  file set in one durable record.
+  ``idempotent_foreach_batch`` needs.
 * **Compaction manifest.** ``compact`` atomically REPLACES the live
   file set with a snapshot's files while retaining the committed-epoch
-  set (so replayed epochs stay no-ops after compaction). A crash after
-  the snapshot data is written but before the swap leaves the old
-  manifest authoritative; re-running compaction converges.
+  set (so replayed epochs stay no-ops after compaction).
 
-At 100 TB on a real deployment this file becomes the transaction log
-of a table format (Delta/Iceberg); the seam is the four methods below,
-and nothing else in the engine reads the directory layout.
+Each version file holds the FULL state (Iceberg-metadata style), so a
+reader touches exactly one file: list the directory, load the highest
+version. At 100 TB you'd switch to delta-per-version + periodic
+checkpoints; the seam is the same five methods. Old versions are
+pruned past a small retention window — a reader racing the prune
+always targets the max version, which is never pruned.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import socket
+import uuid
 
-MANIFEST = "_commits.json"
+MANIFEST_PREFIX = "_commits-"
+LEGACY_MANIFEST = "_commits.json"
+KEEP_VERSIONS = 8
 _EMPTY = {"version": 0, "epochs": {}, "files": []}
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this writer raced for.
+    The caller's read-modify-write is stale: re-read and retry (epoch
+    commits are idempotent, so a retry that discovers its epoch
+    already landed no-ops cleanly)."""
+
+
+def _manifest_name(version: int) -> str:
+    return f"{MANIFEST_PREFIX}{version:08d}.json"
+
+
 class CommitLog:
-    """Single-file JSON commit log with atomic-rename updates.
+    """Version-named JSON commit log with put-if-absent CAS commits.
 
     ``epochs`` maps epoch-id (as a string — JSON object keys) to its
     metadata; ``files`` is the live, ordered list of committed data
     paths (parquet files or directories)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, writer_id: str | None = None):
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self.path = os.path.join(root, MANIFEST)
+        self.writer_id = writer_id or f"{socket.gethostname()}:{os.getpid()}"
 
     # --- read side ---------------------------------------------------
+    def _versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith(MANIFEST_PREFIX) and name.endswith(".json"):
+                try:
+                    out.append(int(name[len(MANIFEST_PREFIX) : -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     def _read(self) -> dict:
-        if not os.path.exists(self.path):
-            return json.loads(json.dumps(_EMPTY))
-        with open(self.path) as fh:
-            return json.load(fh)
+        vs = self._versions()
+        if vs:
+            with open(os.path.join(self.root, _manifest_name(vs[-1]))) as fh:
+                return json.load(fh)
+        legacy = os.path.join(self.root, LEGACY_MANIFEST)
+        if os.path.exists(legacy):  # pre-r6 single-file layout
+            with open(legacy) as fh:
+                return json.load(fh)
+        return json.loads(json.dumps(_EMPTY))
 
     def version(self) -> int:
         return self._read()["version"]
@@ -72,31 +112,66 @@ class CommitLog:
     def epoch_meta(self, epoch_id: int) -> dict | None:
         return self._read()["epochs"].get(str(epoch_id))
 
-    # --- write side (single writer) ----------------------------------
+    # --- write side (optimistic concurrency) --------------------------
     def _swap(self, state: dict) -> None:
-        tmp = self.path + ".tmp"
+        """Publish ``state`` as manifest version ``state['version']``
+        by put-if-absent: tmp write + fsync, hard-link to the
+        version-named path (the CAS — link fails if a rival already
+        owns the version), directory fsync for durability (the link
+        lives in the dir entry; without it a post-commit power loss
+        could roll the manifest back while the sink write survived)."""
+        state["writer"] = self.writer_id
+        target = os.path.join(self.root, _manifest_name(state["version"]))
+        tmp = os.path.join(
+            self.root, f".{_manifest_name(state['version'])}.{uuid.uuid4().hex}.tmp"
+        )
         with open(tmp, "w") as fh:
             json.dump(state, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, self.path)  # atomic on POSIX
-        # The rename itself lives in the directory entry: without a
-        # directory fsync a post-commit power loss can roll the manifest
-        # back to the previous version while the sink write survived —
-        # redelivery would then double-write the epoch. fsync the dir to
-        # make committed() durable, not merely atomic.
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            with open(target) as fh:
+                winner = json.load(fh).get("writer", "<unknown>")
+            raise ConcurrentCommitError(
+                f"manifest version {state['version']} already committed by "
+                f"writer {winner!r}; this writer ({self.writer_id!r}) read a "
+                "stale state — re-read and retry"
+            ) from None
+        os.unlink(tmp)
         dir_fd = os.open(self.root, os.O_RDONLY)
         try:
             os.fsync(dir_fd)
         finally:
             os.close(dir_fd)
+        self._prune(state["version"])
+
+    def _prune(self, current: int) -> None:
+        """Drop manifest versions older than the retention window (and
+        the legacy single-file manifest once a versioned commit
+        supersedes it). Readers always load the max version, so
+        pruning strictly-older files never races them."""
+        for v in self._versions():
+            if v <= current - KEEP_VERSIONS:
+                try:
+                    os.unlink(os.path.join(self.root, _manifest_name(v)))
+                except FileNotFoundError:
+                    pass  # a rival's prune got there first
+        legacy = os.path.join(self.root, LEGACY_MANIFEST)
+        if os.path.exists(legacy):
+            os.unlink(legacy)
 
     def commit(
         self, epoch_id: int, add_files: list[str], meta: dict | None = None
     ) -> bool:
         """Make ``add_files`` visible as epoch ``epoch_id``. Returns
         False (no-op) when the epoch is already committed — the
-        redelivered-micro-batch case."""
+        redelivered-micro-batch case. Raises
+        :class:`ConcurrentCommitError` if a rival writer wins the
+        version race (the caller re-reads and retries; on retry a
+        rival's commit of the SAME epoch surfaces as the False no-op)."""
         state = self._read()
         key = str(epoch_id)
         if key in state["epochs"]:
@@ -111,7 +186,8 @@ class CommitLog:
         """Atomically replace the live file set with ``snapshot_files``
         (already written and durable). Committed-epoch ids are KEPT so
         late redeliveries of pre-compaction epochs remain no-ops.
-        Returns the new version."""
+        Returns the new version. Raises :class:`ConcurrentCommitError`
+        on a lost version race, like ``commit``."""
         state = self._read()
         state["version"] += 1
         state["files"] = list(snapshot_files)

@@ -198,7 +198,7 @@ class TransactionalEventStore(EventStore):
 
     Layout under ``path``::
 
-        _commits.json            the manifest (atomic os.replace swaps)
+        _commits-<version>.json  the manifest (put-if-absent CAS commits)
         data/epoch=<id>/         one parquet dir per committed epoch
         snapshots/v<version>/    compaction outputs
 
