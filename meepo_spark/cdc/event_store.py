@@ -330,3 +330,157 @@ class TransactionalEventStore(EventStore):
         latest.write.mode("overwrite").partitionBy("event_date").parquet(snap_dir)
         self.commits.compact([snap_dir], {"snapshot": snap_dir})
         return self.log()
+
+class TypedTransactionalEventStore(TransactionalEventStore):
+    """TransactionalEventStore whose epochs PERSIST the typed payload
+    lane (VERDICT r5 #4): each committed epoch carries ``row_t`` (the
+    registry-promoted STRUCT) and ``registry_version`` alongside the
+    canonical ChangeEvent columns, so downstream queries read typed,
+    prunable, min/max-indexed columns instead of re-parsing the string
+    MAP on every scan — a24 proved the lanes equivalent in-query; this
+    makes the typed lane the stored artifact.
+
+    Drift contract (a16's unionByName discipline, persisted): the
+    registry (schemas.PAYLOAD_REGISTRY) is ADDITIVE — version N+1 only
+    appends struct fields — and each epoch's manifest entry records the
+    registry_version it was written under, so ``typed_log`` can pin
+    that exact schema per scan (never inference — the empty-epoch
+    poison, code-review r5 #1) and re-merge mixed-version epochs with
+    ``unionByName(allowMissingColumns=True)``: old epochs null-fill
+    the new nested fields BY NAME, never positionally.
+
+    Compaction keeps the lane: the snapshot is written from the merged
+    typed log, whose row_t is already the max-version superset struct,
+    and the compaction manifest records that version."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        registry: dict[int, T.StructType] | None = None,
+    ):
+        super().__init__(spark, path)
+        from meepo_spark.schemas import PAYLOAD_REGISTRY
+
+        self.registry = dict(registry or PAYLOAD_REGISTRY)
+
+    def typed_schema(self, version: int) -> T.StructType:
+        return T.StructType(
+            list(LOG_SCHEMA.fields)
+            + [
+                T.StructField("row_t", self.registry[version]),
+                T.StructField("registry_version", T.LongType()),
+            ]
+        )
+
+    def append_epoch(
+        self, changes: DataFrame, epoch_id: int, registry_version: int | None = None
+    ) -> bool:
+        """Promote + persist: ``row`` -> ``row_t`` under the given (or
+        newest) registry version, stamp the version column, write the
+        epoch parquet, record the version in the manifest entry. Same
+        idempotence as the base: a redelivered epoch is a no-op even if
+        the producer has since upgraded its registry version (the
+        original epoch's lane is the record)."""
+        from meepo_spark.cdc.events import typed_changes
+
+        version = max(self.registry) if registry_version is None else registry_version
+        if self.commits.committed(epoch_id):
+            return False
+        target = self._epoch_dir(epoch_id)
+        (
+            typed_changes(changes, self.registry[version])
+            .withColumn("registry_version", F.lit(version).cast("long"))
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(target)
+        )
+        return self.commits.commit(
+            epoch_id, [target], {"registry_version": version}
+        )
+
+    def _file_versions(self) -> list[tuple[str, int]]:
+        """(dir, registry_version) for every live manifest file, in
+        manifest order. Compaction snapshots record their version in
+        the compaction meta; epoch entries in their own meta."""
+        state = self.commits._read()
+        epoch_version = {}
+        for meta in state["epochs"].values():
+            v = meta.get("registry_version")
+            if v is not None:
+                for f in meta.get("files", []):
+                    epoch_version[f] = v
+        snap_version = state.get("compaction", {}).get("registry_version")
+        out = []
+        for d in state["files"]:
+            v = epoch_version.get(d, snap_version)
+            if v is None:
+                raise ValueError(
+                    f"manifest file {d!r} has no registry_version — written "
+                    "by the untyped store? read it via log() instead"
+                )
+            out.append((d, v))
+        return out
+
+    def typed_log(self) -> DataFrame:
+        """Committed rows with the PERSISTED typed lane. Each dir scans
+        under the exact schema of the version it was written with
+        (pinned, never inferred), then mixed versions re-merge by name
+        — the superset struct of the newest version involved, old
+        epochs null-filled."""
+        from functools import reduce
+
+        fv = self._file_versions()
+        if not fv:
+            return self.spark.createDataFrame([], self.typed_schema(max(self.registry)))
+        scans = [
+            self.spark.read.schema(self.typed_schema(v))
+            .parquet(d)
+            .select(*[f.name for f in self.typed_schema(v).fields])
+            for d, v in fv
+        ]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+        )
+
+    def compact_txn(self) -> DataFrame:
+        """Typed compaction: latest non-delete image per (table, pk)
+        KEEPING row_t — written as the max-version superset struct the
+        merged typed log already carries — and the snapshot's manifest
+        records that version so typed_log keeps working after the swap."""
+        fv = self._file_versions()
+        snap_version = max((v for _, v in fv), default=max(self.registry))
+        snap_dir = os.path.join(
+            self.path, "snapshots", f"v{self.commits.version() + 1}"
+        )
+        cols = [f.name for f in self.typed_schema(snap_version).fields]
+        payload = [c for c in cols if c != "event_date"]
+        latest = (
+            self.typed_log()
+            .groupBy("schema_name", "table", "pk")
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in payload if c not in ("schema_name", "table", "pk")]),
+                    F.struct("ts", "offset"),
+                ).alias("last")
+            )
+            .select(
+                "schema_name",
+                "table",
+                "pk",
+                *[
+                    F.col(f"last.{c}").alias(c)
+                    for c in payload
+                    if c not in ("schema_name", "table", "pk")
+                ],
+            )
+            .filter(F.col("action") != "delete")
+            .withColumn("event_date", F.to_date("ts"))
+            .select(*cols)
+        )
+        latest.write.mode("overwrite").partitionBy("event_date").parquet(snap_dir)
+        self.commits.compact(
+            [snap_dir], {"snapshot": snap_dir, "registry_version": snap_version}
+        )
+        return self.typed_log()

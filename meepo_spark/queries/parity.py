@@ -910,6 +910,37 @@ def a23_offset_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _typed_producer_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-producer split shared by a24/a28 (and mirrored by
+    tests/test_typed_store.py): even offsets come from a v1 producer,
+    odd offsets from an upgraded v2 producer whose map carries the
+    extra source_offset key; each slice is promoted under ITS registry
+    version (schemas.PAYLOAD_REGISTRY — the additive-version registry
+    the TypedTransactionalEventStore persists) and the typed lanes
+    re-merge with unionByName(allowMissingColumns=True): v1 rows get a
+    NULL nested source_offset by name, never a positional mis-bind."""
+    from meepo_spark.cdc.events import typed_changes
+    from meepo_spark.schemas import PAYLOAD_REGISTRY
+
+    ch = events_as_changes(spark, sf_dir)
+    v1 = ch.filter(F.col("offset") % 2 == 0)
+    v2 = ch.filter(F.col("offset") % 2 == 1).withColumn(
+        "row",
+        F.when(
+            F.col("row").isNotNull(),
+            F.map_concat(
+                "row",
+                F.create_map(
+                    F.lit("source_offset"), F.col("offset").cast("string")
+                ),
+            ),
+        ),
+    )
+    return typed_changes(v1, PAYLOAD_REGISTRY[1]).unionByName(
+        typed_changes(v2, PAYLOAD_REGISTRY[2]), allowMissingColumns=True
+    )
+
+
 @register(
     "a24_typed_payload_equivalence",
     oracle="""
@@ -957,43 +988,7 @@ def a24_typed_payload_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     non-null promotions, pinning the by-name null-fill. At 100 TB the
     typed lane is what every downstream aggregate reads (columnar,
     prunable, min/max-indexed) — the map lane exists only at ingest."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from meepo_spark.cdc.events import typed_changes
-
-    v1_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("last_event_type", StringType()),
-            StructField("value", DoubleType()),
-        ]
-    )
-    v2_schema = StructType(
-        v1_schema.fields + [StructField("source_offset", LongType())]
-    )
-    ch = events_as_changes(spark, sf_dir)
-    v1 = ch.filter(F.col("offset") % 2 == 0)
-    v2 = ch.filter(F.col("offset") % 2 == 1).withColumn(
-        "row",
-        F.when(
-            F.col("row").isNotNull(),
-            F.map_concat(
-                "row",
-                F.create_map(
-                    F.lit("source_offset"), F.col("offset").cast("string")
-                ),
-            ),
-        ),
-    )
-    merged = typed_changes(v1, v1_schema).unionByName(
-        typed_changes(v2, v2_schema), allowMissingColumns=True
-    )
+    merged = _typed_producer_lanes(spark, sf_dir)
     return merged.groupBy("action").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("row_t").alias("n_typed"),
@@ -1238,3 +1233,65 @@ def a27_forget_pks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return census(ch, "log_before").unionByName(census(snap, "snapshot_after"))
+
+
+@register(
+    "a28_typed_lane_compact",
+    oracle="""
+    WITH ch AS (
+        SELECT event_id AS off, user_id, event_type, value, ts,
+               CASE event_type WHEN 'signup' THEN 'write'
+                               WHEN 'error' THEN 'delete'
+                               ELSE 'update' END AS action
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, off DESC) AS rn
+        FROM ch
+    ),
+    surv AS (SELECT * FROM ranked WHERE rn = 1 AND action <> 'delete')
+    SELECT event_type AS last_event_type,
+           CAST(COUNT(*) AS BIGINT)                            AS n_pks,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                AS BIGINT)                                     AS cents,
+           CAST(SUM(CASE WHEN off % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_v2,
+           CAST(MAX(CASE WHEN off % 2 = 1 THEN off END)
+                AS BIGINT)                                     AS max_source_offset
+    FROM surv GROUP BY 1
+    """,
+)
+def a28_typed_lane_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 (VERDICT r5 #4): event-store compaction computed FROM THE
+    TYPED LANE — every measure below reads ``row_t.*`` struct fields
+    (the columns TypedTransactionalEventStore persists), never the
+    string map, proving the stored typed lane alone can serve the a7
+    latest-image workload. The v2 drift field pulls its weight:
+    n_v2/max_source_offset count and bound the survivors that came
+    from the upgraded producer (non-null by-name null-fill — a
+    positional mis-bind or dropped key breaks the hash against the
+    oracle's raw-fixture recomputation).
+
+    Scale shape: identical to a7 (one pk-keyed max_by, shuffle carries
+    |pks| rows) — which is the point: promoting the payload once at
+    write time makes the hot compaction path a pure columnar job with
+    no per-row map parsing; the round-trip persistence itself is
+    proven in tests/test_typed_store.py."""
+    merged = _typed_producer_lanes(spark, sf_dir)
+    latest = (
+        merged.groupBy("pk")
+        .agg(
+            F.max_by(
+                F.struct("action", "row_t"), F.struct("ts", "offset")
+            ).alias("last")
+        )
+        .filter(F.col("last.action") != "delete")
+    )
+    t = F.col("last.row_t")
+    return latest.groupBy(t["last_event_type"].alias("last_event_type")).agg(
+        F.count(F.lit(1)).alias("n_pks"),
+        F.sum(F.round(t["value"] * 100).cast("long")).cast("long").alias("cents"),
+        F.count(t["source_offset"]).cast("long").alias("n_v2"),
+        F.max(t["source_offset"]).cast("long").alias("max_source_offset"),
+    )

@@ -146,3 +146,22 @@ CHANGE_EVENT = T.StructType(
 )
 
 CHANGE_ACTIONS = ("write", "update", "delete")
+
+# --- Payload schema registry (VERDICT r5 #4) ------------------------
+# The versioned typed-STRUCT schemas for the `users` change payload —
+# the registry step that turns the stringly MAP row images into
+# analyzable columns (cdc/events.typed_changes). CONTRACT: versions
+# are ADDITIVE — a new version only appends fields — so any two typed
+# lanes re-merge with unionByName(allowMissingColumns=True) and the
+# max version's struct is the superset every consumer can read.
+USER_PAYLOAD_V1 = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+USER_PAYLOAD_V2 = T.StructType(
+    USER_PAYLOAD_V1.fields + [T.StructField("source_offset", T.LongType())]
+)
+PAYLOAD_REGISTRY: dict[int, T.StructType] = {1: USER_PAYLOAD_V1, 2: USER_PAYLOAD_V2}
