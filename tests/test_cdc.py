@@ -486,3 +486,89 @@ def test_typed_changes_drift_contract(spark):
     rows = {r["id"]: r["row_t"] for r in merged.select("id", "row_t").collect()}
     assert rows[1] == (7, 1.5, None)
     assert rows[2] == (8, 2.0, "web")
+
+
+def test_multi_sink_exactly_once_fanout_converges(spark, tmp_path):
+    """VERDICT r5 #7: one source stream feeds TWO transactional sinks;
+    sink B crashes MID-EPOCH (its data dir lands, its manifest commit
+    never runs) on its first batch and the failure is quarantined by
+    the DLQ so the stream — and sink A — keep flowing. The interplay
+    under test: (1) B's orphan data dir stays invisible (manifest-only
+    reads); (2) the DLQ holds exactly the poisoned epoch; (3) recovery
+    re-applies the DLQ parquet through the NORMAL append_epoch path and
+    both sinks converge to identical contents; (4) post-recovery
+    redeliveries are manifest no-ops on both sinks."""
+    from meepo_spark.cdc.event_store import TransactionalEventStore
+    from meepo_spark.cdc.fanout import with_dlq
+    from meepo_spark.schemas import CHANGE_EVENT
+
+    ch = events_as_changes(spark, SF_DIR)
+    src = str(tmp_path / "src")
+    ch.repartition(4).write.mode("overwrite").parquet(src)
+    store_a = TransactionalEventStore(spark, str(tmp_path / "sink_a"))
+    store_b = TransactionalEventStore(spark, str(tmp_path / "sink_b"))
+    dlq = str(tmp_path / "dlq")
+    fail_once = {"armed": True}
+    epochs_seen: list[int] = []
+
+    def sink_b_inner(df, eid):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            # the mid-epoch crash: data written, commit never reached
+            (
+                df.withColumn("event_date", F.to_date("ts"))
+                .write.mode("overwrite")
+                .partitionBy("event_date")
+                .parquet(store_b._epoch_dir(eid))
+            )
+            raise RuntimeError("sink B crashed post-data, pre-commit")
+        store_b.append_epoch(df, eid)
+
+    sink_b = with_dlq(sink_b_inner, dlq)
+
+    def body(df, eid):
+        epochs_seen.append(eid)
+        store_a.append_epoch(df, eid)
+        sink_b(df, eid)
+
+    q = (
+        spark.readStream.schema(CHANGE_EVENT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert len(epochs_seen) >= 2, "need multiple epochs to isolate the failure"
+
+    total = ch.count()
+    assert store_a.log().count() == total, "healthy sink must be complete"
+    # (1) the orphan dir is invisible: B is short exactly the poisoned epoch
+    dlq_df = spark.read.parquet(dlq)
+    failed = [r["dlq_batch_id"] for r in dlq_df.select("dlq_batch_id").distinct().collect()]
+    assert len(failed) == 1, "exactly one epoch was poisoned"
+    n_quarantined = dlq_df.count()
+    assert store_b.log().count() == total - n_quarantined
+    assert not store_b.commits.committed(failed[0])
+
+    # (3) recovery: fix = re-apply the quarantined rows through the
+    # normal transactional path under the original epoch id
+    replay = dlq_df.drop("dlq_error", "dlq_batch_id")
+    assert store_b.append_epoch(replay, failed[0]) is True
+    assert store_b.log().count() == total
+
+    def image(store):
+        return sorted(
+            (r["pk"], r["offset"])
+            for r in store.log().select("pk", "offset").collect()
+        )
+
+    want = sorted((r["pk"], r["offset"]) for r in ch.select("pk", "offset").collect())
+    assert image(store_a) == image(store_b) == want
+
+    # (4) post-recovery redelivery: manifest no-op on BOTH sinks
+    assert store_a.append_epoch(replay, failed[0]) is False
+    assert store_b.append_epoch(replay, failed[0]) is False
+    assert store_a.log().count() == store_b.log().count() == total
