@@ -131,3 +131,22 @@ def bpe_merge_table(words: DataFrame, k: int) -> DataFrame:
                 .localCheckpoint()
             )
     return reduce(DataFrame.unionByName, merges)
+
+
+def bpe_apply(words: DataFrame, merges: DataFrame, syms_col: str = "syms") -> DataFrame:
+    """Apply a trained merge table to ``words`` (any frame with a
+    ``word`` column): adds ``syms_col`` = the word's BPE segmentation
+    after replaying every merge IN TRAINING ORDER (each merge is one
+    greedy-left fold — the exact application semantics training used,
+    so train→apply round-trips).
+
+    The merge table is collected to the driver — bounded by k (a
+    TRAINED ARTIFACT, like l3k's quantizer seeds: the one driver
+    collect class operators/ permits) — and compiled into k chained
+    fold expressions, all JVM-side; the corpus-side cost is one
+    map-side projection, no shuffle, no Python boundary."""
+    ordered = merges.orderBy("step").select("left", "right").collect()
+    syms = F.split("word", "")
+    for m in ordered:
+        syms = _merge_pair_fold(syms, F.lit(m["left"]), F.lit(m["right"]))
+    return words.withColumn(syms_col, syms)

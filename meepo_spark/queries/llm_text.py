@@ -1048,12 +1048,14 @@ _BPE_MERGE_LAMBDA = """(acc, el) -> CASE
                            ELSE list_concat(acc, el) END"""
 
 
-def _bpe_oracle_sql(k: int) -> str:
-    """Unroll k BPE merge rounds into one DuckDB query (the l3g
-    Lloyd-unroll discipline: a FIXED iteration budget turns an
-    iterative algorithm into a flat SQL expression the oracle gate can
-    hash-compare). Each round is the same three CTEs the engine runs:
-    pair count, lexicographic-tie-broken argmax, greedy re-segment."""
+def _bpe_train_ctes(k: int) -> str:
+    """The shared training-unroll CTE chain (the l3g Lloyd-unroll
+    discipline: a FIXED iteration budget turns an iterative algorithm
+    into a flat SQL expression the oracle gate can hash-compare): w0
+    word counts, s0 char segmentation, then per round i a pair count
+    p{i}, the tie-broken argmax b{i}, and (before the last round) the
+    re-segmented s{i+1}. Used by both l46 (emits the b* rows) and l47
+    (applies the b* chain to per-lang words)."""
     parts = [
         """
     WITH w0 AS (
@@ -1086,13 +1088,58 @@ def _bpe_oracle_sql(k: int) -> str:
                            {_BPE_MERGE_LAMBDA}) AS syms, wc
         FROM s{i} CROSS JOIN b{i} b
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """l46's oracle: the training unroll, emitting the merge table."""
     selects = [
         f"SELECT CAST({i + 1} AS BIGINT) AS step, l AS left_sym,"
         f" r AS right_sym, cnt AS pair_count FROM b{i}"
         for i in range(k)
     ]
-    parts.append("\n    " + "\n    UNION ALL ".join(selects))
-    parts.append("\n    ORDER BY step")
+    return (
+        _bpe_train_ctes(k)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY step"
+    )
+
+
+def _bpe_fertility_oracle_sql(k: int) -> str:
+    """l47's oracle: train (shared CTE chain), then APPLY the k merges
+    in order to the per-(lang, word) count table and report per-lang
+    fertility — the a{i} chain replays each b{i} with the exact greedy
+    fold training used."""
+    parts = [
+        _bpe_train_ctes(k),
+        """,
+    a0 AS (
+        SELECT lang, LENGTH(word) AS wlen,
+               list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms,
+               CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY lang, word
+    )""",
+    ]
+    for i in range(k):
+        parts.append(f""",
+    a{i + 1} AS (
+        SELECT lang, wlen,
+               list_reduce(list_transform(syms, c -> [c]),
+                           {_BPE_MERGE_LAMBDA}) AS syms, wc
+        FROM a{i} CROSS JOIN b{i} b
+    )""")
+    parts.append(f"""
+    SELECT lang,
+           CAST(SUM(wc) AS BIGINT)                AS n_words,
+           CAST(SUM(len(syms) * wc) AS BIGINT)    AS n_bpe_tokens,
+           ROUND(SUM(len(syms) * wc)::DOUBLE / SUM(wc) + 1e-9, 4)
+                                                  AS fertility,
+           ROUND(SUM(wlen * wc)::DOUBLE / SUM(len(syms) * wc) + 1e-9, 4)
+                                                  AS chars_per_token
+    FROM a{k} GROUP BY lang""")
     return "".join(parts)
 
 
@@ -1130,3 +1177,41 @@ def l46_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right").alias("right_sym"),
         "pair_count",
     ).orderBy("step")
+
+
+@register("l47_bpe_fertility", oracle=_bpe_fertility_oracle_sql(_BPE_K))
+def l47_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L47: tokenizer APPLICATION + fertility measurement — the other
+    half of the BPE story (l46 trains, this segments): the trained
+    merge table replays in order over the per-(lang, word) count table
+    and each language reports fertility (BPE tokens per whitespace
+    word) and chars-per-token, THE numbers that decide whether a
+    tokenizer underserves a language (l40's OOV complement, measured
+    post-merge instead of by vocab membership).
+
+    Scale shape: training reuses operators/bpe (word-count grain);
+    application compiles the k-row trained artifact into chained
+    JVM-side folds (operators/bpe.bpe_apply — bounded driver collect
+    of the merge table, the quantizer-seed class) over the
+    (lang, word) vocabulary frame: one map-side projection, no
+    shuffle, corpus never rescanned. Fertility sums are exact
+    integers; the two divisions round at 4dp."""
+    from meepo_spark.operators.bpe import bpe_apply, bpe_merge_table
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wl = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("wc"))
+    words_global = wl.groupBy("word").agg(F.sum("wc").cast("long").alias("wc"))
+    merges = bpe_merge_table(words_global, _BPE_K)
+    seg = bpe_apply(wl, merges)
+    n_tok = F.sum(F.size("syms") * F.col("wc"))
+    return seg.groupBy("lang").agg(
+        F.sum("wc").cast("long").alias("n_words"),
+        n_tok.cast("long").alias("n_bpe_tokens"),
+        F.round(n_tok.cast("double") / F.sum("wc") + 1e-9, 4).alias("fertility"),
+        F.round(
+            F.sum(F.length("word") * F.col("wc")).cast("double") / n_tok + 1e-9, 4
+        ).alias("chars_per_token"),
+    )
