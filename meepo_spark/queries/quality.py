@@ -955,3 +955,92 @@ def dq12_freshness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_last_week",
         (F.round(F.col("n_last_week") / 7.0, 2) + 0.0).alias("weekly_daily_rate"),
     )
+
+
+@register(
+    "dq13_functional_dependencies",
+    oracle="""
+    WITH checks AS (
+        SELECT 'lineitem.l_partkey->l_suppkey' AS fd, l_partkey AS x,
+               CAST(l_suppkey AS VARCHAR) AS y FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey->o_orderpriority', o_custkey,
+               o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'customer.c_nationkey->c_mktsegment', c_nationkey,
+               c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->l_returnflag', l_orderkey,
+               l_returnflag FROM lineitem
+    ),
+    per_group AS (
+        SELECT fd, x, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT y) AS BIGINT) AS ny
+        FROM checks GROUP BY fd, x
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT)                            AS n_groups,
+           CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_violating_groups,
+           CAST(SUM(CASE WHEN ny > 1 THEN n ELSE 0 END)
+                AS BIGINT)                                     AS n_violating_rows,
+           ROUND(SUM(CASE WHEN ny > 1 THEN n ELSE 0 END) * 1.0
+                 / SUM(n) + 1e-9, 6)                           AS violation_rate
+    FROM per_group GROUP BY fd
+    """,
+)
+def dq13_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ13: approximate functional-dependency discovery — for each
+    candidate FD X→Y, how many X-groups carry more than one distinct Y
+    and what row mass sits in violating groups (the profiling step a
+    schema-inference/normalization pass runs before trusting a column
+    as a join key or a dimension attribute; Metanome-class tooling at
+    warehouse scale). Candidates span a true near-key
+    (l_orderkey→l_returnflag is per-order consistent-ish), a known
+    many-to-many (part→supplier), and two dimension attributes.
+
+    Scale shape: each check is one (X)-keyed hash aggregate with a
+    distinct-count — map-side combined, shuffle keyed on X — and the
+    four checks union AFTER their per-FD rollups, so the scheduler can
+    share the two lineitem scans. Integer counts exact; one rate
+    division rounds at 6dp."""
+
+    def check(df: DataFrame, fd: str, x: str, y) -> DataFrame:
+        per = (
+            df.select(F.col(x).alias("x"), y.alias("y"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("y").alias("ny"))
+        )
+        viol = F.when(F.col("ny") > 1, F.col("n")).otherwise(F.lit(0))
+        return per.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("ny") > 1).cast("long")).cast("long").alias(
+                "n_violating_groups"
+            ),
+            F.sum(viol).cast("long").alias("n_violating_rows"),
+            F.round(F.sum(viol) * 1.0 / F.sum("n") + 1e-9, 6).alias(
+                "violation_rate"
+            ),
+        ).select(
+            "fd", "n_groups", "n_violating_groups", "n_violating_rows",
+            "violation_rate",
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    checks = [
+        check(li, "lineitem.l_partkey->l_suppkey", "l_partkey",
+              F.col("l_suppkey").cast("string")),
+        check(o, "orders.o_custkey->o_orderpriority", "o_custkey",
+              F.col("o_orderpriority")),
+        check(c, "customer.c_nationkey->c_mktsegment", "c_nationkey",
+              F.col("c_mktsegment")),
+        check(li, "lineitem.l_orderkey->l_returnflag", "l_orderkey",
+              F.col("l_returnflag")),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

@@ -820,3 +820,70 @@ def v21_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mean - 1.96 * F.sqrt(var), 6) + 0.0).alias("ci_lo"),
         (F.round(mean + 1.96 * F.sqrt(var), 6) + 0.0).alias("ci_hi"),
     )
+
+
+@register(
+    "v22_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, isodow(ts) - 1 AS wd,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT wd, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+        SELECT obs.event_type, obs.o,
+               (rt.r * 1.0 * ct.c) / n.n AS e
+        FROM obs JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN n
+    )
+    SELECT event_type,
+           CAST(SUM(o) AS BIGINT)                             AS n_rows,
+           ROUND(SUM((o - e) * (o - e) / e) + 1e-9, 4) + 0.0  AS chi2_contrib
+    FROM cells GROUP BY event_type
+    """,
+)
+def v22_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V22: χ² test of independence between event type and weekday —
+    'does behavior shift by day of week?', the categorical counterpart
+    to v16's proportion z-test (dof = (types−1)(weekdays−1); compare
+    the summed statistic to the χ² critical value offline). Emitted
+    per event type so the contribution decomposition shows WHICH
+    behavior carries the dependence.
+
+    Scale shape: one (type, weekday) hash aggregate over the fact,
+    then all arithmetic on the ≤ |types|×7 cell grid with 1-row /
+    per-axis broadcasts — the fact is scanned once. Weekday via
+    F.weekday ≡ isodow−1 (the t28 cross-engine convention; dayofweek
+    DIFFERS between the engines). Counts exact; expected cells are
+    products of exact integers divided once; the statistic rounds at
+    4dp with +0.0."""
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.weekday("ts").alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("wd").agg(F.sum("o").cast("long").alias("c"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")  # bcast: fixed (per-type totals)
+        .join(F.broadcast(ct), "wd")  # bcast: fixed (7 weekdays)
+        .crossJoin(F.broadcast(n))  # bcast: fixed (1-row total)
+        .select(
+            "event_type",
+            "o",
+            ((F.col("r") * 1.0 * F.col("c")) / F.col("n")).alias("e"),
+        )
+    )
+    return cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n_rows"),
+        (
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+                + 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("chi2_contrib"),
+    )

@@ -2312,3 +2312,188 @@ def t27_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "t28_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.d) AS ds
+        FROM daily GROUP BY event_type
+    ),
+    flat AS (
+        SELECT event_type, m.wd AS wd, m.d AS d
+        FROM (
+            SELECT event_type,
+                   unnest(list_transform(range(4, len(xs) - 2), i ->
+                       {'wd': isodow(ds[i]) - 1,
+                        'd': xs[i] - list_sum(xs[i-3:i+3]) / 7.0})) AS m
+            FROM series WHERE len(xs) >= 7
+        )
+    ),
+    seas AS (
+        SELECT event_type, wd, AVG(d) AS s, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM flat GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT f.event_type, f.d, f.d - s.s AS r
+        FROM flat f JOIN seas s USING (event_type, wd)
+    ),
+    tv AS (
+        SELECT event_type,
+               SUM(d * d) / COUNT(*) - (SUM(d) / COUNT(*)) * (SUM(d) / COUNT(*))
+                   AS var_d,
+               SUM(r * r) / COUNT(*) - (SUM(r) / COUNT(*)) * (SUM(r) / COUNT(*))
+                   AS var_r
+        FROM j GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(s.wd AS BIGINT)                              AS weekday,
+           s.n_obs,
+           ROUND(s.s + 1e-9, 4) + 0.0                        AS seasonal_r,
+           ROUND(1 - tv.var_r / tv.var_d + 1e-9, 4) + 0.0    AS strength_r
+    FROM seas s JOIN tv USING (event_type)
+    """,
+)
+def t28_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28: classical additive seasonal decomposition per event type —
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per weekday, seasonal STRENGTH = 1 − var(residual)/
+    var(detrended) (the Hyndman measure every capacity-planning
+    dashboard uses to decide 'is this series weekly-seasonal enough to
+    forecast with t26's Holt-Winters?').
+
+    Engine shape: the t-family ordered-array discipline — one
+    collect_list per (event_type) (≤ calendar-days rows), the centered
+    MA as a JVM-side fold over each array slice (list_sum ≡
+    F.aggregate 0.0-init fold, the bit-match pair), NO per-type window
+    (the r3 tiny-key single-task class this family avoids by
+    construction). Weekday convention: Spark F.weekday == DuckDB
+    isodow−1 (Monday=0) — F.dayofweek/dayofweek DIFFER across the
+    engines (Sunday=1 vs Sunday=0) and would silently rotate the
+    season. Cents are exact integers in double; the 7-day mean divides
+    once; averages/variances round at 4dp with the 1e-9 nudge and
+    +0.0 (sum-order drift ~1e-12, negative-zero guard)."""
+    daily = _daily_cents(spark, sf_dir)
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
+    )
+    xs = F.transform("dx", lambda r: r["x"])
+    ds = F.transform("dx", lambda r: r["day"])
+    n = F.size("dx")
+    trend = lambda i: (  # noqa: E731
+        F.aggregate(F.slice(xs, i - 3, 7), F.lit(0.0), lambda a, v: a + v) / 7.0
+    )
+    flat = (
+        series.filter(n >= 7)
+        .select(
+            "event_type",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(4), n - 3),
+                    lambda i: F.struct(
+                        F.weekday(F.element_at(ds, i)).alias("wd"),
+                        (F.element_at(xs, i) - trend(i)).alias("d"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("event_type", "m.wd", "m.d")
+    )
+    seas = flat.groupBy("event_type", "wd").agg(
+        F.avg("d").alias("s"), F.count(F.lit(1)).alias("n_obs")
+    )
+    j = flat.join(F.broadcast(seas), ["event_type", "wd"]).select(  # bcast: fixed (type x weekday grid)
+        "event_type", "d", (F.col("d") - F.col("s")).alias("r")
+    )
+    cnt = F.count(F.lit(1))
+    tv = j.groupBy("event_type").agg(
+        (
+            F.sum(F.col("d") * F.col("d")) / cnt
+            - (F.sum("d") / cnt) * (F.sum("d") / cnt)
+        ).alias("var_d"),
+        (
+            F.sum(F.col("r") * F.col("r")) / cnt
+            - (F.sum("r") / cnt) * (F.sum("r") / cnt)
+        ).alias("var_r"),
+    )
+    return seas.join(F.broadcast(tv), "event_type").select(  # bcast: fixed (per-event-type stats)
+        "event_type",
+        F.col("wd").cast("long").alias("weekday"),
+        "n_obs",
+        (F.round(F.col("s") + 1e-9, 4) + 0.0).alias("seasonal_r"),
+        (F.round(1 - F.col("var_r") / F.col("var_d") + 1e-9, 4) + 0.0).alias(
+            "strength_r"
+        ),
+    )
+
+
+@register(
+    "e17_stickiness",
+    oracle="""
+    WITH d AS (
+        SELECT STRFTIME(date_trunc('month', ts), '%Y-%m') AS month,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT month, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM d GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM d GROUP BY 1
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT)        AS n_days,
+           CAST(SUM(dau) AS BIGINT)        AS user_days,
+           ANY_VALUE(mau)                  AS mau,
+           ROUND(SUM(dau) * 1.0 / COUNT(*) / ANY_VALUE(mau) + 1e-9, 4)
+                                           AS stickiness
+    FROM dau JOIN mau USING (month)
+    GROUP BY month
+    """,
+)
+def e17_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: DAU/MAU stickiness per month — the engagement ratio every
+    product dashboard headline carries (avg daily actives over monthly
+    actives; 1.0 = every monthly user shows up every day).
+
+    Scale shape: two distinct-count aggregates over (month, day,
+    user) / (month, user) — both map-side combined, shuffles keyed on
+    the date grain, never a window; the month-level join is a
+    fixed-size calendar frame. Integer user counts are exact; the one
+    ratio divides exact integers and rounds at 4dp."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = d.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")  # bcast: fixed (calendar months)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").cast("long").alias("user_days"),
+            F.any_value("mau").alias("mau"),
+            F.round(
+                F.sum("dau") * 1.0 / F.count(F.lit(1)) / F.any_value("mau") + 1e-9,
+                4,
+            ).alias("stickiness"),
+        )
+    )
