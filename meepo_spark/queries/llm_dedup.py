@@ -1093,3 +1093,74 @@ def l45_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.countDistinct("s") / F.count(F.lit(1)) + 1e-9, 6) + 0.0
         ).alias("type_token_ratio"),
     )
+
+
+@register(
+    "l48_edit_distance_verify",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, text, n_chars,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+        FROM documents
+    ),
+    canon AS (
+        SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    )
+    SELECT c.canonical_doc,
+           m.doc_id,
+           CAST(levenshtein(m.text, k.text) AS BIGINT)  AS lev,
+           ROUND(1.0 - levenshtein(m.text, k.text)
+                 / GREATEST(m.n_chars, k.n_chars) + 1e-9, 4) AS sim_r
+    FROM canon c
+    JOIN fp m ON m.fingerprint = c.fingerprint AND m.doc_id <> c.canonical_doc
+    JOIN fp k ON k.doc_id = c.canonical_doc
+    """,
+)
+def l48_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: EDIT-DISTANCE verification of fingerprint-blocked dup
+    candidates — the character-level second opinion set-based dedup
+    can't give: l4e's vocabulary fingerprint collides exact dups AND
+    token reorderings alike, and levenshtein separates them (0 =
+    byte-identical; large = same vocabulary, rewritten order — the
+    template/boilerplate class a set-similarity pipeline over-merges).
+
+    Scale shape — the pair bound is the whole design: every member
+    compares to its GROUP CANONICAL (min doc_id) only, so the
+    comparison count is O(corpus), never the O(Σ nᵢ²) all-pairs blow-up
+    (35.6k pairs vs 5k member rows at sf0.1, and the gap widens with
+    dup-family size); blocking comes free from the fingerprint
+    hash-aggregate, texts join by equi-keys. Levenshtein is exact
+    integers cross-engine (probed: Spark ≡ DuckDB incl. empty-string
+    edge); the one similarity division rounds at 4dp."""
+    from meepo_spark.functions.text import content_fingerprint
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", content_fingerprint(F.col("text")).alias("fp")
+    )
+    canon = (
+        d.groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("fp", "canonical_doc")
+    )
+    k = d.select(
+        F.col("doc_id").alias("canonical_doc"),
+        F.col("text").alias("k_text"),
+        F.col("n_chars").alias("k_chars"),
+    )
+    lev = F.levenshtein("text", "k_text")
+    return (
+        d.join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("canonical_doc"))
+        .join(k, "canonical_doc")
+        .select(
+            "canonical_doc",
+            "doc_id",
+            lev.cast("long").alias("lev"),
+            F.round(
+                1.0 - lev / F.greatest("n_chars", "k_chars") + 1e-9, 4
+            ).alias("sim_r"),
+        )
+    )

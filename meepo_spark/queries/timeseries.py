@@ -2497,3 +2497,90 @@ def e17_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "t29_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs
+        FROM daily GROUP BY event_type
+    ),
+    with_m AS (
+        SELECT event_type, xs, len(xs) AS n,
+               list_sum(xs) / len(xs) AS m
+        FROM series WHERE len(xs) > 8
+    ),
+    stats AS (
+        SELECT event_type, xs, n, m,
+               list_sum(list_transform(xs, x -> (x - m) * (x - m))) AS denom
+        FROM with_m
+    )
+    SELECT event_type,
+           CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT)   AS n_days,
+           ROUND(list_sum(list_transform(
+                     list_zip(xs[1:n - lag], xs[1 + lag:n]),
+                     p -> (p[1] - m) * (p[2] - m))) / denom + 1e-9, 4) + 0.0
+               AS acf_r
+    FROM stats, unnest(range(1, 8)) AS t(lag)
+    """,
+)
+def t29_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T29: sample autocorrelation function at lags 1–7 per event type
+    — the series-diagnosis step BEFORE t26/t28 (a spike at lag 7 says
+    'weekly seasonal: fit Holt-Winters', fast decay says 'Holt linear
+    is enough'; the standard Box-Jenkins identification read).
+    r_k = Σ(x_i−m)(x_{i+k}−m) / Σ(x_i−m)² with the full-series mean m.
+
+    Engine shape: the t-family ordered-array discipline — per-type
+    series arrays, lag products as zip_with folds over shifted slices
+    (≡ DuckDB list_zip + list_transform + list_sum, the bit-match
+    pair), 7 lags exploded from a literal sequence; no windows, no
+    re-scan per lag. Cents are exact integers in double; m and the
+    final ratio divide once each; 4dp rounding + 1e-9 + (+0.0)
+    absorbs the ~1e-12 drift and negative zero."""
+    daily = _daily_cents(spark, sf_dir)
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
+    )
+    xs = F.transform("dx", lambda r: r["x"])
+    n = F.size("dx")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    stats = (
+        series.filter(n > 8)
+        .select("event_type", xs.alias("xs"), n.alias("n"))
+        .withColumn("m", fold(F.col("xs")) / F.col("n"))
+        .withColumn(
+            "denom",
+            fold(
+                F.transform(
+                    "xs", lambda x: (x - F.col("m")) * (x - F.col("m"))
+                )
+            ),
+        )
+    )
+    lagged = stats.select(
+        "event_type", "xs", "n", "m", "denom",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    num = fold(
+        F.zip_with(
+            F.slice("xs", 1, F.col("n") - F.col("lag")),
+            F.slice("xs", F.col("lag") + 1, F.col("n") - F.col("lag")),
+            lambda a, b: (a - F.col("m")) * (b - F.col("m")),
+        )
+    )
+    return lagged.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        (F.round(num / F.col("denom") + 1e-9, 4) + 0.0).alias("acf_r"),
+    )
