@@ -1164,3 +1164,146 @@ def l48_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim_r"),
         )
     )
+
+
+# --- l49: minhash estimator calibration (md5-permutation variant) ---
+
+_L49_SEEDS = 32
+
+
+def _l49_oracle_sql(seeds: int) -> str:
+    """Generated oracle: the ENTIRE minhash estimator replicated in
+    SQL. The permutations are md5-derived (the l20 fid discipline:
+    Spark conv(substr(md5,1,15),16,10) ≡ DuckDB CAST('0x'||substr)),
+    so — unlike the production pipeline's seeded murmur3, which DuckDB
+    cannot evaluate — every signature value is bit-identical across
+    engines and the estimate itself is graded, not just a property."""
+    mins = ",\n               ".join(
+        f"MIN(CAST(('0x' || substr(md5('{i}|' || s), 1, 15)) AS BIGINT)) AS h{i}"
+        for i in range(seeds)
+    )
+    matches = "\n                 + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(seeds)
+    )
+    return f"""
+    WITH sd AS (
+        SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id % 100 = 0
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sd),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sd),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM ex GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ({matches}) AS matches
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT p.id_a, p.id_b,
+               p.matches / {seeds}.0 AS est,
+               COALESCE(i.c, 0) * 1.0
+                   / (sa.n + sb.n - COALESCE(i.c, 0)) AS exact
+        FROM pairs p
+        LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+        JOIN sz sa ON sa.doc_id = p.id_a
+        JOIN sz sb ON sb.doc_id = p.id_b
+    )
+    SELECT CAST(FLOOR(exact * 10) AS BIGINT)          AS bucket,
+           CAST(COUNT(*) AS BIGINT)                   AS n_pairs,
+           ROUND(AVG(exact) + 1e-9, 4) + 0.0          AS avg_exact_r,
+           ROUND(AVG(est) + 1e-9, 4) + 0.0            AS avg_est_r,
+           ROUND(AVG(ABS(est - exact)) + 1e-9, 4) + 0.0 AS mae_r
+    FROM j GROUP BY 1
+    """
+
+
+@register("l49_minhash_calibration", oracle=_l49_oracle_sql(_L49_SEEDS))
+def l49_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: MinHash Jaccard-estimator CALIBRATION — for a bounded
+    sample's all-pairs truth set, the per-exact-decile mean estimated
+    Jaccard and mean absolute error (the measurement that justifies
+    the l41 band-tuning math: Pr[h_min agrees] = J only holds if the
+    estimator is unbiased in practice, and its √(J(1−J)/k) error sets
+    how many hashes a production pipeline buys).
+
+    Permutations are md5-derived specifically so the DuckDB oracle
+    replays the ESTIMATOR bit-for-bit (the production operators keep
+    seeded murmur3 — cheaper — and are graded by property; this query
+    grades the estimate itself). Sample = doc_id % 100 == 0 (the l24
+    sample-bounded truth-join discipline): all-pairs cost is
+    |sample|², bounded by construction, while signatures stay
+    one (doc)-keyed aggregate; at 100 TB calibration always runs on a
+    fixed-size sample — never the corpus. Integer min-hashes and
+    intersection counts are exact; est/exact are rationals of exact
+    integers; averages round at 4dp."""
+    from meepo_spark.operators.dedup import shingle_set
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    sd = d.select("doc_id", shingle_set(F.col("text"), 3).alias("sh"))
+    ex = sd.select("doc_id", F.explode("sh").alias("s"))
+    sz = sd.select("doc_id", F.size("sh").alias("n"))
+
+    def md5int(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(md5int(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(_L49_SEEDS)
+        ]
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_L49_SEEDS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_L49_SEEDS)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_L49_SEEDS)
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))  # bcast: fixed (1%-sample signatures)
+        .select("id_a", "id_b", matches.alias("matches"))
+    )
+    ea = ex.select(F.col("doc_id").alias("id_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        ea.join(eb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = (
+        pairs.join(F.broadcast(inter), ["id_a", "id_b"], "left")  # bcast: fixed (sample pair intersections)
+        .join(F.broadcast(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))), "id_a")  # bcast: fixed (sample sizes)
+        .join(F.broadcast(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))), "id_b")  # bcast: fixed (sample sizes)
+        .select(
+            (F.col("matches") / float(_L49_SEEDS)).alias("est"),
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0)))
+            ).alias("exact"),
+        )
+    )
+    return j.groupBy(
+        F.floor(F.col("exact") * 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.round(F.avg("exact") + 1e-9, 4) + 0.0).alias("avg_exact_r"),
+        (F.round(F.avg("est") + 1e-9, 4) + 0.0).alias("avg_est_r"),
+        (F.round(F.avg(F.abs(F.col("est") - F.col("exact"))) + 1e-9, 4) + 0.0).alias(
+            "mae_r"
+        ),
+    )

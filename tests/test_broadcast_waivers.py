@@ -62,6 +62,8 @@ BNLJ_BOUNDS: dict[str, int] = {
     "l3c_embedding_near_dup": 4096,
     "l2c_ngram_jaccard_block": 8192,  # 2000-doc block frame if planned as BNLJ
     "l13_dedup_threshold_curve": 64,
+    # 1%-sample signature frame (l24-style sample-bounded truth join)
+    "l49_minhash_calibration": 128,
     # calendar spine (|days| of the fixture month)
     "t8_gap_fill": 128,
     "e14_active_user_ratios": 128,

@@ -111,6 +111,7 @@ NESTED_LOOP_WAIVED = {
     "m6_markov_stationary",  # |S|x|S| (25-row) state grid + 1-row |S| scalar
     "dq12_freshness_census",  # 1-row global-watermark (max ts) broadcast
     "v22_chi_square_independence",  # 1-row grand-total crossJoin(broadcast)
+    "l49_minhash_calibration",  # 1%-sample signature pair probe (bounded)
     "o9_zorder_locality",  # 1-row (min,max)x2 grid-bounds broadcast
     "g26_hll_intersection",  # |event_types| (5-row) type-grid broadcast
     # pairing memberships with the other types for the union sketch
