@@ -317,3 +317,42 @@ def sql9_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "sql10_lateral_topk",
+    oracle="""
+    SELECT n.n_name, l.c_name, l.bal
+    FROM nation n, LATERAL (
+        SELECT c_name, ROUND(c_acctbal, 2) AS bal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+    ) l
+    """,
+)
+def sql10_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL10: correlated LATERAL subquery with ORDER BY ... LIMIT —
+    the 'top-k rows PER outer row' idiom (Spark 4 and DuckDB share the
+    syntax verbatim, so the identical SQL text runs on both engines).
+    Catalyst DECORRELATES the limit-under-lateral into a per-key rank
+    — the same physical shape as an explicit window + filter — rather
+    than executing the subquery once per outer row; the declarative
+    form is what makes that rewrite available, which is the whole
+    LATERAL story at scale (a loop would be |outer| subqueries).
+    Ties broken by c_custkey: a total order, so the two engines pick
+    identical rows and the hash matches exactly."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name, l.bal
+        FROM nation n, LATERAL (
+            SELECT c_name, ROUND(c_acctbal, 2) AS bal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) l
+        """
+    )
