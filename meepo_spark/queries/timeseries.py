@@ -2608,13 +2608,16 @@ def t29_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM series WHERE len(xs) >= 2
     ),
     best AS (
+        -- argmin by lexicographic list_sort, NOT list_reduce: a
+        -- list_reduce lambda that CASE-selects one of its two input
+        -- lists unmodified returns cross-row-corrupted state on
+        -- multi-row batches in DuckDB (single-row evaluation is
+        -- correct — found r6, t30; reduce lambdas that BUILD new
+        -- lists, the l46/t20 pattern, are unaffected)
         SELECT event_type, ds, n, t, psums,
-               list_reduce(
+               list_sort(
                    list_transform(range(1, len(psums) + 1), i ->
-                       [-abs(n * psums[i] - i * t), i]),
-                   (a, b) -> CASE WHEN b[1] < a[1]
-                                  OR (b[1] = a[1] AND b[2] < a[2])
-                             THEN b ELSE a END) AS m
+                       [-abs(n * psums[i] - i * t), i]))[1] AS m
         FROM scored
     )
     SELECT event_type,
