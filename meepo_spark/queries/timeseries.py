@@ -2587,137 +2587,6 @@ def t29_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t30_cusum_changepoint",
-    oracle="""
-    WITH daily AS (
-        SELECT event_type, CAST(ts AS DATE) AS day,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    series AS (
-        SELECT event_type,
-               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs,
-               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.d) AS ds
-        FROM daily GROUP BY event_type
-    ),
-    scored AS (
-        SELECT event_type, ds, xs, len(xs) AS n,
-               CAST(list_sum(xs) AS BIGINT) AS t,
-               list_transform(range(1, len(xs)), i ->
-                   CAST(list_sum(xs[1:i]) AS BIGINT)) AS psums
-        FROM series WHERE len(xs) >= 2
-    ),
-    best AS (
-        -- argmin by lexicographic list_sort, NOT list_reduce: a
-        -- list_reduce lambda that CASE-selects one of its two input
-        -- lists unmodified returns cross-row-corrupted state on
-        -- multi-row batches in DuckDB (single-row evaluation is
-        -- correct — found r6, t30; reduce lambdas that BUILD new
-        -- lists, the l46/t20 pattern, are unaffected)
-        SELECT event_type, ds, n, t, psums,
-               list_sort(
-                   list_transform(range(1, len(psums) + 1), i ->
-                       [-abs(n * psums[i] - i * t), i]))[1] AS m
-        FROM scored
-    )
-    SELECT event_type,
-           CAST(n AS BIGINT)                              AS n_days,
-           CAST(m[2] AS BIGINT)                           AS cp_index,
-           STRFTIME(ds[m[2]], '%Y-%m-%d')                 AS cp_day,
-           ROUND(-m[1] / (n * 100.0) + 1e-9, 2) + 0.0     AS max_cusum_usd,
-           ROUND((t - psums[m[2]]) / ((n - m[2]) * 100.0)
-                 - psums[m[2]] / (m[2] * 100.0) + 1e-9, 2) + 0.0
-                                                          AS mean_shift_usd
-    FROM best
-    """,
-)
-def t30_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T30: CUSUM changepoint detection per event type — the point
-    where the cumulative deviation from the global mean peaks is the
-    classic single-changepoint estimate (Page's CUSUM / binary-
-    segmentation step 1), with the before/after mean shift as the
-    effect size. The monitoring counterpart to dq4's window drift.
-
-    INTEGER-EXACT argmax — the part that makes this hash-gradeable:
-    |S_i| = |Σ_{j≤i} x_j − i·mean| maximized over i is equivalent to
-    maximizing |n·psum_i − i·T| which is PURE BIGINT (cents), so both
-    engines pick the identical index even when two candidates differ
-    by 1e-16 relative (a float CUSUM would flip ties
-    non-deterministically). i = n is excluded: S_n ≡ 0 and its
-    inclusion would divide by an empty after-segment. Magnitudes peak
-    ~ n·Σcents ≈ 90·7e12 « 2^63. The per-type O(n²) prefix transform
-    is bounded by calendar days (the t-family array discipline);
-    output scales back to dollars with two exact-integer divisions
-    rounded at 2dp."""
-    daily = (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
-    )
-    series = daily.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
-    )
-    xs = F.transform("dx", lambda r: r["x"])
-    ds = F.transform("dx", lambda r: r["day"])
-    n = F.size("dx")
-    scored = series.filter(n >= 2).select(
-        "event_type",
-        ds.alias("ds"),
-        n.alias("n"),
-        F.aggregate(xs, F.lit(0).cast("long"), lambda a, v: a + v).alias("t"),
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.aggregate(
-                F.slice(xs, 1, i), F.lit(0).cast("long"), lambda a, v: a + v
-            ),
-        ).alias("psums"),
-    )
-    score = lambda i: F.abs(  # noqa: E731
-        F.col("n") * F.element_at(F.col("psums"), i) - i * F.col("t")
-    )
-    best = scored.withColumn(
-        "m",
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.size("psums")),
-                lambda i: F.struct((-score(i)).alias("neg"), i.cast("long").alias("i")),
-            ),
-            F.struct(
-                F.lit(None).cast("long").alias("neg"), F.lit(None).cast("long").alias("i")
-            ),
-            lambda a, b: F.when(
-                a["i"].isNull()
-                | (b["neg"] < a["neg"])
-                | ((b["neg"] == a["neg"]) & (b["i"] < a["i"])),
-                b,
-            ).otherwise(a),
-        ),
-    )
-    cp = F.col("m.i")
-    pcp = F.element_at("psums", cp.cast("int"))
-    return best.select(
-        "event_type",
-        F.col("n").cast("long").alias("n_days"),
-        cp.alias("cp_index"),
-        F.date_format(F.element_at("ds", cp.cast("int")), "yyyy-MM-dd").alias(
-            "cp_day"
-        ),
-        (F.round(-F.col("m.neg") / (F.col("n") * 100.0) + 1e-9, 2) + 0.0).alias(
-            "max_cusum_usd"
-        ),
-        (
-            F.round(
-                (F.col("t") - pcp) / ((F.col("n") - cp) * 100.0)
-                - pcp / (cp * 100.0)
-                + 1e-9,
-                2,
-            )
-            + 0.0
-        ).alias("mean_shift_usd"),
-    )
-
-
-@register(
     "e18_pareto_concentration",
     oracle="""
     WITH v AS (

@@ -75,6 +75,8 @@ WAIVER_BOUNDS: dict[str, int] = {
     "a25_out_of_order_depth": 2000,   # 3 topics x (offset-range + day) buckets
     "l38_temperature_mixture": 10,    # 5-language share frame
     "l43_dup_quality_interaction": 100,  # 32-bucket ntile aggregate
+    # round-6:
+    "e18_pareto_concentration": 4000,  # distinct per-user volumes x 5 types
 }
 
 _LIMIT_RE = re.compile(r"limit=(\d+)")

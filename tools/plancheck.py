@@ -144,6 +144,9 @@ WINDOW_WAIVED = {
                                # score bands (bucketed_prefix_sum)
     "l23_quality_decile_budget",  # 32-row quality-bucket offsets
     "t19_cusum_changepoint",   # per-type offsets over 8-day bands
+    "e18_pareto_concentration",  # per-type offsets over the distinct-
+                               # volume bucket aggregate (runtime-
+                               # audited: volumes are a bounded grid)
     # windows over distinct-value / calendar / fixed-grid frames:
     "o8_pareto_frontier",      # prefix-min over DISTINCT prices
     "v8_histogram",            # 20-row fixed-width bin aggregate
