@@ -89,15 +89,32 @@ class CommitLog:
         return sorted(out)
 
     def _read(self) -> dict:
-        vs = self._versions()
-        if vs:
-            with open(os.path.join(self.root, _manifest_name(vs[-1]))) as fh:
-                return json.load(fh)
+        # Retry on the list-then-open race: between _versions() and
+        # open(), rival writers can land >= KEEP_VERSIONS commits and
+        # prune the version we listed as max (the docstring's "max is
+        # never pruned" holds only at list time — code-review r6). The
+        # standard Delta-reader pattern: re-list and re-open.
+        for _ in range(8):
+            vs = self._versions()
+            if not vs:
+                break
+            try:
+                with open(os.path.join(self.root, _manifest_name(vs[-1]))) as fh:
+                    return json.load(fh)
+            except FileNotFoundError:
+                continue
+        else:
+            raise ConcurrentCommitError(
+                "manifest read lost the list-then-open race 8 times — "
+                "pathological write contention; raise KEEP_VERSIONS"
+            )
         legacy = os.path.join(self.root, LEGACY_MANIFEST)
-        if os.path.exists(legacy):  # pre-r6 single-file layout
+        try:  # pre-r6 single-file layout (try/open: a rival's prune
+            # may unlink it between any check and the read)
             with open(legacy) as fh:
                 return json.load(fh)
-        return json.loads(json.dumps(_EMPTY))
+        except FileNotFoundError:
+            return json.loads(json.dumps(_EMPTY))
 
     def version(self) -> int:
         return self._read()["version"]
@@ -160,8 +177,12 @@ class CommitLog:
                 except FileNotFoundError:
                     pass  # a rival's prune got there first
         legacy = os.path.join(self.root, LEGACY_MANIFEST)
-        if os.path.exists(legacy):
+        try:
             os.unlink(legacy)
+        except FileNotFoundError:
+            pass  # no legacy file, or a rival writer's prune got it
+            # first (exists-then-unlink would TOCTOU-raise out of a
+            # commit that already durably succeeded — code-review r6)
 
     def commit(
         self, epoch_id: int, add_files: list[str], meta: dict | None = None

@@ -411,10 +411,17 @@ class TypedTransactionalEventStore(TransactionalEventStore):
             if v is not None:
                 for f in meta.get("files", []):
                     epoch_version[f] = v
-        snap_version = state.get("compaction", {}).get("registry_version")
+        # the compaction version applies ONLY to the snapshot dir it
+        # recorded — a blanket fallback would silently scan an epoch
+        # committed by the UNTYPED store (post-compaction) under the
+        # typed schema, null-filling row_t instead of raising the
+        # loud contract error below (code-review r6 #1)
+        comp = state.get("compaction", {})
+        if comp.get("registry_version") is not None and comp.get("snapshot"):
+            epoch_version.setdefault(comp["snapshot"], comp["registry_version"])
         out = []
         for d in state["files"]:
-            v = epoch_version.get(d, snap_version)
+            v = epoch_version.get(d)
             if v is None:
                 raise ValueError(
                     f"manifest file {d!r} has no registry_version — written "

@@ -70,8 +70,11 @@ def bpe_merge_table(words: DataFrame, k: int) -> DataFrame:
     count at selection time.
 
     If the pair space drains before ``k`` rounds (every word reduced
-    to one symbol), the table simply has fewer rows — the oracle's
-    unrolled SQL degrades identically (empty best ⨯ words = empty)."""
+    to one symbol), the table simply has fewer rows — l46's unrolled
+    oracle degrades identically (empty best ⨯ words = empty, so every
+    later UNION arm emits zero rows), and l47's apply chain joins each
+    round's best LEFT ON TRUE so a drained round is the identity
+    merge, matching :func:`bpe_apply` on the truncated table."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     segs = words.select(

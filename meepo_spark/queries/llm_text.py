@@ -1124,12 +1124,19 @@ def _bpe_fertility_oracle_sql(k: int) -> str:
     )""",
     ]
     for i in range(k):
+        # LEFT JOIN ON TRUE, not CROSS JOIN: if the pair space drains
+        # before round i, b{i} is EMPTY and a cross join would empty
+        # every later a{} (zero output rows) while the engine's
+        # bpe_apply just applies the truncated merge table; with the
+        # left join b.l/b.r are NULL, the merge condition is NULL, and
+        # the fold degrades to the identity — exactly the engine's
+        # semantics (code-review r6 #4)
         parts.append(f""",
     a{i + 1} AS (
         SELECT lang, wlen,
                list_reduce(list_transform(syms, c -> [c]),
                            {_BPE_MERGE_LAMBDA}) AS syms, wc
-        FROM a{i} CROSS JOIN b{i} b
+        FROM a{i} LEFT JOIN b{i} b ON TRUE
     )""")
     parts.append(f"""
     SELECT lang,

@@ -5,8 +5,8 @@ Two contracts:
 1. :func:`meepo_spark.operators.broadcast_gate.maybe_broadcast`
    actually gates — an under-bound side broadcasts even with the auto
    threshold disabled (the hint is real), an over-bound side falls
-   back to a shuffled join (the hint is absent) and its probe persist
-   is released.
+   back to a shuffled join (the hint is absent), and the probe verdict
+   is memoized so plan-equal re-executions never re-run it.
 
 2. Every raw ``F.broadcast(`` site in the source carries a
    ``# bcast: <class>`` classification marker (same line or the line
@@ -78,7 +78,6 @@ def test_under_bound_side_broadcasts(no_auto_broadcast):
     gated = maybe_broadcast(side, row_bound=1_000)
     plan = _explained(fact.join(gated, "k"))
     assert "BroadcastHashJoin" in plan, plan
-    gated.unpersist()
 
 
 def test_over_bound_side_falls_back_to_shuffle(no_auto_broadcast):
@@ -121,20 +120,21 @@ def test_row_bound_must_be_positive(spark):
 def test_every_static_broadcast_site_is_classified():
     """Grep-level enforcement of the audit convention: a raw
     F.broadcast( call without a recognized classification marker fails
-    here, so the audit cannot rot as queries are added."""
-    bad = []
-    for p in sorted(SRC_ROOT.rglob("*.py")):
-        if p.name == "broadcast_gate.py":
-            continue  # the gate itself — its internal hint IS the audit
-        lines = p.read_text().splitlines()
-        for i, line in enumerate(lines):
-            if "F.broadcast(" not in line.split("#")[0]:
-                continue
-            here = MARKER.search(line)
-            above = MARKER.search(lines[i - 1]) if i else None
-            m = here or above
-            if m is None or m.group(1) not in ALLOWED:
-                bad.append(f"{p.relative_to(SRC_ROOT.parent)}:{i + 1}: {line.strip()}")
+    here, so the audit cannot rot as queries are added. Uses the SAME
+    scanner plancheck's PLANS.md tally uses (tools/plancheck.
+    broadcast_sites) so test and report cannot diverge on marker
+    placement rules (code-review r6 #5)."""
+    import sys
+
+    sys.path.insert(0, str(SRC_ROOT.parent))
+    from tools.plancheck import broadcast_sites
+
+    static, _gated = broadcast_sites(SRC_ROOT)
+    bad = [
+        f"{p.relative_to(SRC_ROOT.parent)}:{i}: {line.strip()}"
+        for p, i, cls, line in static
+        if cls not in ALLOWED
+    ]
     assert not bad, (
         "unclassified static F.broadcast sites (annotate '# bcast: "
         "fixed|bucket|dim' or route data-growing sides through "

@@ -270,6 +270,41 @@ def wgl_final_partition_sets(plan: str) -> list[frozenset]:
     return out
 
 
+BCAST_MARKER = re.compile(r"#\s*bcast:\s*(\w+)")
+
+
+def broadcast_sites(src_root=None):
+    """THE one scanner for static ``F.broadcast(`` sites and
+    ``maybe_broadcast(`` call sites (code-review r6 #5: plancheck and
+    tests/test_broadcast_audit.py previously each re-implemented this
+    with divergent marker placement rules — a marker on the preceding
+    line passed the test but tallied UNCLASSIFIED here). Markers count
+    on the same line OR the line above; broadcast_gate.py (the gate
+    itself) is skipped. Returns (static_sites, gated_sites) where
+    static_sites = [(path, lineno, cls_or_None, line)] and
+    gated_sites = [(path, lineno)]."""
+    import pathlib
+
+    root = pathlib.Path(src_root or (
+        pathlib.Path(__file__).resolve().parent.parent / "meepo_spark"
+    ))
+    static, gated = [], []
+    for p in sorted(root.rglob("*.py")):
+        if p.name == "broadcast_gate.py":
+            continue
+        lines = p.read_text().splitlines()
+        for i, line in enumerate(lines):
+            code = line.split("#")[0]
+            if "F.broadcast(" in code:
+                m = BCAST_MARKER.search(line) or (
+                    BCAST_MARKER.search(lines[i - 1]) if i else None
+                )
+                static.append((p, i + 1, m.group(1) if m else None, line))
+            if "maybe_broadcast(" in code and "import" not in code:
+                gated.append((p, i + 1))
+    return static, gated
+
+
 def broadcast_audit_section() -> list[str]:
     """Tally the source-level broadcast-hint audit (VERDICT r5 #1) into
     PLANS.md: every static ``F.broadcast(`` site carries a ``# bcast:``
@@ -278,24 +313,18 @@ def broadcast_audit_section() -> list[str]:
     routes through ``operators/broadcast_gate.maybe_broadcast`` (probe-
     gated: broadcasts under the row bound, falls back to a shuffled
     join past it). This section is regenerated from source on every
-    plancheck run, so it cannot drift from the code."""
+    plancheck run via the SAME scanner the enforcement test uses
+    (broadcast_sites), so the two can't diverge on marker placement."""
     import pathlib
 
     src = pathlib.Path(__file__).resolve().parent.parent / "meepo_spark"
-    marker = re.compile(r"#\s*bcast:\s*(\w+)")
+    static, gated_sites = broadcast_sites(src)
     counts: dict[str, int] = {}
-    gated: list[str] = []
-    for p in sorted(src.rglob("*.py")):
-        if p.name == "broadcast_gate.py":
-            continue
-        for i, line in enumerate(p.read_text().splitlines(), 1):
-            code = line.split("#")[0]
-            if "F.broadcast(" in code:
-                m = marker.search(line)
-                cls = m.group(1) if m else "UNCLASSIFIED"
-                counts[cls] = counts.get(cls, 0) + 1
-            if "maybe_broadcast(" in code and "import" not in code:
-                gated.append(f"`{p.relative_to(src.parent)}:{i}`")
+    for _p, _i, cls, _line in static:
+        counts[cls or "UNCLASSIFIED"] = counts.get(cls or "UNCLASSIFIED", 0) + 1
+    gated = [
+        f"`{p.relative_to(src.parent)}:{i}`" for p, i in gated_sites
+    ]
     out = [
         "",
         "## Broadcast-hint audit (VERDICT r5 #1)",
