@@ -483,3 +483,59 @@ def u9_grouped_arrow_topchars(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="lang string, n_docs long, total_chars long, "
         "max_chars long, mean_chars double",
     )
+
+
+@cache
+def _long_word_stats():
+    """U10: ARROW-OPTIMIZED regular Python UDF (Spark 4's
+    ``useArrow=True``) — row-at-a-time author ergonomics, Arrow-batch
+    transfer: the sixth and last Python execution boundary (after
+    pandas scalar u1, grouped map u2, UDAF u3, UDTF u4, mapInArrow u5,
+    iterator u7, window agg u8, applyInArrow u9). Integer outputs —
+    no float discipline needed."""
+
+    @F.udf("long", useArrow=True)
+    def n_long_words(text: str) -> int:
+        return sum(1 for w in text.lower().split(" ") if len(w) > 5)
+
+    @F.udf("long", useArrow=True)
+    def max_word_len(text: str) -> int:
+        return max((len(w) for w in text.lower().split(" ")), default=0)
+
+    return n_long_words, max_word_len
+
+
+@register(
+    "u10_arrow_optimized_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
+                                w -> LENGTH(w) > 5)) AS BIGINT) AS n_long_words,
+           CAST(GREATEST(LIST_MAX(list_transform(
+                    string_split(lower(text), ' '), w -> LENGTH(w))), 0)
+                AS BIGINT)                                      AS max_word_len
+    FROM documents
+    WHERE doc_id < 400
+    """,
+)
+def u10_arrow_optimized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10: Spark 4's arrow-optimized REGULAR Python UDF
+    (``F.udf(..., useArrow=True)``) — scalar row semantics authored
+    like a classic UDF but executed over Arrow batches: the plan shows
+    ArrowEvalPython, never the row-pickling BatchEvalPython plancheck
+    bans. Graded against a pure-SQL re-derivation, so the boundary's
+    value fidelity (UTF-8 round-trip, None handling, long coercion) is
+    hash-checked, completing the Python-boundary census u1–u9 started.
+
+    In the engine's own terms the SQL version IS the right plan (JVM
+    higher-order functions, no Python at all) — this query exists to
+    grade the BOUNDARY, like u1/u5; the bounded doc_id < 400 filter
+    keeps the deliberately-slow path off the fact table's hot
+    volume."""
+    n_long, max_len = _long_word_stats()
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return d.select(
+        "doc_id",
+        n_long("text").alias("n_long_words"),
+        max_len("text").alias("max_word_len"),
+    )
