@@ -94,27 +94,35 @@ class CommitLog:
         # prune the version we listed as max (the docstring's "max is
         # never pruned" holds only at list time — code-review r6). The
         # standard Delta-reader pattern: re-list and re-open.
+        legacy = os.path.join(self.root, LEGACY_MANIFEST)
         for _ in range(8):
             vs = self._versions()
-            if not vs:
-                break
-            try:
-                with open(os.path.join(self.root, _manifest_name(vs[-1]))) as fh:
-                    return json.load(fh)
-            except FileNotFoundError:
-                continue
-        else:
-            raise ConcurrentCommitError(
-                "manifest read lost the list-then-open race 8 times — "
-                "pathological write contention; raise KEEP_VERSIONS"
-            )
-        legacy = os.path.join(self.root, LEGACY_MANIFEST)
-        try:  # pre-r6 single-file layout (try/open: a rival's prune
-            # may unlink it between any check and the read)
-            with open(legacy) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return json.loads(json.dumps(_EMPTY))
+            if vs:
+                try:
+                    with open(
+                        os.path.join(self.root, _manifest_name(vs[-1]))
+                    ) as fh:
+                        return json.load(fh)
+                except FileNotFoundError:
+                    continue  # rival prune won; re-list
+            else:
+                try:  # pre-r6 single-file layout
+                    with open(legacy) as fh:
+                        return json.load(fh)
+                except FileNotFoundError:
+                    # Either a genuinely fresh store, or a rival just
+                    # landed the FIRST versioned commit and its _prune
+                    # unlinked the legacy file between our listdir and
+                    # this open — re-list before concluding "empty"
+                    # (code-review r6b: returning _EMPTY here made a
+                    # committed table transiently read as empty).
+                    if self._versions():
+                        continue
+                    return json.loads(json.dumps(_EMPTY))
+        raise ConcurrentCommitError(
+            "manifest read lost the list-then-open race 8 times — "
+            "pathological write contention; raise KEEP_VERSIONS"
+        )
 
     def version(self) -> int:
         return self._read()["version"]

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from meepo_spark.catalog import table
 from meepo_spark.operators.broadcast_gate import maybe_broadcast
 from meepo_spark.queries.doc_cache import tokenized_docs
+from meepo_spark.queries._session_cache import SessionFrameCache
 from meepo_spark.functions.text import (
     BPE_TOKENS_SQL,
     CONTENT_FINGERPRINT_SQL,
@@ -1149,8 +1150,6 @@ def _bpe_fertility_oracle_sql(k: int) -> str:
     FROM a{k} GROUP BY lang""")
     return "".join(parts)
 
-
-from meepo_spark.queries._session_cache import SessionFrameCache
 
 _MERGE_TABLE_CACHE = SessionFrameCache(max_per_app=3)
 

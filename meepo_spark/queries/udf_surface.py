@@ -496,10 +496,14 @@ def _long_word_stats():
 
     @F.udf("long", useArrow=True)
     def n_long_words(text: str) -> int:
+        if text is None:  # NULL survives the boundary as None
+            return None
         return sum(1 for w in text.lower().split(" ") if len(w) > 5)
 
     @F.udf("long", useArrow=True)
     def max_word_len(text: str) -> int:
+        if text is None:
+            return None
         return max((len(w) for w in text.lower().split(" ")), default=0)
 
     return n_long_words, max_word_len
@@ -511,9 +515,10 @@ def _long_word_stats():
     SELECT doc_id,
            CAST(LEN(LIST_FILTER(string_split(lower(text), ' '),
                                 w -> LENGTH(w) > 5)) AS BIGINT) AS n_long_words,
-           CAST(GREATEST(LIST_MAX(list_transform(
-                    string_split(lower(text), ' '), w -> LENGTH(w))), 0)
-                AS BIGINT)                                      AS max_word_len
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     ELSE GREATEST(LIST_MAX(list_transform(
+                         string_split(lower(text), ' '), w -> LENGTH(w))), 0)
+                END AS BIGINT)                                  AS max_word_len
     FROM documents
     WHERE doc_id < 400
     """,
@@ -524,8 +529,11 @@ def u10_arrow_optimized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     like a classic UDF but executed over Arrow batches: the plan shows
     ArrowEvalPython, never the row-pickling BatchEvalPython plancheck
     bans. Graded against a pure-SQL re-derivation, so the boundary's
-    value fidelity (UTF-8 round-trip, None handling, long coercion) is
-    hash-checked, completing the Python-boundary census u1–u9 started.
+    value fidelity (UTF-8 round-trip, long coercion) is hash-checked,
+    completing the Python-boundary census u1–u9 started. NULL text
+    propagates as None→NULL identically on both sides by construction
+    (guarded in the UDFs, CASE'd in the oracle) — latent on these
+    fixtures, which carry no null texts (code-review r6b).
 
     In the engine's own terms the SQL version IS the right plan (JVM
     higher-order functions, no Python at all) — this query exists to

@@ -20,8 +20,6 @@ Two contracts:
 from __future__ import annotations
 
 import pathlib
-import re
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -43,7 +41,6 @@ SRC_ROOT = pathlib.Path(__file__).parent.parent / "meepo_spark"
 # Anything else (per-doc, per-user, per-token/bigram frames) is
 # data-growing and MUST use maybe_broadcast.
 ALLOWED = {"fixed", "bucket", "dim"}
-MARKER = re.compile(r"#\s*bcast:\s*(\w+)")
 
 
 def _explained(df) -> str:
