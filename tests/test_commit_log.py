@@ -326,3 +326,37 @@ def test_streaming_into_transactional_store_end_to_end(spark, tmp_path):
     )
     want = sorted((r["pk"], r["offset"]) for r in ch.select("pk", "offset").collect())
     assert got == want
+
+
+def test_read_retries_legacy_to_versioned_migration_race(tmp_path, monkeypatch):
+    """Code-review r6b: reader lists no versioned manifests (pre-
+    migration snapshot), a rival lands the FIRST versioned commit and
+    its prune unlinks the legacy file before the reader opens it —
+    _read must re-list and serve the committed state, never report a
+    committed table as empty."""
+    import json as _json
+
+    from meepo_spark.cdc import commit_log as cl
+
+    root = tmp_path / "s"
+    root.mkdir()
+    # the rival has ALREADY migrated: versioned manifest exists, legacy
+    # is gone. We simulate the reader's stale first listing by making
+    # _versions return [] exactly once.
+    (root / "_commits-00000001.json").write_text(
+        _json.dumps(
+            {"version": 1, "epochs": {"0": {"files": ["a"]}}, "files": ["a"],
+             "writer": "rival"}
+        )
+    )
+    log = CommitLog(str(root), writer_id="reader")
+    real_versions = CommitLog._versions
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real_versions(self)
+
+    monkeypatch.setattr(CommitLog, "_versions", stale_once)
+    assert log.files() == ["a"], "migration race must re-list, not read empty"
+    assert log.committed(0)
