@@ -91,3 +91,63 @@ def test_randomized_against_reference(spark):
         for _ in range(12)
     }
     assert _run(spark, words, 5) == ref_bpe(words, 5)
+
+
+def ref_apply(words: list[str], merges) -> list[list[str]]:
+    out = []
+    for w in words:
+        syms = list(w)
+        for _step, l, r, _c in merges:
+            new: list[str] = []
+            for x in syms:
+                if new and new[-1] == l and x == r:
+                    new[-1] = l + r
+                else:
+                    new.append(x)
+            syms = new
+        out.append(syms)
+    return out
+
+
+def test_apply_matches_reference_on_random_corpora(spark):
+    """bpe_apply must replay the merge table with exactly the
+    training fold's greedy-left semantics — including merges whose
+    left/right are themselves merged symbols from earlier rounds."""
+    from meepo_spark.operators.bpe import bpe_apply
+
+    rng = random.Random(11)
+    words = {
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7))): rng.randint(
+            1, 5
+        )
+        for _ in range(15)
+    }
+    train_df = spark.createDataFrame(
+        [(w, c) for w, c in words.items()], "word string, wc long"
+    )
+    merges_df = bpe_merge_table(train_df, 5)
+    merges = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in merges_df.orderBy("step").collect()
+    ]
+    applied = {
+        r["word"]: r["syms"]
+        for r in bpe_apply(
+            spark.createDataFrame([(w,) for w in words], "word string"), merges_df
+        ).collect()
+    }
+    expect = dict(zip(list(words), ref_apply(list(words), merges)))
+    assert applied == expect
+    # round-trip sanity: re-counting pairs on the applied segmentation
+    # yields no pair with a higher count than the last trained merge
+    # (greedy training exhausts the argmax at each step)
+    if merges:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for w, wc in words.items():
+            syms = applied[w]
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += wc
+        if cnt:
+            assert max(cnt.values()) <= merges[-1][3]
