@@ -82,16 +82,25 @@ def in_doubt(prepared: DataFrame, committed: DataFrame, rolled_back: DataFrame |
     return out
 
 
-def deliverable(changes: DataFrame, committed: DataFrame) -> DataFrame:
+def deliverable(
+    changes: DataFrame,
+    committed: DataFrame,
+    generation: object | None = None,
+) -> DataFrame:
     """Gate event delivery on the commit record (sqlalchemy_es_pub
     semantics: events buffered at prepare are only published after
     session_commit). One semi join whose commit-record side is
     size-gated: per-batch commit sets broadcast, but an ever-growing
     commit HISTORY (data-growing) falls back to a shuffled semi join
     instead of riding a static hint into a driver OOM (VERDICT r5 #1).
-    Streaming frames can't be probed (no actions on unstarted streams)
-    — they stay unhinted and let the planner decide."""
+    A long-running driver passing the SAME growing history frame each
+    batch should pass its batch/epoch id as ``generation`` so the gate
+    re-probes per epoch instead of pinning the first batch's verdict
+    (ADVICE r6 #2); even without it, under-bound verdicts self-expire
+    on the gate's hit-count cadence. Streaming frames can't be probed
+    (no actions on unstarted streams) — they stay unhinted and let the
+    planner decide."""
     side = committed.select("txn_id")
     if not side.isStreaming:
-        side = maybe_broadcast(side)
+        side = maybe_broadcast(side, generation=generation)
     return changes.join(side, "txn_id", "left_semi")

@@ -1112,7 +1112,7 @@ def l45_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
            m.doc_id,
            CAST(levenshtein(m.text, k.text) AS BIGINT)  AS lev,
            ROUND(1.0 - levenshtein(m.text, k.text)
-                 / GREATEST(m.n_chars, k.n_chars) + 1e-9, 4) AS sim_r
+                 / GREATEST(m.n_chars, k.n_chars, 1) + 1e-9, 4) AS sim_r
     FROM canon c
     JOIN fp m ON m.fingerprint = c.fingerprint AND m.doc_id <> c.canonical_doc
     JOIN fp k ON k.doc_id = c.canonical_doc
@@ -1160,7 +1160,7 @@ def l48_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             lev.cast("long").alias("lev"),
             F.round(
-                1.0 - lev / F.greatest("n_chars", "k_chars") + 1e-9, 4
+                1.0 - lev / F.greatest("n_chars", "k_chars", F.lit(1)) + 1e-9, 4
             ).alias("sim_r"),
         )
     )

@@ -114,6 +114,65 @@ def test_row_bound_must_be_positive(spark):
         maybe_broadcast(spark.range(1), row_bound=0)
 
 
+def test_generation_token_forces_reprobe(spark, monkeypatch):
+    """A changed ``generation`` is a new memo key → immediate re-probe
+    (ADVICE r6 #2: a commit HISTORY growing within one application
+    under an unchanged semanticHash must not ride a day-one verdict).
+    Same generation still memo-hits."""
+    side = spark.range(33).select(F.col("id").alias("kgen"))
+    cls = type(side)  # the CONCRETE class — pyspark4's classic
+    # DataFrame overrides base-class methods, so patching the abstract
+    # pyspark.sql.DataFrame would never intercept the probe's count()
+    maybe_broadcast(side, row_bound=100, generation=1)
+
+    probes = []
+    real_count = cls.count
+
+    def counting(self):
+        probes.append(1)
+        return real_count(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    maybe_broadcast(side, row_bound=100, generation=1)  # memo hit
+    assert probes == []
+    maybe_broadcast(side, row_bound=100, generation=2)  # new epoch
+    assert len(probes) == 1
+
+
+def test_under_bound_verdict_expires_after_hit_budget(spark, monkeypatch):
+    """Under-bound (broadcast) verdicts self-expire after
+    _REPROBE_AFTER_HITS memo hits, so a generation-less caller with a
+    growing frame re-validates the OOM direction on a bounded cadence.
+    Over-bound verdicts never expire (stale 'too big' is free — AQE
+    re-decides from real sizes)."""
+    from meepo_spark.operators import broadcast_gate as bg
+
+    monkeypatch.setattr(bg, "_REPROBE_AFTER_HITS", 3)
+    cls = type(spark.range(1))  # concrete class (see test above)
+    probes = []
+    real_count = cls.count
+
+    def counting(self):
+        probes.append(1)
+        return real_count(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+
+    small = spark.range(7).select(F.col("id").alias("kexp"))
+    maybe_broadcast(small, row_bound=100)  # probe #1 → under bound
+    for _ in range(3):
+        maybe_broadcast(small, row_bound=100)  # memo hits 1..3
+    assert len(probes) == 1
+    maybe_broadcast(small, row_bound=100)  # hit budget exhausted
+    assert len(probes) == 2, "under-bound verdict did not re-probe"
+
+    big = spark.range(500).select(F.col("id").alias("kexp2"))
+    maybe_broadcast(big, row_bound=10)  # probe → over bound
+    for _ in range(6):
+        maybe_broadcast(big, row_bound=10)
+    assert len(probes) == 3, "over-bound verdict must not expire"
+
+
 def test_every_static_broadcast_site_is_classified():
     """Grep-level enforcement of the audit convention: a raw
     F.broadcast( call without a recognized classification marker fails

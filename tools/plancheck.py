@@ -273,6 +273,50 @@ def wgl_final_partition_sets(plan: str) -> list[frozenset]:
 BCAST_MARKER = re.compile(r"#\s*bcast:\s*(\w+)")
 
 
+def _code_only_lines(path) -> dict[int, str]:
+    """Per-line CODE text with comments and string literals stripped
+    via the real tokenizer (ADVICE r6 #4: the previous
+    ``line.split('#')[0]`` truncated at a '#' inside a string literal,
+    and ``F.broadcast(`` occurrences inside strings/docstrings still
+    matched — the scanner is the single source of truth for both the
+    enforcement test and the PLANS.md tally, so it must not miscount).
+    Tokens are concatenated per starting line; COMMENT/STRING are
+    dropped. On Py3.11 an f-string is one STRING token, so a call
+    interpolated into an f-string is invisible to the scan (none
+    exist in-tree; on Py3.12+ the brace code tokenizes as ordinary
+    tokens and would be kept). Falls back to raw lines only if the
+    file fails to tokenize (syntax error)."""
+    import io
+    import tokenize
+
+    skip = {
+        tokenize.COMMENT,
+        tokenize.STRING,
+        tokenize.NL,
+        tokenize.NEWLINE,
+        tokenize.INDENT,
+        tokenize.DEDENT,
+        tokenize.ENCODING,
+        tokenize.ENDMARKER,
+    }
+    for name in ("FSTRING_START", "FSTRING_MIDDLE", "FSTRING_END"):
+        tok = getattr(tokenize, name, None)
+        if tok is not None:
+            skip.add(tok)
+    out: dict[int, str] = {}
+    raw = path.read_text()
+    try:
+        toks = list(tokenize.generate_tokens(io.StringIO(raw).readline))
+    except (tokenize.TokenError, SyntaxError, IndentationError):
+        return {i + 1: ln for i, ln in enumerate(raw.splitlines())}
+    for t in toks:
+        if t.type in skip:
+            continue
+        ln = t.start[0]
+        out[ln] = out.get(ln, "") + t.string
+    return out
+
+
 def broadcast_sites(src_root=None):
     """THE one scanner for static ``F.broadcast(`` sites and
     ``maybe_broadcast(`` call sites (code-review r6 #5: plancheck and
@@ -293,8 +337,9 @@ def broadcast_sites(src_root=None):
         if p.name == "broadcast_gate.py":
             continue
         lines = p.read_text().splitlines()
+        code_lines = _code_only_lines(p)
         for i, line in enumerate(lines):
-            code = line.split("#")[0]
+            code = code_lines.get(i + 1, "")
             if "F.broadcast(" in code:
                 m = BCAST_MARKER.search(line) or (
                     BCAST_MARKER.search(lines[i - 1]) if i else None
