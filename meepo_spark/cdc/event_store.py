@@ -16,6 +16,8 @@ target 128–512 MB via coalesce at write.
 from __future__ import annotations
 
 import os
+import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -198,13 +200,19 @@ class TransactionalEventStore(EventStore):
 
     Layout under ``path``::
 
-        _commits-<version>.json  the manifest (put-if-absent CAS commits)
-        data/epoch=<id>/         one parquet dir per committed epoch
-        snapshots/v<version>/    compaction outputs
+        _commits-<version>.json        the manifest (put-if-absent CAS)
+        data/epoch=<id>/<writer>-<u8>/ one parquet dir per WRITE ATTEMPT
+                                       (the manifest records the winner;
+                                       losers are vacuumable orphans)
+        snapshots/v<version>-<u8>/     compaction outputs (same rule)
 
     Crash matrix (tests/test_commit_log.py):
       * die after data write, before commit  → rows invisible; epoch
-        replay overwrites the dir and commits — converges, no dupes;
+        replay writes a fresh attempt dir and commits — converges, no
+        dupes; the dead attempt is vacuumable;
+      * two LIVE writers race the same epoch  → both write their own
+        attempt dirs; exactly one manifest commit wins; the loser's
+        data write cannot touch the winner's committed files;
       * die mid-manifest write               → previous manifest stays
         authoritative (torn ``.tmp`` ignored);
       * die between snapshot write and swap  → old file set still
@@ -219,7 +227,37 @@ class TransactionalEventStore(EventStore):
         self.commits = CommitLog(path)
 
     def _epoch_dir(self, epoch_id: int) -> str:
-        return os.path.join(self.path, "data", f"epoch={epoch_id}")
+        """A fresh WRITER-UNIQUE attempt dir for this epoch:
+        ``data/epoch=<id>/<writer>-<uuid8>`` (ADVICE r6 #1). The CAS
+        fencing protects only the manifest — two live writers
+        redelivering the same epoch both pass the ``committed()``
+        pre-check and both write data, and with a SHARED target the
+        loser's ``mode('overwrite')`` could delete the winner's files
+        AFTER the winner's manifest commit, so a reader listing files
+        from the committed manifest could scan a half-rewritten dir.
+        Per-attempt dirs make that physically impossible: the manifest
+        records the winning attempt's path, and a losing writer's data
+        write never touches files a committed manifest points at. The
+        loser's dir is an orphan — invisible to ``log()`` — reclaimed
+        by :meth:`vacuum_orphans`."""
+        token = re.sub(r"[^A-Za-z0-9_.-]", "_", self.commits.writer_id)
+        return os.path.join(
+            self.path,
+            "data",
+            f"epoch={epoch_id}",
+            f"{token}-{uuid.uuid4().hex[:8]}",
+        )
+
+    def _snapshot_dir(self) -> str:
+        """Snapshot dirs get the same per-attempt uniqueness as epoch
+        dirs — two concurrent compactions racing toward the same next
+        version must not write the same directory (the loser's
+        overwrite would gut the winner's committed snapshot)."""
+        return os.path.join(
+            self.path,
+            "snapshots",
+            f"v{self.commits.version() + 1}-{uuid.uuid4().hex[:8]}",
+        )
 
     # --- inherited raw-directory paths are OFF here --------------------
     # The base class's append/streaming_sink write event_date= dirs
@@ -250,11 +288,16 @@ class TransactionalEventStore(EventStore):
 
     # --- write path ---------------------------------------------------
     def append_epoch(self, changes: DataFrame, epoch_id: int) -> bool:
-        """Idempotent transactional append: parquet lands in the epoch
-        dir FIRST (overwrite — a retry rewrites the same dir), then one
-        manifest commit makes it visible. Returns False when the epoch
-        was already committed (redelivery): the data dir is left
-        untouched — the committed files are the record."""
+        """Idempotent transactional append: parquet lands in a fresh
+        writer-unique attempt dir FIRST (a retry writes a NEW dir and
+        orphans the old one — it never overwrites files a committed
+        manifest might already point at), then one manifest commit
+        makes it visible. Returns False when the epoch was already
+        committed (redelivery) — whether we saw that in the pre-check
+        or a rival won the same epoch while we were writing; either
+        way the committed files are the record and our attempt dir is
+        vacuumable garbage. Version races against rivals committing
+        OTHER epochs are absorbed by the bounded retry loop."""
         if self.commits.committed(epoch_id):
             return False
         target = self._epoch_dir(epoch_id)
@@ -264,7 +307,7 @@ class TransactionalEventStore(EventStore):
             .partitionBy("event_date")
             .parquet(target)
         )
-        return self.commits.commit(epoch_id, [target])
+        return self.commits.commit_with_retry(epoch_id, [target])
 
     # --- read path ----------------------------------------------------
     def log(self) -> DataFrame:
@@ -300,9 +343,7 @@ class TransactionalEventStore(EventStore):
         image per (table, pk) to a NEW snapshot dir, then replace the
         live file set in one manifest version. Late redeliveries of
         pre-compaction epochs stay no-ops (epoch ids are retained)."""
-        snap_dir = os.path.join(
-            self.path, "snapshots", f"v{self.commits.version() + 1}"
-        )
+        snap_dir = self._snapshot_dir()
         latest = (
             self.log()
             .groupBy("schema_name", "table", "pk")
@@ -330,6 +371,57 @@ class TransactionalEventStore(EventStore):
         latest.write.mode("overwrite").partitionBy("event_date").parquet(snap_dir)
         self.commits.compact([snap_dir], {"snapshot": snap_dir})
         return self.log()
+
+    def vacuum_orphans(self, grace_seconds: float = 86400.0) -> list[str]:
+        """Reclaim attempt dirs no live manifest references: losing
+        same-epoch writers, crashed pre-commit writers, and
+        pre-compaction epoch dirs the snapshot replaced. Only dirs
+        whose NEWEST file is older than ``grace_seconds`` go — an
+        in-flight writer that finished its parquet but has not yet
+        won its manifest commit has fresh mtimes and survives (the
+        Delta VACUUM retention discipline, filesystem-mtime flavored).
+        Returns the removed paths."""
+        import shutil
+        import time
+
+        live = {os.path.normpath(f) for f in self.commits.files()}
+        now = time.time()
+        candidates: list[str] = []
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for e in sorted(os.listdir(data_root)):
+                ed = os.path.join(data_root, e)
+                if e.startswith("epoch=") and os.path.isdir(ed):
+                    candidates.extend(
+                        os.path.join(ed, a) for a in sorted(os.listdir(ed))
+                    )
+        snap_root = os.path.join(self.path, "snapshots")
+        if os.path.isdir(snap_root):
+            candidates.extend(
+                os.path.join(snap_root, s) for s in sorted(os.listdir(snap_root))
+            )
+        dropped: list[str] = []
+        for d in candidates:
+            if os.path.normpath(d) in live or not os.path.isdir(d):
+                continue
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(r, f))
+                    for r, _dirs, fs in os.walk(d)
+                    for f in fs
+                ),
+                default=os.path.getmtime(d),
+            )
+            if now - newest < grace_seconds:
+                continue
+            shutil.rmtree(d)
+            dropped.append(d)
+        if os.path.isdir(data_root):  # clear now-empty epoch= parents
+            for e in sorted(os.listdir(data_root)):
+                ed = os.path.join(data_root, e)
+                if e.startswith("epoch=") and os.path.isdir(ed) and not os.listdir(ed):
+                    os.rmdir(ed)
+        return dropped
 
 class TypedTransactionalEventStore(TransactionalEventStore):
     """TransactionalEventStore whose epochs PERSIST the typed payload
@@ -396,7 +488,7 @@ class TypedTransactionalEventStore(TransactionalEventStore):
             .partitionBy("event_date")
             .parquet(target)
         )
-        return self.commits.commit(
+        return self.commits.commit_with_retry(
             epoch_id, [target], {"registry_version": version}
         )
 
@@ -458,9 +550,7 @@ class TypedTransactionalEventStore(TransactionalEventStore):
         records that version so typed_log keeps working after the swap."""
         fv = self._file_versions()
         snap_version = max((v for _, v in fv), default=max(self.registry))
-        snap_dir = os.path.join(
-            self.path, "snapshots", f"v{self.commits.version() + 1}"
-        )
+        snap_dir = self._snapshot_dir()
         cols = [f.name for f in self.typed_schema(snap_version).fields]
         payload = [c for c in cols if c != "event_date"]
         latest = (

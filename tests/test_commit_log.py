@@ -360,3 +360,142 @@ def test_read_retries_legacy_to_versioned_migration_race(tmp_path, monkeypatch):
     monkeypatch.setattr(CommitLog, "_versions", stale_once)
     assert log.files() == ["a"], "migration race must re-list, not read empty"
     assert log.committed(0)
+
+
+def test_concurrent_same_epoch_data_writes_cannot_corrupt_winner(spark, tmp_path):
+    """ADVICE r6 #1: manifest CAS fences only the manifest — two LIVE
+    writers that both passed the committed() pre-check both write
+    data. With per-attempt writer-unique dirs, the loser's parquet
+    write lands in its OWN dir, so the files a committed manifest
+    points at are untouchable by rivals; the loser's commit resolves
+    to the idempotent False and its dir becomes a vacuumable orphan."""
+    ch = events_as_changes(spark, SF_DIR).limit(120)
+    path = str(tmp_path / "race")
+    a = TransactionalEventStore(spark, path)
+    b = TransactionalEventStore(spark, path)
+    b.commits.writer_id = "rival-host:999"
+
+    # both writers are past the pre-check for epoch 7; A wins the race
+    assert a.append_epoch(ch, 7) is True
+    committed_files = a.commits.files()
+    assert len(committed_files) == 1
+    before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(committed_files[0])
+        for f in fs
+    )
+
+    # B (already past its pre-check) now performs its data write +
+    # commit — exactly what append_epoch does after the check
+    target_b = b._epoch_dir(7)
+    (
+        ch.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(target_b)
+    )
+    assert b.commits.commit_with_retry(7, [target_b]) is False
+
+    after = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(committed_files[0])
+        for f in fs
+    )
+    assert before == after, "loser's data write touched committed files"
+    assert a.commits.files() == committed_files
+    assert a.log().count() == ch.count()
+
+    # the loser's dir is an orphan: invisible to reads, vacuumable
+    dropped = a.vacuum_orphans(grace_seconds=0.0)
+    assert os.path.normpath(target_b) in {os.path.normpath(d) for d in dropped}
+    assert not os.path.exists(target_b)
+    assert a.log().count() == ch.count(), "vacuum touched live data"
+
+
+def test_commit_with_retry_two_threads_different_epochs(tmp_path):
+    """VERDICT r6 #5: two writers committing DIFFERENT epochs
+    concurrently through commit_with_retry — every epoch lands exactly
+    once, no ConcurrentCommitError escapes, and the final file set is
+    the union (raw CommitLog, no Spark — pure manifest contention)."""
+    import threading
+
+    root = str(tmp_path / "s")
+    a = CommitLog(root, writer_id="writer-a")
+    b = CommitLog(root, writer_id="writer-b")
+    results: dict[int, bool] = {}
+    errs: list[Exception] = []
+
+    def run(log, epochs):
+        try:
+            for e in epochs:
+                results[e] = log.commit_with_retry(e, [f"data/epoch={e}"])
+        except Exception as exc:  # pragma: no cover - the assertion
+            errs.append(exc)
+
+    ta = threading.Thread(target=run, args=(a, range(100, 112)))
+    tb = threading.Thread(target=run, args=(b, range(200, 212)))
+    ta.start(); tb.start(); ta.join(); tb.join()
+
+    assert errs == []
+    assert all(results[e] is True for e in results), results
+    final = a.files()
+    want = {f"data/epoch={e}" for e in list(range(100, 112)) + list(range(200, 212))}
+    assert set(final) == want and len(final) == len(want)
+    assert all(
+        a.committed(e) for e in list(range(100, 112)) + list(range(200, 212))
+    )
+
+
+def test_commit_with_retry_same_epoch_race_noops(tmp_path):
+    """Both threads hammer the SAME epochs: exactly one True per
+    epoch, the rival sees the idempotent False (redelivery contract),
+    never an error."""
+    import threading
+
+    root = str(tmp_path / "s2")
+    logs = [CommitLog(root, writer_id=f"w{i}") for i in range(2)]
+    wins: dict[int, list[bool]] = {e: [] for e in range(20)}
+    lock = threading.Lock()
+    errs: list[Exception] = []
+
+    def run(log):
+        try:
+            for e in range(20):
+                r = log.commit_with_retry(e, [f"data/epoch={e}"])
+                with lock:
+                    wins[e].append(r)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run, args=(lg,)) for lg in logs]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    for e, rs in wins.items():
+        assert sorted(rs) == [False, True], f"epoch {e}: {rs}"
+    assert len(logs[0].files()) == 20
+
+
+def test_vacuum_grace_protects_inflight_attempts(spark, tmp_path):
+    """An attempt dir younger than the grace window survives vacuum
+    (an in-flight writer between its parquet write and its manifest
+    commit must not lose its files); the same dir goes once the grace
+    is zero. Live committed dirs are never candidates."""
+    ch = events_as_changes(spark, SF_DIR).limit(60)
+    store = TransactionalEventStore(spark, str(tmp_path / "vac"))
+    assert store.append_epoch(ch, 0) is True
+
+    orphan = store._epoch_dir(1)
+    (
+        ch.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(orphan)
+    )
+    assert store.vacuum_orphans(grace_seconds=3600.0) == []
+    assert os.path.isdir(orphan)
+    dropped = store.vacuum_orphans(grace_seconds=0.0)
+    assert [os.path.normpath(d) for d in dropped] == [os.path.normpath(orphan)]
+    assert store.log().count() == ch.count()
