@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 
 @register(
@@ -45,7 +46,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             # sum in DECIMAL: exact, order-independent — double sums
@@ -105,9 +106,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),  # bcast: dim
+            maybe_broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -163,7 +164,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(

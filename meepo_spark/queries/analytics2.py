@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 
 def _dec_revenue() -> F.Column:
@@ -135,8 +136,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))  # bcast: fixed (nation)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))  # bcast: fixed (nation)
         .filter(
@@ -195,12 +196,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
+        l.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))  # bcast: fixed (nation)
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))  # bcast: fixed (region)
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))  # bcast: fixed (nation)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -249,8 +250,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     ) - (F.col("p_retailprice") * F.col("l_quantity") * 0.1).cast("decimal(18,6)")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        l.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))  # bcast: fixed (nation)
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
@@ -317,7 +318,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
+        l.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -359,8 +360,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")  # bcast: dim
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
+        l.join(maybe_broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
@@ -401,7 +402,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -451,7 +452,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
+        l.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(F.round(_dec_revenue(), 2).cast("double").alias("revenue"))
     )

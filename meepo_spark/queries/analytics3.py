@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 
 def _dec(col: str = "l_extendedprice") -> F.Column:
@@ -75,7 +76,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     regional = (
-        cost.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        cost.join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))  # bcast: fixed (region)
     )
@@ -83,7 +84,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
     ).filter(F.col("unit_cost") == F.col("min_cost"))
     return (
-        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
+        best.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_name",
             "n_name",
@@ -128,7 +129,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     v = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        l.join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))  # bcast: fixed (nation)
         .groupBy("l_partkey")
         .agg(F.sum(_dec()).alias("value"))
@@ -232,7 +233,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))  # bcast: fixed (1-row max)
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -269,8 +270,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.min("l_quantity") + F.max("l_quantity")) / 2).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))  # bcast: dim
-        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))  # bcast: dim (per-part thresholds)
+        l.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.round(F.sum(_dec()) / 7.0, 2)).cast("double").alias("avg_yearly")
@@ -309,7 +310,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     heavy = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")  # bcast: dim
+        l.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 40)
@@ -386,7 +387,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim
+        sole_late.join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

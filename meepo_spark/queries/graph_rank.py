@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 _D = 0.85  # damping
 _N = 25.0  # |nation| — fixed at every scale factor (FIXTURES.md)
@@ -98,8 +99,8 @@ def g10_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))  # bcast: dim (customer keys)
-        .join(F.broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))  # bcast: dim (supplier keys)
+        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from meepo_spark.catalog import table
 from meepo_spark.operators.joins import asof_join
 from meepo_spark.registry import register
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 
 @register(
@@ -36,7 +37,7 @@ def j1_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)  # bcast: dim
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # bcast: fixed (nation)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -400,7 +401,7 @@ def j12_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pruned.join(
-            F.broadcast(hot), pruned["o_custkey"] == hot["c_custkey"], "left_semi"  # bcast: dim (filtered customers)
+            maybe_broadcast(hot), pruned["o_custkey"] == hot["c_custkey"], "left_semi"
         )
         .groupBy("o_orderpriority")
         .agg(

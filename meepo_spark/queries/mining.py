@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 
 @register(
@@ -102,8 +103,8 @@ def m1_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.crossJoin(F.broadcast(n_ord))  # bcast: fixed (1-row total)
-        .join(F.broadcast(ta), "part_a")  # bcast: dim (per-part totals)
-        .join(F.broadcast(tb), "part_b")  # bcast: dim (per-part totals)
+        .join(maybe_broadcast(ta), "part_a")
+        .join(maybe_broadcast(tb), "part_b")
         .select(
             "part_a",
             "part_b",
@@ -504,8 +505,8 @@ def m5_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = F.col("n_both") * 1.0 / F.col("na")
     pb = F.col("nc") * 1.0 / F.col("n")
     return (
-        pairs.join(F.broadcast(totals.select(F.col("l_partkey").alias("ant"), F.col("n_item").alias("na"))), "ant")  # bcast: dim (per-part totals)
-        .join(F.broadcast(totals.select(F.col("l_partkey").alias("con"), F.col("n_item").alias("nc"))), "con")  # bcast: dim (per-part totals)
+        pairs.join(maybe_broadcast(totals.select(F.col("l_partkey").alias("ant"), F.col("n_item").alias("na"))), "ant")
+        .join(maybe_broadcast(totals.select(F.col("l_partkey").alias("con"), F.col("n_item").alias("nc"))), "con")
         .crossJoin(F.broadcast(n_ord))  # bcast: fixed (1-row total)
         .filter(
             (F.col("n_both") >= 2)

@@ -98,7 +98,7 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = (
         orders.join(
-            F.broadcast(cust.select("c_custkey")),  # bcast: dim (customer keys)
+            maybe_broadcast(cust.select("c_custkey")),
             orders.o_custkey == F.col("c_custkey"),
             "left",
         )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 
 @register(
@@ -62,7 +63,7 @@ def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)  # bcast: dim
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
@@ -488,7 +489,7 @@ def o8_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         part.join(
-            F.broadcast(frontier_prices), "p_retailprice"  # bcast: dim (price frontier)
+            maybe_broadcast(frontier_prices), "p_retailprice"
         )
         .where(F.col("p_size") == F.col("min_size"))
         .select(

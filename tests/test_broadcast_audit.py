@@ -34,13 +34,13 @@ SRC_ROOT = pathlib.Path(__file__).parent.parent / "meepo_spark"
 #            (langs, event types, calendar spines)
 #   bucket — <= MAX_BUCKETS rows by the operators/enumeration contract
 #            (executor-guarded)
-#   dim    — TPC-H dimension scan or key-projection (customer /
-#            supplier / part): SF-linear but the classic broadcast-dim
-#            regime; a 100 TB deployment re-points these through
-#            maybe_broadcast or drops the hint (documented in PLANS.md)
-# Anything else (per-doc, per-user, per-token/bigram frames) is
-# data-growing and MUST use maybe_broadcast.
-ALLOWED = {"fixed", "bucket", "dim"}
+# The 'dim' class (TPC-H customer/supplier/part scans: SF-linear) was
+# RETIRED in round 7 — all its sites route through maybe_broadcast
+# now, and removing it from ALLOWED means a new SF-linear static hint
+# cannot re-enter under the old annotation.
+# Anything not bounded by construction (per-doc, per-user,
+# per-token/bigram frames, SF-linear dims) MUST use maybe_broadcast.
+ALLOWED = {"fixed", "bucket"}
 
 
 def _explained(df) -> str:
@@ -193,6 +193,6 @@ def test_every_static_broadcast_site_is_classified():
     ]
     assert not bad, (
         "unclassified static F.broadcast sites (annotate '# bcast: "
-        "fixed|bucket|dim' or route data-growing sides through "
+        "fixed|bucket' or route SF-linear/data-growing sides through "
         "maybe_broadcast):\n" + "\n".join(bad)
     )

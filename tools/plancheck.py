@@ -383,15 +383,18 @@ def broadcast_audit_section() -> list[str]:
         "  limit-capped frames, bounded enumerations).",
         "- **bucket** — ≤ MAX_BUCKETS by the operators/enumeration",
         "  contract, executor-guarded.",
-        "- **dim** — TPC-H dimension scans/projections (customer,",
-        "  supplier, part): SF-linear; the classic broadcast-dim regime",
-        "  at the SFs this repo targets. A 100 TB deployment converts",
-        "  these to maybe_broadcast or drops the hint (Catalyst then",
-        "  size-gates from parquet scan stats).",
         "",
-        f"Data-growing build sides (size-gated via maybe_broadcast, {len(gated)}",
-        "call sites — LM count tables, per-doc/per-user lookups, FK",
-        "parent key sets, commit histories):",
+        "The former **dim** class (TPC-H customer/supplier/part",
+        "scans — SF-linear) was RETIRED in round 7: all 35 sites now",
+        "route through maybe_broadcast, so a 100 TB deployment gets",
+        "the shuffle fallback measured, not promised (the gate's memo",
+        "hit is plan-bit-identical to the old static hint, so test-SF",
+        "plans and steady-state cost are unchanged).",
+        "",
+        f"SF-linear and data-growing build sides (size-gated via "
+        f"maybe_broadcast, {len(gated)}",
+        "call sites — TPC-H dims, LM count tables, per-doc/per-user",
+        "lookups, FK parent key sets, commit histories):",
         "",
     ]
     out.extend(f"- {g}" for g in gated)
