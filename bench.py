@@ -54,6 +54,56 @@ def _family(name: str) -> str:
     return m.group(0) if m else name
 
 
+# --- host-drift sentinel (VERDICT r6 #7) ------------------------------
+# Three FIXED-SHAPE data-independent probes re-timed at the start of
+# every bench run: their only variable is the machine, so the ratio to
+# the pinned baseline is direct evidence of host drift — every BENCH
+# row carries its own normalization context instead of relying on
+# after-the-fact worktree bisects. Baselines = min-of-7 on this box,
+# fresh session, 2026-08-15 (the r5-documented drift band means a
+# factor of 1.0-1.3 is normal; ~2x spikes implicate the HOST, not the
+# diff, exactly like the a10/f2/f12 r6 flags).
+SENTINEL_BASELINE = {
+    "cpu_codegen": 0.165,  # 30M-row arithmetic fold, 32 partitions
+    "shuffle_agg": 0.514,  # 4M rows -> 4096-key hash agg -> 1-row sum
+    "arrow_roundtrip": 0.345,  # 1M rows through a pandas-UDF identity
+}
+
+
+def _sentinels(spark, warm_udf):
+    from pyspark.sql import functions as F
+
+    return {
+        "cpu_codegen": lambda: spark.range(0, 30_000_000, 1, 32).select(
+            F.sum(F.col("id") * 3 + 7)
+        ),
+        "shuffle_agg": lambda: spark.range(0, 4_000_000, 1, 32)
+        .groupBy((F.col("id") % 4096).alias("k"))
+        .count()
+        .select(F.sum("count")),
+        "arrow_roundtrip": lambda: spark.range(0, 1_000_000, 1, 32).select(
+            F.sum(warm_udf("id"))
+        ),
+    }
+
+
+def sentinel_factor(spark, warm_udf) -> tuple[float, dict[str, float]]:
+    """(median ratio to baseline, per-sentinel min-of-5 seconds)."""
+    times: dict[str, float] = {}
+    for name, build in _sentinels(spark, warm_udf).items():
+        build().collect()  # shape warm-up (codegen cache)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            build().collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+    factor = statistics.median(
+        times[n] / SENTINEL_BASELINE[n] for n in SENTINEL_BASELINE
+    )
+    return round(factor, 3), times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -81,6 +131,13 @@ def main() -> None:
         return s
 
     _force(spark.range(10_000).repartition(64).select(_warm("id")))
+
+    # host-drift sentinel: timed AFTER warm-up, BEFORE the queries, so
+    # the factor describes the machine the per-query numbers ran on
+    s_factor, s_times = sentinel_factor(spark, _warm)
+    print(
+        f"bench: sentinel_factor {s_factor} ({s_times})", file=sys.stderr
+    )
 
     per_query: dict[str, float] = {}
     for name in sorted(qs):
@@ -112,6 +169,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per_query),
+        "sentinel_factor": s_factor,
+        "sentinels": s_times,
         "median": med,
         "outlier_cut": round(cut, 3),
         "outliers": outliers,
@@ -135,6 +194,7 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "total": total,
+        "sentinel_factor": s_factor,
         "median": med,
         "failed": failed,
         "queries": per_query,

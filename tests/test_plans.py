@@ -531,7 +531,16 @@ def test_bench_no_per_query_regression_vs_prev_round():
     unchanged code. Ratios are still NORMALIZED by the median ratio
     across shared queries so a uniform environment shift cancels out.
     Flags normalized ratio > 1.5x with an absolute excess > 0.4 s;
-    deliberate trades go in BENCH_REGRESSION_WAIVED."""
+    deliberate trades go in BENCH_REGRESSION_WAIVED.
+
+    Since r7 each BENCH row also carries ``sentinel_factor`` — three
+    fixed-shape data-independent probes re-timed at bench start
+    (bench.py SENTINEL_BASELINE) — so a flagged query ships with
+    direct host-drift evidence in the failure message: env (query-
+    median drift) and sentinel (machine drift) agreeing implicates
+    the box; disagreeing implicates the diff. The sentinel
+    corroborates; env stays the normalizer (it is measured on the
+    exact query population)."""
     import json
     import os
     import statistics
@@ -617,8 +626,12 @@ def test_bench_no_per_query_regression_vs_prev_round():
                 f"band-q1 {p:.2f}s -> {c:.2f}s (norm {norm:.2f}x, "
                 f"env {env:.2f}x, {tag})"
             )
-    assert not blown, "per-query regressions vs recent bench band:\n" + "\n".join(
-        f"  {q}: {v}" for q, v in sorted(blown.items())
+    sent = cur.get("sentinel_factor")
+    assert not blown, (
+        f"per-query regressions vs recent bench band (env {env:.2f}x, "
+        f"sentinel_factor {sent} — if both are elevated the HOST "
+        "drifted; see bench.py SENTINEL_BASELINE):\n"
+        + "\n".join(f"  {q}: {v}" for q, v in sorted(blown.items()))
     )
 
 
