@@ -1562,3 +1562,241 @@ def l40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("long").alias("oov_tokens"),
         F.round(F.sum(oov) / F.count(F.lit(1)) + 1e-9, 4).alias("oov_rate"),
     )
+
+
+# --- sequence packing (VERDICT r6 #4) --------------------------------
+
+# One constant set drives the Spark queries AND the generated oracles
+# (the Holt single-sourcing discipline, r5 #6): max tokens kept per
+# document (docs longer are clipped, the loss censused), the training
+# sequence capacity, and the packing block width.
+_PACK_DOC_CAP = 80
+_PACK_SEQ_LEN = 256
+_PACK_BLOCK_W = 128
+
+_PACK_TOKS_CTE = f"""
+    toks AS (
+        SELECT doc_id,
+               least(len(string_split(lower(text), ' ')), {_PACK_DOC_CAP}) AS n,
+               greatest(len(string_split(lower(text), ' ')) - {_PACK_DOC_CAP}, 0)
+                   AS lost
+        FROM documents
+    )"""
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n, block, seq) — the shared packing stage: clip each
+    doc's whitespace-token count at _PACK_DOC_CAP, first-fit-pack in
+    doc_id order within fixed 128-doc blocks (operators/packing)."""
+    from meepo_spark.operators.packing import pack_first_fit
+
+    d = tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.least("n_toks", F.lit(_PACK_DOC_CAP)).alias("n")
+    )
+    return pack_first_fit(
+        d, capacity=_PACK_SEQ_LEN, block_width=_PACK_BLOCK_W
+    )
+
+
+def _pack_sql(src: str = "toks") -> str:
+    from meepo_spark.operators.packing import pack_first_fit_sql
+
+    return pack_first_fit_sql(
+        src, capacity=_PACK_SEQ_LEN, block_width=_PACK_BLOCK_W
+    )
+
+
+@register(
+    "l50_sequence_packing",
+    oracle=f"""
+    WITH {_PACK_TOKS_CTE},
+    packed AS ({_pack_sql()})
+    SELECT block,
+           seq,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           CAST(SUM(n) AS BIGINT)    AS seq_tokens,
+           ROUND(SUM(n) * 1.0 / {_PACK_SEQ_LEN} + 1e-9, 6) + 0.0 AS fill_rate
+    FROM packed
+    GROUP BY block, seq
+    """,
+)
+def l50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50: sequence packing — the final stage of every pretraining
+    data pipeline: documents (clipped at the 80-token doc cap) are
+    greedily FIRST-FIT packed into 256-token training sequences,
+    deterministically, and the per-sequence census (docs per
+    sequence, token fill, fill rate) is the data-efficiency
+    dashboard every training run reads — unfilled tail = wasted
+    compute, and the block-boundary fill loss is measured here
+    instead of assumed. Complements l8, the OTHER standard packing
+    family: l8 concatenates-and-chops (docs split at context
+    boundaries — zero padding waste, cross-doc attention bleed);
+    this packer keeps every doc INTACT in one sequence (bin-packing
+    waste instead, no bleed). Real pipelines pick per masking
+    strategy, so the engine grades both.
+
+    Scale shape (operators/packing.pack_first_fit): packing is a
+    sequential recurrence, so the sequential unit is BOUNDED — blocks
+    of ≤128 consecutive doc_ids pack independently via one JVM-side
+    F.aggregate fold each (state capped by the block width), behind a
+    single groupBy(block) shuffle of (id, n) pairs. No window, no
+    enumeration, no Python; embarrassingly parallel across blocks at
+    any corpus size. fill_rate divides by a power of two, so the
+    double is exact cross-engine (rounded anyway, belt and braces).
+    """
+    return (
+        _packed_docs(spark, sf_dir)
+        .groupBy("block", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("seq_tokens"),
+            (
+                F.round(F.sum("n") / F.lit(_PACK_SEQ_LEN) + 1e-9, 6) + 0.0
+            ).alias("fill_rate"),
+        )
+    )
+
+
+@register(
+    "l51_packing_census",
+    oracle=f"""
+    WITH {_PACK_TOKS_CTE},
+    packed AS ({_pack_sql()}),
+    seqs AS (
+        SELECT block, seq, SUM(n) AS seq_tokens
+        FROM packed GROUP BY block, seq
+    )
+    SELECT CAST((SELECT COUNT(*) FROM seqs) AS BIGINT)        AS n_sequences,
+           CAST((SELECT COUNT(*) FROM toks) AS BIGINT)        AS n_docs,
+           CAST((SELECT SUM(seq_tokens) FROM seqs) AS BIGINT) AS packed_tokens,
+           CAST((SELECT COUNT(*) FROM toks WHERE lost > 0) AS BIGINT)
+               AS trunc_docs,
+           CAST((SELECT SUM(lost) FROM toks) AS BIGINT)       AS trunc_tokens,
+           ROUND((SELECT SUM(seq_tokens) FROM seqs) * 1.0
+                 / ((SELECT COUNT(*) FROM seqs) * {_PACK_SEQ_LEN}) + 1e-9, 6)
+               + 0.0 AS avg_fill_rate
+    """,
+)
+def l51_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51: the packing run's one-row efficiency report — sequence
+    count, packed token mass, TRUNCATION loss (docs clipped at the
+    80-token doc cap and the tokens that cost), and the
+    realized average fill rate. The two loss channels a packing stage
+    trades between: raise the doc cap and truncation falls but
+    fragmentation (1 - fill) rises; this query is the measurement
+    that closes that loop.
+
+    Scale shape: the packing stage is l50's (bounded-block folds);
+    the census is two tiny aggregates (per-sequence then global) plus
+    one documents-scan aggregate for the truncation side — all
+    map-side-combinable, output is ONE row."""
+    toks = tokenized_docs(spark, sf_dir).select(
+        "doc_id",
+        F.least("n_toks", F.lit(_PACK_DOC_CAP)).alias("n"),
+        F.greatest(
+            F.col("n_toks") - F.lit(_PACK_DOC_CAP), F.lit(0)
+        ).alias("lost"),
+    )
+    seqs = (
+        _packed_docs(spark, sf_dir)
+        .groupBy("block", "seq")
+        .agg(F.sum("n").alias("seq_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum("seq_tokens").alias("packed_tokens"),
+        )
+    )
+    tc = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("lost") > 0, 1).otherwise(0)).cast("long").alias(
+            "trunc_docs"
+        ),
+        F.sum("lost").cast("long").alias("trunc_tokens"),
+    )
+    return seqs.crossJoin(F.broadcast(tc)).select(  # bcast: fixed (1-row census)
+        "n_sequences",
+        "n_docs",
+        "packed_tokens",
+        "trunc_docs",
+        "trunc_tokens",
+        (
+            F.round(
+                F.col("packed_tokens")
+                / (F.col("n_sequences") * F.lit(_PACK_SEQ_LEN))
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("avg_fill_rate"),
+    )
+
+
+@register(
+    "l52_shuffled_packing",
+    oracle=f"""
+    WITH {_PACK_TOKS_CTE},
+    sched AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) - 1 AS k,
+               n
+        FROM toks
+    ),
+    packed AS ({_pack_sql("sched").replace("doc_id", "k")})
+    SELECT block,
+           seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT)   AS seq_tokens,
+           ROUND(SUM(n) * 1.0 / {_PACK_SEQ_LEN} + 1e-9, 6) + 0.0 AS fill_rate
+    FROM packed
+    GROUP BY block, seq
+    """,
+)
+def l52_shuffled_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52: packing composed with the EPOCH SHUFFLE (l17's
+    deterministic md5(epoch:doc_id) permutation, epoch 0) — the order
+    a real training run actually packs in: shuffle first (so
+    neighboring sequences decorrelate), then first-fit within blocks
+    of the SHUFFLED position. Same census as l50, so the two grade
+    the fill-efficiency effect of order: doc_id order inherits any
+    length autocorrelation in the corpus; the shuffled order is the
+    exchangeable baseline.
+
+    Scale shape: the shuffled position comes from the o7
+    bucketed-enumeration discipline (operators/enumeration.
+    bucketed_row_number over 256 md5-prefix buckets — the bucket is
+    an expression of the sort key, never a partition id), then the
+    SAME bounded-block fold as l50 packs by position blocks. The
+    oracle's plain ROW_NUMBER window is the semantic spec; the
+    engine-side plan never materializes a whole-corpus window
+    partition."""
+    from meepo_spark.operators.enumeration import bucketed_row_number
+    from meepo_spark.operators.packing import pack_first_fit
+
+    d = tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.least("n_toks", F.lit(_PACK_DOC_CAP)).alias("n")
+    )
+    h = F.md5(F.concat_ws(":", F.lit(0), F.col("doc_id")))
+    keyed = d.select("doc_id", "n", h.alias("__h"))
+    ranked = bucketed_row_number(
+        keyed,
+        F.substring("__h", 1, 2),
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        out="pos",
+    ).select((F.col("pos") - 1).cast("long").alias("k"), "n")
+    return (
+        pack_first_fit(
+            ranked,
+            key_col="k",
+            capacity=_PACK_SEQ_LEN,
+            block_width=_PACK_BLOCK_W,
+        )
+        .groupBy("block", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("seq_tokens"),
+            (
+                F.round(F.sum("n") / F.lit(_PACK_SEQ_LEN) + 1e-9, 6) + 0.0
+            ).alias("fill_rate"),
+        )
+    )

@@ -57,6 +57,7 @@ WAIVER_BOUNDS: dict[str, int] = {
     "o6_null_ordering": 2000,         # per-(flag, bucket) offsets
     "a8_replay_range": 2000,          # hour buckets in the replay range
     "l8_sequence_packing": 2000,      # 1000x-reduced doc-id buckets
+    "l52_shuffled_packing": 400,      # 256 md5-prefix buckets
     "l21_classifier_auc": 4000,       # 1024-wide score bands x sources
     "l23_quality_decile_budget": 300, # 32 quality buckets
     "t19_cusum_changepoint": 400,     # ceil(days/8) bands x |types|

@@ -65,6 +65,7 @@ NESTED_LOOP_WAIVED = {
     # round-2 scalar/probe broadcasts, bounded by construction:
     "g10_pagerank_trade",  # 1-row dangling-mass aggregate per iteration
     "l4n_bm25_search",  # 1-row corpus-stats crossJoin(broadcast)
+    "l51_packing_census",  # 1-row truncation-census crossJoin(broadcast)
     "o5_keyset_pagination",  # 1-row page-anchor crossJoin(broadcast)
     "v12_poisson_bootstrap",  # 1-row point-estimate crossJoin(broadcast)
     "l3i_pq_topk",  # 10-query broadcast probe side, same shape as l3
@@ -140,6 +141,9 @@ WINDOW_WAIVED = {
     "a8_replay_range",         # per-hour-bucket replay offsets
     "l8_sequence_packing",     # per-lang offsets over the 1000x-reduced
                                # doc-id bucket aggregate
+    "l52_shuffled_packing",    # offsets over the 256-row md5-prefix
+                               # bucket aggregate (bucketed_row_number
+                               # feeding the bounded-block packer)
     "l21_classifier_auc",      # per-source offsets over 1024-wide
                                # score bands (bucketed_prefix_sum)
     "l23_quality_decile_budget",  # 32-row quality-bucket offsets
