@@ -11,6 +11,7 @@ Usage:  python tools/selfcheck.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -52,7 +53,11 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str
     return sorted_cols, canon
 
 
-def check(sf_dir: str, names: list[str] | None = None) -> int:
+def check(
+    sf_dir: str,
+    names: list[str] | None = None,
+    json_path: str | None = None,
+) -> int:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
@@ -64,29 +69,49 @@ def check(sf_dir: str, names: list[str] | None = None) -> int:
     oracles = entrymod.oracle_sql()
     names = names or sorted(qs)
     failed: list[str] = []
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "values_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "secs": None,
+            "err": None,
+        }
+        report[name] = rec
         try:
             sdf = qs[name](None if False else spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            rec["err"] = "spark raised"
             failed.append(name)
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            rec["err"] = "rows-only (no oracle)"
+            rec["secs"] = round(time.time() - t0, 2)
             continue
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            rec["err"] = "duckdb raised"
             failed.append(name)
             continue
         sc, sr = _canon_rows(scols, srows)
         dc, dr = _canon_rows(dcols, drows)
+        rec["schema_match"] = sc == dc
+        rec["rows_match"] = len(sr) == len(dr)
+        rec["secs"] = round(time.time() - t0, 2)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duckdb={dc}")
             failed.append(name)
@@ -98,16 +123,39 @@ def check(sf_dir: str, names: list[str] | None = None) -> int:
             print(f"FAIL {name}: values differ; first diffs: {diffs}")
             failed.append(name)
         else:
+            rec["values_match"] = True
             print(f"PASS {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
     print(
         f"\n{len(names)-len(failed)}/{len(names)} passed"
         + (f"; FAILED: {', '.join(failed)}" if failed else "")
     )
+    if json_path:
+        # VERDICT r6 #6: serialize the FULL replica-gate result in the
+        # CORRECTNESS_r*.json shape (plus timing), so the driver's
+        # 50-query sample's blind spot is auditable by diff instead of
+        # re-execution.
+        payload = {
+            "sf_dir": sf_dir,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "n_queries": len(names),
+            "n_failed": len(failed),
+            "failed": failed,
+            "queries": report,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+        print(f"wrote {json_path}")
     return 1 if failed else 0
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     rest = args[1:] if args and os.path.isdir(args[0]) else args
-    sys.exit(check(sf, rest or None))
+    sys.exit(check(sf, rest or None, json_path=json_path))
