@@ -402,7 +402,12 @@ class TransactionalEventStore(EventStore):
             )
         dropped: list[str] = []
         for d in candidates:
-            if os.path.normpath(d) in live or not os.path.isdir(d):
+            dn = os.path.normpath(d)
+            # self OR parent live: pre-round-7 (legacy layout) manifests
+            # record data/epoch=<id> itself, whose CHILDREN here are its
+            # committed event_date= partition dirs — deleting them would
+            # silently empty a committed epoch (code-review r7 #1)
+            if dn in live or os.path.dirname(dn) in live or not os.path.isdir(d):
                 continue
             newest = max(
                 (
@@ -419,8 +424,18 @@ class TransactionalEventStore(EventStore):
         if os.path.isdir(data_root):  # clear now-empty epoch= parents
             for e in sorted(os.listdir(data_root)):
                 ed = os.path.join(data_root, e)
-                if e.startswith("epoch=") and os.path.isdir(ed) and not os.listdir(ed):
-                    os.rmdir(ed)
+                if (
+                    e.startswith("epoch=")
+                    and os.path.normpath(ed) not in live  # legacy layout
+                    and os.path.isdir(ed)
+                    and not os.listdir(ed)
+                ):
+                    try:
+                        os.rmdir(ed)
+                    except OSError:
+                        pass  # a live writer created a new attempt dir
+                        # between the emptiness check and the rmdir
+                        # (code-review r7 #2) — leave it for next time
         return dropped
 
 class TypedTransactionalEventStore(TransactionalEventStore):

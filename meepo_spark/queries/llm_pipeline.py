@@ -1598,11 +1598,11 @@ def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pack_sql(src: str = "toks") -> str:
+def _pack_sql(src: str = "toks", key: str = "doc_id") -> str:
     from meepo_spark.operators.packing import pack_first_fit_sql
 
     return pack_first_fit_sql(
-        src, capacity=_PACK_SEQ_LEN, block_width=_PACK_BLOCK_W
+        src, key=key, capacity=_PACK_SEQ_LEN, block_width=_PACK_BLOCK_W
     )
 
 
@@ -1742,7 +1742,7 @@ def l51_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                n
         FROM toks
     ),
-    packed AS ({_pack_sql("sched").replace("doc_id", "k")})
+    packed AS ({_pack_sql("sched", key="k")})
     SELECT block,
            seq,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -499,3 +499,31 @@ def test_vacuum_grace_protects_inflight_attempts(spark, tmp_path):
     dropped = store.vacuum_orphans(grace_seconds=0.0)
     assert [os.path.normpath(d) for d in dropped] == [os.path.normpath(orphan)]
     assert store.log().count() == ch.count()
+
+
+def test_vacuum_never_touches_legacy_layout_committed_data(spark, tmp_path):
+    """Code-review r7 #1: pre-round-7 manifests record data/epoch=<id>
+    ITSELF as the committed path (attempt dirs did not exist), so that
+    dir's children are committed event_date= partitions — vacuum's
+    candidate walk (children of every epoch= dir) must treat a
+    candidate as live when its PARENT is in the manifest file set."""
+    ch = events_as_changes(spark, SF_DIR).limit(80)
+    path = str(tmp_path / "legacy")
+    store = TransactionalEventStore(spark, path)
+    # write the legacy layout by hand: parquet directly in the epoch
+    # dir, manifest pointing at the epoch dir itself
+    legacy_dir = os.path.join(path, "data", "epoch=3")
+    (
+        ch.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(legacy_dir)
+    )
+    assert store.commits.commit(3, [legacy_dir]) is True
+    n = store.log().count()
+    assert n == ch.count()
+
+    assert store.vacuum_orphans(grace_seconds=0.0) == []
+    assert store.log().count() == n, "vacuum gutted a legacy committed epoch"
+    # and the empty-parent sweep must not rmdir a LIVE legacy epoch dir
+    assert os.path.isdir(legacy_dir)

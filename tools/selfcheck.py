@@ -94,7 +94,11 @@ def check(
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            rec["err"] = "rows-only (no oracle)"
+            # ran fine, just ungradeable: None (not False) so a JSON
+            # consumer filtering on match==False doesn't misread a
+            # rows-only query as a failure (code-review r7 #5)
+            rec["rows_match"] = rec["schema_match"] = rec["values_match"] = None
+            rec["status"] = "rows-only"
             rec["secs"] = round(time.time() - t0, 2)
             continue
         try:
@@ -154,6 +158,9 @@ if __name__ == "__main__":
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: selfcheck.py [sf_dir] [names...] --json PATH")
+            sys.exit(2)
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
