@@ -1237,3 +1237,151 @@ def l47_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word") * F.col("wc")).cast("double") / n_tok + 1e-9, 4
         ).alias("chars_per_token"),
     )
+
+
+from meepo_spark.operators.fingerprint import (
+    explode_fps,
+    winnow_ctes,
+    with_fingerprints,
+)
+
+_FP_K, _FP_W = 5, 4  # k-token grams, w-gram winnow window (guarantee t = 8)
+
+
+@register(
+    "l53_winnow_fingerprints",
+    oracle=f"""
+    WITH {winnow_ctes(_FP_K, _FP_W)},
+    per AS (
+        SELECT lang,
+               COUNT(*)                        AS n_docs,
+               CAST(SUM(len(fps)) AS BIGINT)   AS n_fps,
+               CAST(SUM(n_grams) AS BIGINT)    AS n_grams
+        FROM tf GROUP BY lang
+    ),
+    dst AS (
+        SELECT lang, COUNT(DISTINCT fp) AS n_distinct_fps
+        FROM (SELECT lang, unnest(fps) AS fp FROM tf)
+        GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.n_fps,
+           CAST(d.n_distinct_fps AS BIGINT) AS n_distinct_fps,
+           ROUND(p.n_fps::DOUBLE / GREATEST(p.n_grams, 1) + 1e-9, 6)
+               AS fp_density
+    FROM per p JOIN dst d USING (lang)
+    """,
+)
+def l53_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 document fingerprinting, the rolling-hash variant the survey
+    names: Karp-Rabin polynomial hashes of every 5-token gram, winnowed
+    (MOSS, SIGMOD'03) to the distinct 4-window minima — the fingerprint
+    set any shared run of >= 8 tokens must intersect. Per language:
+    document count, total and distinct fingerprints, and the measured
+    fingerprint density, which winnowing theory pins near
+    2/(w+1) = 0.4 fingerprints per gram (the census VALIDATES the
+    operator, not just times it).
+
+    Scale shape: fingerprinting is a per-row projection fused into the
+    scan (operators/fingerprint — md5-parity token codes keep the
+    DuckDB oracle bit-identical); the census shuffles once per
+    aggregate on (lang) / (lang, fp). No Python boundary, no
+    all-pairs stage. fp_density is one division of two exact integers
+    per lang — bit-stable, rounded at 6dp."""
+    d = tokenized_docs(spark, sf_dir)
+    f = with_fingerprints(
+        d.select("doc_id", "lang", "toks"), "toks", _FP_K, _FP_W
+    ).select(
+        "doc_id",
+        "lang",
+        F.greatest(F.size("toks") - (_FP_K - 1), F.lit(0)).alias("n_grams"),
+        "fps",
+    )
+    per = f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("fps")).alias("n_fps"),
+        F.sum("n_grams").alias("n_grams"),
+    )
+    dst = (
+        explode_fps(f.select("lang", "fps"))
+        .groupBy("lang")
+        .agg(F.count_distinct("fp").alias("n_distinct_fps"))
+    )
+    return per.join(F.broadcast(dst), "lang").select(  # bcast: fixed (per-lang rows)
+        "lang",
+        "n_docs",
+        "n_fps",
+        "n_distinct_fps",
+        F.round(
+            F.col("n_fps").cast("double") / F.greatest("n_grams", F.lit(1)) + 1e-9, 6
+        ).alias("fp_density"),
+    )
+
+
+@register(
+    "l54_fingerprint_overlap",
+    oracle=f"""
+    WITH {winnow_ctes(_FP_K, _FP_W)},
+    e AS (SELECT doc_id, lang, unnest(fps) AS fp FROM tf),
+    ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 20),
+    ee AS (SELECT e.* FROM e JOIN ok USING (fp)),
+    p AS (
+        SELECT a.doc_id AS id_a, a.lang AS lang_a,
+               b.doc_id AS id_b, b.lang AS lang_b,
+               COUNT(*) AS shared
+        FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT lang_a, lang_b,
+           COUNT(*)                      AS n_pairs,
+           CAST(MAX(shared) AS BIGINT)   AS max_shared,
+           CAST(SUM(shared) AS BIGINT)   AS total_shared
+    FROM p WHERE shared >= 3
+    GROUP BY lang_a, lang_b
+    """,
+)
+def l54_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4: fingerprint-overlap candidate pairs — the MOSS candidate
+    generator over l53's winnowed sets. Explode (doc_id, fp), drop
+    stop-fingerprints (document frequency > 20 — boilerplate that
+    would create quadratic hot buckets, the stopword cut of
+    fingerprint indexing), equi-join on the 8-byte fp (the inverted
+    index — never all-pairs), and keep pairs sharing >= 3
+    fingerprints. Census per language pair keeps the graded output
+    bounded while the engine still materializes the full pair frame.
+
+    Scale shape: one wide shuffle keyed on fp (longs, not text) for
+    the self-join, one on (id_a, id_b) for the pair count; the
+    stop-fp cut caps any single fp at <= C(20,2) = 190 pairs, so no
+    key is quadratic in corpus size. The df<=20 filter is a window
+    count over fp — same shuffle the join needs, no extra pass."""
+    d = tokenized_docs(spark, sf_dir)
+    e = explode_fps(
+        with_fingerprints(d.select("doc_id", "lang", "toks"), "toks", _FP_K, _FP_W)
+        .select("doc_id", "lang", "fps")
+    )
+    ee = (
+        e.withColumn("dfreq", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("dfreq") <= 20)
+        .drop("dfreq")
+    )
+    ea = ee.select(
+        F.col("fp").alias("fp_a"),
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    eb = ee.select(
+        F.col("fp").alias("fp_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    pairs = (
+        ea.join(eb, (F.col("fp_a") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "lang_a", "id_b", "lang_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    return pairs.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("shared").alias("max_shared"),
+        F.sum("shared").alias("total_shared"),
+    )
