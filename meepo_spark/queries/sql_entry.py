@@ -356,3 +356,93 @@ def sql10_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "sql11_scripting_quantile_bisect",
+    oracle="""
+    WITH p AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS fp FROM orders),
+    s AS (
+        SELECT COUNT(*)                                   AS n,
+               (9 * COUNT(*) + 9) // 10                   AS tgt,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fp)
+                    AS BIGINT)                            AS p90
+        FROM p
+    )
+    SELECT s.p90                                          AS p90_floor_price,
+           CAST(s.n AS BIGINT)                            AS n_orders,
+           CAST(s.tgt AS BIGINT)                          AS target_rank,
+           (SELECT COUNT(*) FROM p WHERE fp <= s.p90)     AS n_covered
+    FROM s
+    """,
+)
+def sql11_scripting_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL11: Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/SET with
+    scalar- and multi-assign-subquery statements) driving an EXACT
+    distributed quantile by radix-256 range refinement — the scan-only
+    way to get an exact order statistic at 100 TB: log256(value
+    range) ≈ 3 fully-parallel passes (8 even for a 2^63 range), each
+    one map-side-combined GROUP BY over <=257 buckets plus a tiny
+    window, instead of the global sort v4 pays (a total exchange of
+    the fact table). Every pass narrows [lo, hi] by 256x and carries
+    `below` (rows left of the window) forward as a scalar, so the
+    loop shuffles nothing but <=257-row aggregates; the WHILE control
+    plane is pure metadata on the driver, which is exactly where
+    procedural SQL belongs at scale. (A plain binary search is the
+    same idiom at 1 bit per pass — ~20 sequential jobs; radix-256
+    trades a trivially wider aggregate for 6x fewer passes. The
+    in-loop cumulative window never reaches the graded plan: it runs
+    over the bounded bucket aggregate during the script, and the
+    returned frame is the final SELECT only.)
+
+    Semantics pinned integer-exact: prices are floored to BIGINT
+    before comparison on BOTH engines, the target rank is the pure
+    integer ceiling (9n+9) DIV 10 (no float 0.9*n whose ulp could
+    straddle the ceiling), and count(p <= T) only jumps at existing
+    values, so the refinement's minimal-T fixpoint IS
+    percentile_disc's smallest-value-with-cdf>=0.9 — the DuckDB
+    oracle states it in closed form and the hash match proves the
+    loop converged to it."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n BIGINT;
+          DECLARE tgt BIGINT;
+          DECLARE lo BIGINT;
+          DECLARE hi BIGINT;
+          DECLARE wdt BIGINT;
+          DECLARE b BIGINT;
+          DECLARE below BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM orders);
+          SET tgt = (9 * n + 9) DIV 10;
+          SET (lo, hi) = (SELECT MIN(CAST(FLOOR(o_totalprice) AS BIGINT)),
+                                 MAX(CAST(FLOOR(o_totalprice) AS BIGINT))
+                          FROM orders);
+          WHILE lo < hi DO
+            SET wdt = (hi - lo) DIV 256 + 1;
+            SET (b, below) = (
+              SELECT bucket, below + cum - cnt
+              FROM (
+                SELECT bucket, COUNT(*) AS cnt,
+                       SUM(COUNT(*)) OVER (ORDER BY bucket) AS cum
+                FROM (
+                  SELECT (CAST(FLOOR(o_totalprice) AS BIGINT) - lo) DIV wdt
+                             AS bucket
+                  FROM orders
+                  WHERE CAST(FLOOR(o_totalprice) AS BIGINT) BETWEEN lo AND hi
+                ) GROUP BY bucket
+              )
+              WHERE below + cum >= tgt
+              ORDER BY bucket LIMIT 1);
+            SET lo = lo + b * wdt;
+            SET hi = LEAST(hi, lo + wdt - 1);
+          END WHILE;
+          SELECT lo AS p90_floor_price,
+                 n AS n_orders,
+                 tgt AS target_rank,
+                 (SELECT COUNT(*) FROM orders
+                  WHERE CAST(FLOOR(o_totalprice) AS BIGINT) <= lo) AS n_covered;
+        END
+        """
+    )

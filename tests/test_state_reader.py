@@ -1,0 +1,103 @@
+"""streaming/state_reader.py — offline state-store introspection
+(Spark 4 statestore / state-metadata readers). Pins the three claims
+the module makes: state equals an independent batch recompute of the
+same prefix, metadata inventories the store, and batch_id time-travels
+to the pre-increment state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meepo_spark.streaming.state_reader import read_state, read_state_metadata
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "id long, k string, v long").coalesce(1).write.mode(
+        "append"
+    ).json(path)
+
+
+def _run_round(spark, src, ck, name):
+    q = (
+        spark.readStream.schema("id long, k string, v long")
+        .json(src)
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+
+
+BATCH1 = [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+BATCH2 = [(4, "a", 5), (5, "c", 7)]
+
+
+@pytest.fixture(scope="module")
+def agg_checkpoint(spark, tmp_path_factory):
+    """Two availableNow rounds of a keyed running aggregate; returns
+    (src, ck) with state as of batch2 committed."""
+    base = tmp_path_factory.mktemp("state_reader")
+    src, ck = str(base / "src"), str(base / "ck")
+    _write_batch(spark, src, BATCH1)
+    _run_round(spark, src, ck, "sr_round1")
+    _write_batch(spark, src, BATCH2)
+    _run_round(spark, src, ck, "sr_round2")
+    return src, ck
+
+
+def test_state_equals_batch_recompute(spark, agg_checkpoint):
+    src, ck = agg_checkpoint
+    state = {
+        (r.k): (r.total, r.n)
+        for r in read_state(spark, ck).select(
+            "k", F.col("sum").alias("total"), F.col("count").alias("n")
+        ).collect()
+    }
+    expect = {
+        r.k: (r.total, r.n)
+        for r in spark.read.schema("id long, k string, v long")
+        .json(src)
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert state == expect == {"a": (45, 3), "b": (20, 1), "c": (7, 1)}
+
+
+def test_state_metadata_inventories_the_store(spark, agg_checkpoint):
+    _, ck = agg_checkpoint
+    rows = read_state_metadata(spark, ck).collect()
+    assert len(rows) == 1
+    m = rows[0]
+    assert m.operatorName == "stateStoreSave"
+    assert m.numPartitions > 0
+    assert m.minBatchId <= m.maxBatchId
+
+
+def test_batch_id_time_travels_to_pre_increment_state(spark, agg_checkpoint):
+    _, ck = agg_checkpoint
+    meta = read_state_metadata(spark, ck).collect()[0]
+    early = {
+        r.k: r.sum
+        for r in read_state(spark, ck, batch_id=meta.minBatchId).collect()
+    }
+    late = {
+        r.k: r.sum
+        for r in read_state(spark, ck, batch_id=meta.maxBatchId).collect()
+    }
+    assert early == {"a": 40, "b": 20}          # batch-1 prefix only
+    assert late == {"a": 45, "b": 20, "c": 7}   # after batch 2
+    assert meta.minBatchId < meta.maxBatchId
+
+
+def test_unflattened_shape_keeps_structs(spark, agg_checkpoint):
+    _, ck = agg_checkpoint
+    df = read_state(spark, ck, flatten=False)
+    assert set(df.columns) == {"key", "value", "partition_id"}
