@@ -1340,3 +1340,91 @@ def l35_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.sqrt("s0") * F.sqrt("s1")) + 1e-9, 6) + 0.0
         ).alias("centroid_cos_r"),
     ).orderBy("label")
+
+
+@register(
+    "l55_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+               FROM embeddings),
+         full5 AS (
+            SELECT q_id, c_id, cos, rank FROM (
+                SELECT q_id, c_id,
+                       list_cosine_similarity(q_vec, c_vec) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY list_cosine_similarity(q_vec, c_vec) DESC,
+                                    c_id ASC) AS rank
+                FROM q JOIN c ON q_id <> c_id
+            ) WHERE rank <= 5
+         ),
+         tr5 AS (
+            SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY list_cosine_similarity(q_vec[1:16],
+                                                           c_vec[1:16]) DESC,
+                                    c_id ASC) AS rank
+                FROM q JOIN c ON q_id <> c_id
+            ) WHERE rank <= 5
+         ),
+         hits AS (
+            SELECT q_id, COUNT(*) AS h
+            FROM full5 JOIN tr5 USING (q_id, c_id)
+            GROUP BY q_id
+         )
+    SELECT f.q_id, f.c_id, ROUND(f.cos, 6) AS cos_r,
+           CAST(f.rank AS BIGINT) AS rank,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS trunc_hits
+    FROM full5 f LEFT JOIN hits h USING (q_id)
+    """,
+)
+def l55_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: Matryoshka-truncation retrieval evaluation — rank the
+    corpus by cosine over only the FIRST 16 of 64 embedding dims (the
+    MRL deployment trick: 4x less compute and memory in the ANN tier)
+    and measure, per query, how many of the truncated top-5 survive
+    in the full-dimension exact top-5. This is the measurement that
+    decides the production two-tier layout: truncated-dim ANN
+    shortlist (cheap, IVF/LSH-compatible — l3b/l3k) feeding a
+    full-dim exact re-rank (l3l's ADC-then-rerank shape); trunc_hits
+    is the shortlist recall that sets the rerank depth.
+
+    Unlike l3d's TRAINED quantizer (statistical recall gate), the
+    truncation is pure arithmetic, so BOTH rankings are exact SQL and
+    the whole evaluation is bit-graded: slices are F.slice(v,1,16) ≡
+    DuckDB v[1:16], cosines are the sequential float64 folds that
+    bit-match list_cosine_similarity, ties break on c_id. Output rows
+    are the full-dim top-5 (deterministic) with the per-query integer
+    overlap joined on."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    full5 = cosine_topk(
+        q, c, k=5,
+        query_id="q_id", query_vec="q_vec", corpus_id="c_id", corpus_vec="c_vec",
+        pair_filter=F.col("q_id") != F.col("c_id"),
+    )
+    tr5 = cosine_topk(
+        q.select("q_id", F.slice("q_vec", 1, 16).alias("q_vec")),
+        c.select("c_id", F.slice("c_vec", 1, 16).alias("c_vec")),
+        k=5,
+        query_id="q_id", query_vec="q_vec", corpus_id="c_id", corpus_vec="c_vec",
+        pair_filter=F.col("q_id") != F.col("c_id"),
+    ).select("q_id", "c_id")
+    hits = (
+        full5.select("q_id", "c_id")
+        .join(tr5, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return full5.join(F.broadcast(hits), "q_id", "left").select(  # bcast: fixed (q x k hits)
+        "q_id",
+        "c_id",
+        F.round("cos", 6).alias("cos_r"),
+        "rank",
+        F.coalesce("h", F.lit(0)).alias("trunc_hits"),
+    )

@@ -446,3 +446,41 @@ def sql11_scripting_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFra
         END
         """
     )
+
+
+@register(
+    "sql12_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS total_floor
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql12_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL12: EXECUTE IMMEDIATE with named parameter binds — the
+    dynamic-SQL primitive of metadata-driven pipelines (a rule table
+    or config supplies the query TEXT and the binds at runtime; think
+    per-tenant data-quality rules or templated extraction jobs). The
+    named `:param ... USING expr AS param` form binds by NAME, so the
+    statement is injection-safe and plan-cacheable — the bind values
+    never enter the SQL text, unlike string interpolation. Catalyst
+    parameterizes and then plans the inner statement exactly as if it
+    were written inline: same pushdown, same aggregate shape — the
+    DuckDB oracle IS that inlined form, and the hash match proves the
+    bind path changes nothing. Sum is over floored-to-BIGINT prices,
+    integer-exact cross-engine."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total_floor
+           FROM orders WHERE o_orderstatus = :st AND o_totalprice > :cutoff
+           GROUP BY o_orderpriority'
+        USING 'F' AS st, 100000 AS cutoff
+        """
+    )

@@ -47,6 +47,7 @@ BNLJ_BOUNDS: dict[str, int] = {
     # fixed probe / seed sets
     "l3_cosine_topk": 32,
     "l3d_ivf_topk": 32,
+    "l55_matryoshka_recall": 32,
     "l3h_mips_topk": 32,
     "l3i_pq_topk": 32,
     "l34_hard_negatives": 32,

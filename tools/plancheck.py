@@ -106,6 +106,8 @@ NESTED_LOOP_WAIVED = {
     "l3d_ivf_topk",  # 10-query broadcast probe side for the in-query
     # exact top-5 (the statistical-oracle twin of the IVF run), same
     # shape as l3/l3h/l3i
+    "l55_matryoshka_recall",  # 10-query broadcast probe side x2 (full
+    # + truncated rankings), the l3/l3d shape
     "l38_temperature_mixture",  # 1-row (n, z, b) totals crossJoin(broadcast)
     "l41_lsh_band_tuning",  # 4-row (r, b) config-grid crossJoin(broadcast)
     "l43_dup_quality_interaction",  # 1-row (lo, hi, N) ntile-range broadcast
