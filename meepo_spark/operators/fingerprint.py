@@ -115,6 +115,43 @@ def with_fingerprints(df, toks_col: str, k: int, w: int, out: str = "fps"):
     )
 
 
+def candidate_pairs(e, max_df: int = 20, min_shared: int = 3):
+    """MOSS candidate generation over an exploded (doc_id, fp, ...)
+    frame: stop-fingerprint cut (document frequency <= ``max_df`` — a
+    window count over fp, the same shuffle the join needs), inverted-
+    index self-join on the 8-byte fp (never all-pairs), keep pairs
+    sharing >= ``min_shared`` fingerprints. Any extra columns of ``e``
+    ride along as ``<col>_a`` / ``<col>_b``. The single source of
+    truth for both the graded l54 query and the SCALE.md §19 probe —
+    the cut's cap (C(max_df,2) pairs per fp) is what keeps the join
+    linear in the corpus's dup structure."""
+    from pyspark.sql import Window as _W
+
+    extras = [c for c in e.columns if c not in ("doc_id", "fp")]
+    ee = (
+        e.withColumn("__df", F.count(F.lit(1)).over(_W.partitionBy("fp")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+    ea = ee.select(
+        F.col("fp").alias("fp_a"),
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extras],
+    )
+    eb = ee.select(
+        F.col("fp").alias("fp_b"),
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in extras],
+    )
+    keys = ["id_a", *[f"{c}_a" for c in extras], "id_b", *[f"{c}_b" for c in extras]]
+    return (
+        ea.join(eb, (F.col("fp_a") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def explode_fps(df, fps_col: str = "fps", out: str = "fp"):
     """Explode the fingerprint set WITHOUT re-triggering the inline
     blowup ``with_fingerprints`` exists to prevent: a plain explode
@@ -177,13 +214,10 @@ def winnow_ctes(k: int, w: int) -> str:
     return f"""
     t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
           FROM documents),
-    tc AS (SELECT doc_id, lang, len(toks) AS n_toks,
-                  {codes} AS codes
-           FROM t),
-    tg AS (SELECT doc_id, lang, n_toks,
-                  {gram_hashes_sql('codes', k)} AS gh
+    tc AS (SELECT doc_id, lang, {codes} AS codes FROM t),
+    tg AS (SELECT doc_id, lang, {gram_hashes_sql('codes', k)} AS gh
            FROM tc),
-    tf AS (SELECT doc_id, lang, n_toks, len(gh) AS n_grams,
+    tf AS (SELECT doc_id, lang, len(gh) AS n_grams,
                   {winnow_sql('gh', w)} AS fps
            FROM tg)
     """

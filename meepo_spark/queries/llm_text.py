@@ -1240,6 +1240,7 @@ def l47_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from meepo_spark.operators.fingerprint import (
+    candidate_pairs,
     explode_fps,
     winnow_ctes,
     with_fingerprints,
@@ -1359,27 +1360,7 @@ def l54_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_fingerprints(d.select("doc_id", "lang", "toks"), "toks", _FP_K, _FP_W)
         .select("doc_id", "lang", "fps")
     )
-    ee = (
-        e.withColumn("dfreq", F.count(F.lit(1)).over(W.partitionBy("fp")))
-        .filter(F.col("dfreq") <= 20)
-        .drop("dfreq")
-    )
-    ea = ee.select(
-        F.col("fp").alias("fp_a"),
-        F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-    )
-    eb = ee.select(
-        F.col("fp").alias("fp_b"),
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-    )
-    pairs = (
-        ea.join(eb, (F.col("fp_a") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "lang_a", "id_b", "lang_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 3)
-    )
+    pairs = candidate_pairs(e, max_df=20, min_shared=3)
     return pairs.groupBy("lang_a", "lang_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.max("shared").alias("max_shared"),

@@ -26,6 +26,7 @@ unpacked to columns) and the option plumbing tests can pin.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
@@ -42,16 +43,22 @@ def read_state(
     *,
     operator_id: int = 0,
     batch_id: int | None = None,
+    store_name: str | None = None,
+    join_side: str | None = None,
     flatten: bool = True,
 ) -> DataFrame:
     """The keyed state of one stateful operator as a batch DataFrame.
 
     ``batch_id=None`` reads the latest committed batch; an explicit id
     pins the store as of that batch (bounded below by the checkpoint's
-    retention — see ``read_state_metadata``). With ``flatten`` the
-    ``key``/``value`` structs are unpacked into their fields (name
-    collisions keep the struct prefix via the aliased select), which
-    is the shape audits join against the live tables.
+    retention — see ``read_state_metadata``). Multi-store operators
+    need one of the selectors Spark's reader requires: ``store_name``
+    (see the metadata's ``stateStoreName`` column) or, for
+    stream-stream joins, ``join_side`` ('left' | 'right'). With
+    ``flatten`` the ``key``/``value`` structs are unpacked into their
+    fields; a field name appearing in BOTH structs (or shadowing
+    ``partition_id``) keeps its struct prefix as ``key_<f>`` /
+    ``value_<f>`` so the result is always joinable by name.
     """
     reader = (
         spark.read.format("statestore")
@@ -59,7 +66,26 @@ def read_state(
     )
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    if join_side is not None:
+        reader = reader.option("joinSide", join_side)
     df = reader.load(checkpoint)
-    if not flatten:
-        return df
-    return df.select("key.*", "value.*", "partition_id")
+    return _flatten_state(df) if flatten else df
+
+
+def _flatten_state(df: DataFrame) -> DataFrame:
+    """Unpack key/value structs to columns; a field present in BOTH
+    structs (or shadowing partition_id) keeps its struct prefix."""
+    key_fields = [f.name for f in df.schema["key"].dataType.fields]
+    val_fields = [f.name for f in df.schema["value"].dataType.fields]
+    clash = (set(key_fields) & set(val_fields)) | {"partition_id"}
+    cols = [
+        F.col(f"key.{f}").alias(f"key_{f}" if f in clash else f)
+        for f in key_fields
+    ]
+    cols += [
+        F.col(f"value.{f}").alias(f"value_{f}" if f in clash else f)
+        for f in val_fields
+    ]
+    return df.select(*cols, "partition_id")

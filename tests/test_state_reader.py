@@ -101,3 +101,27 @@ def test_unflattened_shape_keeps_structs(spark, agg_checkpoint):
     _, ck = agg_checkpoint
     df = read_state(spark, ck, flatten=False)
     assert set(df.columns) == {"key", "value", "partition_id"}
+
+
+def test_flatten_prefixes_colliding_fields(spark):
+    """A field name in BOTH structs (or shadowing partition_id) keeps
+    its struct prefix so the flattened frame stays joinable by name
+    (review finding: the docstring promised this before the code did).
+    Exercised synthetically — real agg state uses positional field
+    names, but custom stateful operators (transformWithState value
+    schemas) can echo key fields verbatim."""
+    from meepo_spark.streaming.state_reader import _flatten_state
+
+    df = spark.createDataFrame(
+        [((1, "x"), ("x", 5, 7), 3)],
+        "key struct<k:long, partition_id:string>, "
+        "value struct<k:string, total:long, n:long>, partition_id int",
+    )
+    flat = _flatten_state(df)
+    assert flat.columns == [
+        "key_k", "key_partition_id", "value_k", "total", "n", "partition_id"
+    ]
+    r = flat.collect()[0]
+    assert (r.key_k, r.key_partition_id, r.value_k, r.total, r.n, r.partition_id) == (
+        1, "x", "x", 5, 7, 3
+    )

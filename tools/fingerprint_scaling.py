@@ -30,9 +30,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
-from meepo_spark.operators.fingerprint import explode_fps, with_fingerprints
+from meepo_spark.operators.fingerprint import (
+    candidate_pairs,
+    explode_fps,
+    with_fingerprints,
+)
 from meepo_spark.session import get_spark
 
 
@@ -60,6 +63,9 @@ def main() -> None:
         for i in range(1, mult):
             d = d.unionAll(rep(i))
         t0 = time.time()
+        # persist the exploded frame so the projection is measured
+        # ONCE (fps count + pair join share it), exactly the l53/l54
+        # pipeline via the same shared candidate_pairs operator
         e = explode_fps(
             with_fingerprints(
                 d.withColumn("toks", F.split(F.lower("text"), " ")).select(
@@ -67,23 +73,12 @@ def main() -> None:
                 ),
                 "toks", 5, 4,
             ).select("doc_id", "fps")
-        )
-        ee = (
-            e.withColumn("dfreq", F.count(F.lit(1)).over(W.partitionBy("fp")))
-            .filter(F.col("dfreq") <= 20)
-            .drop("dfreq")
-        )
-        ea = ee.select("fp", F.col("doc_id").alias("id_a"))
-        eb = ee.select(
-            F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b")
-        )
-        pairs = (
-            ea.join(eb, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .filter(F.col("shared") >= 3)
-        )
-        n_fps, n_pairs = e.count(), pairs.count()
+        ).persist()
+        try:
+            n_fps = e.count()
+            n_pairs = candidate_pairs(e, max_df=20, min_shared=3).count()
+        finally:
+            e.unpersist()
         return n_fps, n_pairs, time.time() - t0
 
     run(1)  # warm the codegen path once so multiples are comparable
