@@ -1307,3 +1307,102 @@ def l49_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_r"
         ),
     )
+
+
+@register(
+    "l56_split_leakage",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored_pairs AS (
+        SELECT s.id_a, s.id_b,
+               s.c * 1.0 / (la.ln + lb.ln - s.c) AS jaccard
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+    ),
+    dup_pairs AS (
+        SELECT id_a, id_b FROM scored_pairs WHERE jaccard >= 0.6
+    ),
+    sp AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    ),
+    j AS (
+        SELECT sa.lang AS lang,
+               (sa.split <> sb.split) AS leaky,
+               CASE WHEN sa.split = 'eval' THEN p.id_a
+                    WHEN sb.split = 'eval' THEN p.id_b END AS eval_id
+        FROM dup_pairs p
+        JOIN sp sa ON sa.doc_id = p.id_a
+        JOIN sp sb ON sb.doc_id = p.id_b
+    )
+    SELECT lang,
+           COUNT(*)                                           AS n_pairs,
+           CAST(SUM(CASE WHEN leaky THEN 1 ELSE 0 END)
+                AS BIGINT)                                    AS n_leaky_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN leaky THEN eval_id END)
+                AS BIGINT)                                    AS n_eval_contaminated
+    FROM j
+    GROUP BY lang
+    """,
+)
+def l56_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: train/eval split-leakage audit — the contamination check
+    every pretraining pipeline needs BEFORE trusting its held-out
+    loss: assign the standard hash split (doc_id%10: 8 train / 2
+    eval), then count verified near-dup pairs (the l2 pipeline,
+    session-cached frame) that STRADDLE the split. Each leaky pair
+    puts a near-copy of a training document in the eval set; the
+    per-lang census reports total dup pairs, leaky pairs, and
+    distinct contaminated eval docs — the docs a cluster-aware split
+    (assign by dup-cluster canonical, l2e's components) would have
+    kept clean by construction.
+
+    Scale shape: one broadcast-free equi-join of the bounded pair
+    frame against the 3-column split projection per side; leakage is
+    a property of PAIRS, so cost tracks the dup structure (SCALE.md
+    §4), never corpus². The eval-side member is well-defined for a
+    leaky pair (exactly one side is eval), making the contaminated
+    count integer-exact cross-engine."""
+    pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    sp = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.pmod("doc_id", F.lit(10)) < 8, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    sa = sp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang"),
+        F.col("split").alias("split_a"),
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    j = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "lang",
+            (F.col("split_a") != F.col("split_b")).alias("leaky"),
+            F.when(F.col("split_a") == "eval", F.col("id_a"))
+            .when(F.col("split_b") == "eval", F.col("id_b"))
+            .alias("eval_id"),
+        )
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("leaky"), 1).otherwise(0)).alias("n_leaky_pairs"),
+        F.count_distinct(F.when(F.col("leaky"), F.col("eval_id"))).alias(
+            "n_eval_contaminated"
+        ),
+    )
