@@ -121,10 +121,14 @@ def candidate_pairs(e, max_df: int = 20, min_shared: int = 3):
     window count over fp, the same shuffle the join needs), inverted-
     index self-join on the 8-byte fp (never all-pairs), keep pairs
     sharing >= ``min_shared`` fingerprints. Any extra columns of ``e``
-    ride along as ``<col>_a`` / ``<col>_b``. The single source of
-    truth for both the graded l54 query and the SCALE.md §19 probe —
-    the cut's cap (C(max_df,2) pairs per fp) is what keeps the join
-    linear in the corpus's dup structure."""
+    ride along as ``<col>_a`` / ``<col>_b`` — they join the pair
+    GROUP BY, so they MUST be functionally dependent on doc_id (lang,
+    source, split...); a per-fingerprint column (a position, a window
+    index) would fragment each pair's shared count across its values
+    and silently drop real candidates below ``min_shared``. The
+    single source of truth for both the graded l54 query and the
+    SCALE.md §19 probe — the cut's cap (C(max_df,2) pairs per fp) is
+    what keeps the join linear in the corpus's dup structure."""
     from pyspark.sql import Window as _W
 
     extras = [c for c in e.columns if c not in ("doc_id", "fp")]

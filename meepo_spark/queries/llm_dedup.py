@@ -1366,10 +1366,13 @@ def l56_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assign by dup-cluster canonical, l2e's components) would have
     kept clean by construction.
 
-    Scale shape: one broadcast-free equi-join of the bounded pair
-    frame against the 3-column split projection per side; leakage is
-    a property of PAIRS, so cost tracks the dup structure (SCALE.md
-    §4), never corpus². The eval-side member is well-defined for a
+    Scale shape: one equi-join of the bounded pair frame against the
+    3-column split projection per side (AQE broadcasts the pruned
+    projection at test SFs — PLANS.md records the BHJ — and falls
+    back to shuffle-hash when the corpus outgrows the threshold;
+    neither side is pinned by a hint); leakage is a property of
+    PAIRS, so cost tracks the dup structure (SCALE.md §4), never
+    corpus². The eval-side member is well-defined for a
     leaky pair (exactly one side is eval), making the contaminated
     count integer-exact cross-engine."""
     pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")

@@ -302,8 +302,6 @@ def l4l_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines regress identical (x, y) point sets; the regression
     itself is sums-of-products over ≤100 points, where 3dp rounding
     absorbs association-order skew."""
-    from pyspark.sql import Window as W
-
     d = tokenized_docs(spark, sf_dir)
     tok = d.select("lang", F.explode(F.col("toks")).alias("token"))
     freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))

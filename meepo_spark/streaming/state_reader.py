@@ -76,10 +76,24 @@ def read_state(
 
 def _flatten_state(df: DataFrame) -> DataFrame:
     """Unpack key/value structs to columns; a field present in BOTH
-    structs (or shadowing partition_id) keeps its struct prefix."""
+    structs (or shadowing partition_id) keeps its struct prefix. If
+    the prefixing itself would still collide (a literal ``key_<f>`` /
+    ``value_<f>`` field next to a clashing ``<f>``), fail loudly —
+    an ambiguous frame would break the 'joinable by name' contract
+    silently on first use; such schemas should use flatten=False."""
     key_fields = [f.name for f in df.schema["key"].dataType.fields]
     val_fields = [f.name for f in df.schema["value"].dataType.fields]
     clash = (set(key_fields) & set(val_fields)) | {"partition_id"}
+    names = [f"key_{f}" if f in clash else f for f in key_fields]
+    names += [f"value_{f}" if f in clash else f for f in val_fields]
+    names.append("partition_id")
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"state schema flattens ambiguously (duplicate columns "
+            f"{sorted(dupes)}); read with flatten=False and unpack "
+            "the key/value structs explicitly"
+        )
     cols = [
         F.col(f"key.{f}").alias(f"key_{f}" if f in clash else f)
         for f in key_fields

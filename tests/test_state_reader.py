@@ -125,3 +125,20 @@ def test_flatten_prefixes_colliding_fields(spark):
     assert (r.key_k, r.key_partition_id, r.value_k, r.total, r.n, r.partition_id) == (
         1, "x", "x", 5, 7, 3
     )
+
+
+def test_flatten_raises_on_ambiguous_schema(spark):
+    """If prefixing cannot disambiguate (a literal value_k field next
+    to a clashing k), fail loudly instead of returning a frame whose
+    first by-name reference throws AMBIGUOUS_REFERENCE."""
+    import pytest as _pytest
+
+    from meepo_spark.streaming.state_reader import _flatten_state
+
+    df = spark.createDataFrame(
+        [((1,), ("x", "y"), 3)],
+        "key struct<k:long>, value struct<k:string, value_k:string>, "
+        "partition_id int",
+    )
+    with _pytest.raises(ValueError, match="value_k"):
+        _flatten_state(df)
