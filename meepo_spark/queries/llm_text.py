@@ -1364,3 +1364,70 @@ def l54_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("shared").alias("max_shared"),
         F.sum("shared").alias("total_shared"),
     )
+
+
+@register(
+    "l57_winnow_dedup_survivors",
+    oracle=f"""
+    WITH {winnow_ctes(_FP_K, _FP_W)},
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM tf),
+    ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 20),
+    ee AS (SELECT e.* FROM e JOIN ok USING (fp)),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM p WHERE shared >= 3)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id NOT IN (SELECT id_b FROM dropped)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT id_b FROM dropped)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def l57_winnow_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4: the dedup pass the winnowing index exists for — drop
+    every document that shares >= 3 fingerprints with a LOWER doc_id
+    (greedy min-id survivor, the l2b convention), per-lang census.
+    Completes the MOSS pipeline: l53 builds the fingerprint sets, l54
+    generates candidate pairs on the inverted index, this query
+    resolves them into a deduplicated corpus — the same
+    detect-then-resolve split the MinHash family uses (l2 -> l2b),
+    with fingerprints instead of signatures doing the blocking.
+
+    Scale shape: candidate generation is the shared
+    operators/fingerprint.candidate_pairs (stop-fp cut keeps the fp
+    join linear in dup structure, SCALE.md §19); the resolution is
+    ONE anti-join of the corpus against the distinct dropped-id set.
+    All-integer output."""
+    d = tokenized_docs(spark, sf_dir)
+    e = explode_fps(
+        with_fingerprints(d.select("doc_id", "toks"), "toks", _FP_K, _FP_W)
+        .select("doc_id", "fps")
+    )
+    dropped = (
+        candidate_pairs(e, max_df=20, min_shared=3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    docs = d.select("doc_id", "lang")
+    flagged = docs.join(dropped, "doc_id", "left_semi").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(flagged), "lang", "left")  # bcast: fixed (per-lang rows)
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs") - F.coalesce("n_removed", F.lit(0))).alias(
+                "n_survivors"
+            ),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
