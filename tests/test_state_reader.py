@@ -142,3 +142,29 @@ def test_flatten_raises_on_ambiguous_schema(spark):
     )
     with _pytest.raises(ValueError, match="value_k"):
         _flatten_state(df)
+
+
+def test_dedup_operator_state_is_readable(spark, tmp_path):
+    """The reader works across operator types, not just aggregates:
+    dropDuplicates state stores the seen-key set — reading it back
+    IS the 'which keys is the stream holding' audit the module
+    advertises. Keys flatten to columns; dedup state has no value
+    payload beyond the marker struct."""
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    _write_batch(spark, src, BATCH1)
+    q = (
+        spark.readStream.schema("id long, k string, v long")
+        .json(src)
+        .dropDuplicates(["k"])
+        .writeStream.format("memory")
+        .queryName("sr_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    meta = read_state_metadata(spark, ck).collect()
+    assert len(meta) == 1 and meta[0].operatorName == "dedupe"
+    state = read_state(spark, ck)
+    assert sorted(r.k for r in state.collect()) == ["a", "b"]
