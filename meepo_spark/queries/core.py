@@ -589,3 +589,56 @@ def f19_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("masked").alias("n_masked_patterns"),
         F.max("is_vc").alias("matches_vc"),
     )
+
+
+@register(
+    "f20_try_arithmetic",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS p,
+               CAST(l_quantity AS BIGINT) - 25        AS q
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_div,
+           CAST(SUM(CASE WHEN q <> 0
+                         THEN CAST(FLOOR(p * 1.0 / q) AS BIGINT) END)
+               AS BIGINT) AS sum_floor_div,
+           CAST(SUM(CASE WHEN q <> 0 THEN p % q END) AS BIGINT)
+               AS sum_mod
+    FROM t
+    GROUP BY l_returnflag
+    """,
+)
+def f20_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/ANSI surface: the Spark 4 ``try_*`` error-safe arithmetic
+    family — under ANSI mode (which this repo's driver sessions run),
+    a plain division or mod by zero RAISES; ``try_divide``/``try_mod``
+    return NULL instead, which is the migration path for pipelines
+    moving from legacy to ANSI semantics without wrapping every
+    expression in CASE. The fixture hits the error path for real
+    (l_quantity = 25 → divisor 0 on ~2% of lineitem).
+
+    The DuckDB oracle states the NULL-on-zero contract explicitly
+    (CASE WHEN q <> 0) — the hash match proves try_* implements
+    exactly that. Integer-exact cross-engine: each quotient is
+    FLOORed per row before the sum (identical IEEE division both
+    engines, math-floor on negatives verified both engines), and %
+    is sign-of-dividend in both. NULL rows (zero divisors) drop out
+    of both engines' SUMs identically."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_extendedprice").cast("long").alias("p"),
+        (F.col("l_quantity").cast("long") - 25).alias("q"),
+    )
+    d = F.try_divide(F.col("p").cast("double"), F.col("q").cast("double"))
+    m = F.try_mod("p", "q")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("q") == 0, 1).otherwise(0)).alias("n_zero_div"),
+        F.sum(F.floor(d).cast("long")).alias("sum_floor_div"),
+        F.sum(m).alias("sum_mod"),
+    )
