@@ -117,39 +117,54 @@ def with_fingerprints(df, toks_col: str, k: int, w: int, out: str = "fps"):
 
 def candidate_pairs(e, max_df: int = 20, min_shared: int = 3):
     """MOSS candidate generation over an exploded (doc_id, fp, ...)
-    frame: stop-fingerprint cut (document frequency <= ``max_df`` — a
-    window count over fp, the same shuffle the join needs), inverted-
-    index self-join on the 8-byte fp (never all-pairs), keep pairs
-    sharing >= ``min_shared`` fingerprints. Any extra columns of ``e``
-    ride along as ``<col>_a`` / ``<col>_b`` — they join the pair
-    GROUP BY, so they MUST be functionally dependent on doc_id (lang,
-    source, split...); a per-fingerprint column (a position, a window
-    index) would fragment each pair's shared count across its values
+    frame: ONE shuffle keyed on the 8-byte fp collects each
+    fingerprint's posting list; buckets larger than ``max_df`` are
+    the stop-fingerprint cut (boilerplate that would otherwise create
+    quadratic hot buckets); pairs are expanded MAP-SIDE inside each
+    surviving <= max_df-member bucket (<= C(max_df, 2) = 190 per fp,
+    a pure array expression — no self-join, the subtree is computed
+    once); a final aggregate on (id_a, id_b) counts shared
+    fingerprints and keeps pairs >= ``min_shared``. Bucketed pair
+    expansion is the same discipline as the LSH verify stage
+    (operators/dedup): pair work tracks the dup structure, never
+    corpus². Any extra columns of ``e`` ride along as ``<col>_a`` /
+    ``<col>_b`` — they join the pair GROUP BY, so they MUST be
+    functionally dependent on doc_id (lang, source, split...); a
+    per-fingerprint column would fragment each pair's shared count
     and silently drop real candidates below ``min_shared``. The
-    single source of truth for both the graded l54 query and the
-    SCALE.md §19 probe — the cut's cap (C(max_df,2) pairs per fp) is
-    what keeps the join linear in the corpus's dup structure."""
-    from pyspark.sql import Window as _W
-
+    single source of truth for both the graded l54/l57 queries and
+    the SCALE.md §19 probe."""
     extras = [c for c in e.columns if c not in ("doc_id", "fp")]
-    ee = (
-        e.withColumn("__df", F.count(F.lit(1)).over(_W.partitionBy("fp")))
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
+    member = F.struct(F.col("doc_id").alias("doc_id"), *extras)
+    # array_sort orders by doc_id (first struct field), so a < b
+    # pairing is deterministic regardless of collect_list order
+    buckets = (
+        e.groupBy("fp")
+        .agg(F.collect_list(member).alias("ms"))
+        .filter(F.size("ms") <= max_df)
+        .withColumn("ms", F.array_sort("ms"))
     )
-    ea = ee.select(
-        F.col("fp").alias("fp_a"),
-        F.col("doc_id").alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in extras],
+    prs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
     )
-    eb = ee.select(
-        F.col("fp").alias("fp_b"),
-        F.col("doc_id").alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in extras],
-    )
+    pair_cols = [
+        F.col("pr.a.doc_id").alias("id_a"),
+        *[F.col(f"pr.a.{c}").alias(f"{c}_a") for c in extras],
+        F.col("pr.b.doc_id").alias("id_b"),
+        *[F.col(f"pr.b.{c}").alias(f"{c}_b") for c in extras],
+    ]
     keys = ["id_a", *[f"{c}_a" for c in extras], "id_b", *[f"{c}_b" for c in extras]]
     return (
-        ea.join(eb, (F.col("fp_a") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+        buckets.withColumn("prs", prs)
+        .withColumn("pr", F.explode_outer("prs"))
+        .filter(F.col("pr").isNotNull())
+        .select(*pair_cols)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -1348,11 +1348,17 @@ def l54_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints. Census per language pair keeps the graded output
     bounded while the engine still materializes the full pair frame.
 
-    Scale shape: one wide shuffle keyed on fp (longs, not text) for
-    the self-join, one on (id_a, id_b) for the pair count; the
-    stop-fp cut caps any single fp at <= C(20,2) = 190 pairs, so no
-    key is quadratic in corpus size. The df<=20 filter is a window
-    count over fp — same shuffle the join needs, no extra pass."""
+    Scale shape: ONE shuffle keyed on fp (longs, not text) builds
+    each fingerprint's posting list, the df<=20 stop-fp cut drops
+    hot buckets, and pairs expand MAP-SIDE inside each surviving
+    bucket (<= C(20,2) = 190 per fp, a pure array expression — the
+    exploded frame is computed once, no self-join); one more
+    aggregate on (id_a, id_b) counts shared fps. The first cut of
+    this operator self-joined two re-derived branches — the executed
+    plan computed the fingerprint subtree TWICE (no exchange reuse
+    under either BHJ or forced SMJ, measured); the bucketed
+    expansion in operators/fingerprint.candidate_pairs is both the
+    honest plan and the cheaper one."""
     d = tokenized_docs(spark, sf_dir)
     e = explode_fps(
         with_fingerprints(d.select("doc_id", "lang", "toks"), "toks", _FP_K, _FP_W)
