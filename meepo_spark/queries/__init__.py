@@ -34,3 +34,4 @@ from meepo_spark.queries import mining  # noqa: F401
 from meepo_spark.queries import udf_surface  # noqa: F401
 from meepo_spark.queries import sql_entry  # noqa: F401
 from meepo_spark.queries import graph_rank  # noqa: F401
+from meepo_spark.queries import ml_train  # noqa: F401
