@@ -484,3 +484,44 @@ def sql12_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 'F' AS st, 100000 AS cutoff
         """
     )
+
+
+@register(
+    "sql13_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)                                          AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(AVG(l_quantity), 2)                         AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql13_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555) — the linear
+    `FROM ... |> stage |> stage` composition form. The pipeline reads
+    top-to-bottom (scan -> filter -> EXTEND computed column ->
+    AGGREGATE ... GROUP BY -> post-aggregate WHERE -> ORDER BY), and
+    each `|>` stage maps 1:1 onto a Catalyst operator, so the plan is
+    IDENTICAL to the classic-SQL twin the DuckDB oracle runs — filter
+    still pushes into the parquet scan, the aggregate still
+    partial-aggregates map-side, and the post-AGGREGATE WHERE becomes
+    the HAVING. The hash match proves pipe syntax is pure surface:
+    same engine, same plan, new notation."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE COUNT(*)                 AS n_rows,
+                     ROUND(SUM(disc_price), 2) AS revenue,
+                     ROUND(AVG(l_quantity), 2) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 100
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

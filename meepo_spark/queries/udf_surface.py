@@ -547,3 +547,73 @@ def u10_arrow_optimized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_long("text").alias("n_long_words"),
         max_len("text").alias("max_word_len"),
     )
+
+
+@cache
+def _unpack_dims():
+    """U11: POLYMORPHIC Python UDTF — no static returnType; the output
+    schema is computed at ANALYSIS time from the constant `n` argument
+    (Spark 4's ``analyze`` static method). One registered function
+    serves any requested width: the schema-on-demand extension point
+    for feature unpacking, pivot-like expansion, or typed multimodal
+    metadata projection, where the column count is a query parameter
+    rather than a code change."""
+    from pyspark.sql.types import DoubleType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @F.udtf(useArrow=True)
+    class UnpackDims:
+        @staticmethod
+        def analyze(vec: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None or not isinstance(n.value, int):
+                raise ValueError(
+                    "unpack_dims: n must be a constant integer — the "
+                    "schema is fixed at analysis time"
+                )
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"d{i}", DoubleType())
+            return AnalyzeResult(st)
+
+        def eval(self, vec, n):  # noqa: ANN001 — signature fixed by Spark
+            if vec is None:
+                yield tuple([None] * n)
+            else:
+                yield tuple(float(v) for v in vec[:n])
+
+    return UnpackDims
+
+
+@register(
+    "u11_polymorphic_udtf",
+    oracle="""
+    SELECT vec_id,
+           embedding[1]::DOUBLE AS d0,
+           embedding[2]::DOUBLE AS d1,
+           embedding[3]::DOUBLE AS d2,
+           embedding[4]::DOUBLE AS d3
+    FROM embeddings
+    WHERE vec_id < 300
+    """,
+)
+def u11_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U11: the analyze-time-schema UDTF graded end to end — LATERAL
+    unpack of the first 4 embedding dims into typed DOUBLE columns,
+    where the column set (d0..d3) exists only because ``analyze`` saw
+    the literal 4. Value fidelity is exact: the UDTF only COPIES
+    float32 values into doubles (same widening as the oracle's
+    ::DOUBLE cast), no arithmetic, so the hash gate needs no rounding.
+    Sixth Python-boundary class after u1/u2/u4/u5-u9/u10: scalar UDF,
+    grouped map, static UDTF, Arrow kernels, arrow-UDF — and now the
+    polymorphic UDTF analysis path. Bounded (vec_id < 300) like every
+    deliberately-Python boundary probe — the plan the engine would
+    ship for bulk unpacking is the pure-JVM getItem projection the
+    oracle expresses."""
+    spark.udtf.register("unpack_dims", _unpack_dims())
+    table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
+    ).createOrReplaceTempView("u11_vecs")
+    return spark.sql(
+        "SELECT v.vec_id, s.* FROM u11_vecs v,"
+        " LATERAL unpack_dims(embedding, 4) s"
+    )

@@ -101,3 +101,97 @@ def test_map_in_arrow_batch_transform(spark):
         r["n_nationkey"]: r["n_name"].upper() for r in nation.collect()
     }
     assert got == want
+
+
+def test_pipe_syntax_plan_matches_classic_sql(spark, sf_dir):
+    """sql13's claim: `|>` stages are pure surface syntax — the
+    optimized plan must be identical to the classic-SQL twin (same
+    pushed filter, same aggregate, same HAVING filter)."""
+    from meepo_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    piped = spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 100
+        """
+    )
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        HAVING COUNT(*) > 100
+        """
+    )
+    p1 = piped._jdf.queryExecution().optimizedPlan().toString()
+    p2 = classic._jdf.queryExecution().optimizedPlan().toString()
+    # plan ids differ run to run; strip them before comparing shape
+    import re
+
+    strip = lambda s: re.sub(r"#\d+L?", "#x", s)
+    assert strip(p1) == strip(p2)
+    # the graded sql13 form adds an EXTEND stage: the staged expression
+    # moves into a pre-aggregate Project (computed once per row, same
+    # physical work) — assert its plan still pushes the scan filter and
+    # keeps the post-AGGREGATE WHERE as a post-aggregate filter
+    extended = spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE COUNT(*) AS n_rows, ROUND(SUM(disc_price), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 100
+        """
+    )
+    pe = extended._jdf.queryExecution().optimizedPlan().toString()
+    phys = extended._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(l_shipdate" in phys.split("PushedFilters: [")[1]
+    assert pe.index("Filter (n_rows") < pe.index("Aggregate")
+
+
+def test_polymorphic_udtf_rejects_non_constant_width(spark, sf_dir):
+    """u11's analyze must fail loud when the width argument is not a
+    foldable constant — the schema can't depend on row values."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from meepo_spark.catalog import table
+    from meepo_spark.queries.udf_surface import _unpack_dims
+
+    spark.udtf.register("unpack_dims_t", _unpack_dims())
+    table(spark, sf_dir, "embeddings").filter("vec_id < 5").select(
+        "vec_id", "embedding"
+    ).createOrReplaceTempView("u11_test_vecs")
+    with pytest.raises(AnalysisException, match="constant integer"):
+        spark.sql(
+            "SELECT s.* FROM u11_test_vecs v, LATERAL "
+            "unpack_dims_t(embedding, CAST(vec_id AS INT)) s"
+        ).collect()
+
+
+def test_polymorphic_udtf_width_drives_schema(spark, sf_dir):
+    """The same registered function yields different schemas for
+    different constant widths — the polymorphism u11 exists to grade."""
+    from meepo_spark.catalog import table
+    from meepo_spark.queries.udf_surface import _unpack_dims
+
+    spark.udtf.register("unpack_dims_t2", _unpack_dims())
+    table(spark, sf_dir, "embeddings").filter("vec_id < 3").select(
+        "vec_id", "embedding"
+    ).createOrReplaceTempView("u11_test_vecs2")
+    for n in (2, 6):
+        out = spark.sql(
+            f"SELECT s.* FROM u11_test_vecs2 v, LATERAL "
+            f"unpack_dims_t2(embedding, {n}) s"
+        )
+        assert out.columns == [f"d{i}" for i in range(n)]
+        assert out.count() == 3
