@@ -1326,3 +1326,69 @@ def g26_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_both") - F.col("exact_both")) <= budget
         ).alias("est_within_20pct"),
     )
+
+
+@register(
+    "g27_approx_percentile_tolerance",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.50) / 100.0, 2) AS p50_exact,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.95) / 100.0, 2) AS p95_exact,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.99) / 100.0, 2) AS p99_exact,
+           TRUE AS p50_in_band, TRUE AS p95_in_band, TRUE AS p99_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def g27_approx_percentile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G27: the mergeable quantile sketch (Greenwald–Khanna via
+    ``percentile_approx``, accuracy 10000) graded with the g3
+    tolerance pattern — completing the sketch census (HLL g3/g26,
+    count-min g9, bloom j12, minhash l2/l49, bitmap g8/g20): the
+    estimate must land between the EXACT interpolated percentiles at
+    q ± 0.005, a 50× margin over the sketch's 1e-4 rank guarantee,
+    and the exact p50/p95/p99 themselves hash-match the oracle (the
+    v4 integer-cents discipline). GK is deterministic (no RNG), so
+    the booleans are stable run to run.
+
+    Scale shape: ONE aggregation pass computes sketch + exact + count
+    together (no distinct → no Expand, unlike the g3 trap); the GK
+    sketch partial-aggregates map-side at O(1/ε · log εn) per
+    partition — at 100 TB the exact columns drop and the sketch IS
+    the answer; this query exists to hash-pin the sketch against the
+    exact value map while both fit."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    base = li.select("l_returnflag", cents.alias("cents"))
+    qs = [0.50, 0.95, 0.99]
+    eps = 0.005
+    probe = [x for q in qs for x in (q, q - eps, q + eps)]
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "cents", F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        ).alias("apx"),
+        F.percentile("cents", F.array(*[F.lit(p) for p in probe])).alias(
+            "ex"
+        ),
+    )
+    cols = [F.col("l_returnflag"), F.col("n")]
+    for i, q in enumerate(qs):
+        tag = f"p{int(q * 100)}"
+        cols.append(
+            F.round(F.col("ex")[3 * i] / 100.0, 2).alias(f"{tag}_exact")
+        )
+    for i, q in enumerate(qs):
+        tag = f"p{int(q * 100)}"
+        cols.append(
+            (
+                (F.col("apx")[i] >= F.col("ex")[3 * i + 1])
+                & (F.col("apx")[i] <= F.col("ex")[3 * i + 2])
+            ).alias(f"{tag}_in_band")
+        )
+    return agg.select(*cols).orderBy("l_returnflag")
