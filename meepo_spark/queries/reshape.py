@@ -887,3 +887,101 @@ def v22_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("chi2_contrib"),
     )
+
+
+@register(
+    "v23_ab_power_mde",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) * 1.0
+                   / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS p0
+        FROM arms
+    ),
+    calc AS (
+        SELECT n0, n1, p0,
+               sqrt(p0 * (1.0 - p0) * (1.0 / n0 + 1.0 / n1)) AS se,
+               (1.959964 + 0.841621)
+                   * sqrt(p0 * (1.0 - p0) * (1.0 / n0 + 1.0 / n1)) AS mde,
+               (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                   * (p0 * (1.0 - p0) + (p0 + 0.02) * (1.0 - (p0 + 0.02)))
+                   / (0.02 * 0.02) AS n_req
+        FROM stats
+    )
+    SELECT n0, n1,
+           ROUND(p0 + 1e-9, 4) AS p0_r,
+           ROUND(se + 1e-9, 6) AS se_r,
+           ROUND(mde + 1e-9, 6) AS mde_abs_r,
+           ROUND(mde / p0 + 1e-9, 4) AS mde_rel_r,
+           CAST(CEIL(ROUND(n_req, 6)) AS BIGINT) AS n_per_arm_2pp
+    FROM calc
+    """,
+)
+def v23_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V23: experiment power analysis — the question asked BEFORE
+    v16's z-test is run: with these arm sizes and baseline conversion,
+    what's the minimum detectable effect at alpha=0.05 two-sided /
+    80% power (MDE = (z_.975 + z_.80)·SE, normal approximation), and
+    how many users per arm would a 2pp absolute lift need? The
+    go/no-go arithmetic every experimentation platform bakes next to
+    the test itself; z constants are shared literal text on both
+    engines (the Holt-constants single-sourcing concern doesn't apply
+    to two numbers used once, but the 6dp-round-before-CEIL does:
+    CEIL on a raw float ratio could flip on ~1e-12 cross-engine
+    drift, so both sides quantize first — the dq6 ROUND-before-cast
+    trap, integer edition).
+
+    Scale shape: one per-user aggregate (the same shuffle v16 rides),
+    then a 1-row scalar computation — nothing here grows with
+    anything but user count."""
+    ev = table(spark, sf_dir, "events")
+    # per-user conversion first (MAX over the user's events), then arms
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 200)
+            ).cast("int")
+        ).alias("converted")
+    )
+    stats = users.agg(
+        F.sum(((F.col("user_id") % 2) == 0).cast("int"))
+        .cast("long")
+        .alias("n0"),
+        F.sum(((F.col("user_id") % 2) == 1).cast("int"))
+        .cast("long")
+        .alias("n1"),
+        (
+            F.sum(
+                F.when((F.col("user_id") % 2) == 0, F.col("converted")).otherwise(0)
+            )
+            * 1.0
+            / F.sum(((F.col("user_id") % 2) == 0).cast("int"))
+        ).alias("p0"),
+    )
+    z = F.lit(1.959964 + 0.841621)
+    se = F.sqrt(
+        F.col("p0") * (1.0 - F.col("p0")) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    p1 = F.col("p0") + 0.02
+    n_req = (
+        z
+        * z
+        * (F.col("p0") * (1.0 - F.col("p0")) + p1 * (1.0 - p1))
+        / F.lit(0.02 * 0.02)
+    )
+    return stats.select(
+        "n0",
+        "n1",
+        F.round(F.col("p0") + 1e-9, 4).alias("p0_r"),
+        F.round(se + 1e-9, 6).alias("se_r"),
+        F.round(z * se + 1e-9, 6).alias("mde_abs_r"),
+        F.round(z * se / F.col("p0") + 1e-9, 4).alias("mde_rel_r"),
+        F.ceil(F.round(n_req, 6)).cast("long").alias("n_per_arm_2pp"),
+    )

@@ -282,3 +282,54 @@ def s9_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "s10_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def s10_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the partitioned parquet SINK graded through the oracle
+    gate — every other S-row reads; this one WRITES the events table
+    partitioned by event_type (the layout a 100 TB event lake uses so
+    type-scoped consumers never scan other types), reads it back with
+    a partition predicate, and aggregates. The oracle computes the
+    same answer from the SOURCE table, so the hash match proves the
+    write→read cycle is lossless (values, timestamps, nulls) AND the
+    partition filter selected exactly the right rows.
+
+    Scale shape: the read-back plan prunes at the DIRECTORY level —
+    `event_type=purchase` appears under PartitionFilters, not as a
+    row filter (asserted in tests/test_sources.py); at 100 TB that's
+    the difference between listing one prefix and scanning the lake.
+    The sink path is a fixed per-(sf) location under the system tmp
+    dir, mode('overwrite'), so repeated runs (bench min-of-N,
+    selfcheck) replace rather than leak. Timestamps round-trip
+    parquet µs exactly; the day cast happens AFTER read-back."""
+    src = table(spark, sf_dir, "events")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "meepo_spark_s10",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    (
+        src.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest).filter(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "cents"
+        ),
+    )

@@ -525,3 +525,48 @@ def sql13_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "sql14_lateral_column_alias",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           ROUND(AVG(price_k), 2)           AS avg_price_k,
+           ROUND(AVG(price_band * 10), 2)   AS avg_band_x10
+    FROM (
+        SELECT o_orderpriority,
+               o_totalprice / 1000.0          AS price_k,
+               FLOOR(o_totalprice / 1000.0 / 50.0) AS price_band
+        FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def sql14_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing
+    an alias defined EARLIER IN THE SAME SELECT (`price_k` feeding
+    `price_band`), the ergonomic form that otherwise forces a nested
+    subquery — which is exactly what the DuckDB oracle writes, proving
+    the alias resolution is pure sugar over the same plan (one scan,
+    one aggregate; the alias does NOT re-evaluate its defining
+    expression twice — Catalyst inlines it into a single Project).
+    FLOOR returns DOUBLE in DuckDB vs LONG in Spark under division —
+    both sides fold the band back into an AVG-of-double so the
+    comparison stays in one type."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*)                       AS n,
+               ROUND(AVG(price_k), 2)         AS avg_price_k,
+               ROUND(AVG(price_band * 10), 2) AS avg_band_x10
+        FROM (
+            SELECT o_orderpriority,
+                   o_totalprice / 1000.0      AS price_k,
+                   FLOOR(price_k / 50.0)      AS price_band
+            FROM orders
+        )
+        GROUP BY o_orderpriority
+        """
+    )

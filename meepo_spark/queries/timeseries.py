@@ -2659,3 +2659,146 @@ def e18_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "t30_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.x) AS xs,
+               list_transform(LIST({'d': day, 'x': x} ORDER BY day), r -> r.d) AS ds
+        FROM daily GROUP BY event_type
+    ),
+    flat AS (
+        SELECT event_type, m.day AS day, m.wd AS wd, m.d AS d
+        FROM (
+            SELECT event_type,
+                   unnest(list_transform(range(4, len(xs) - 2), i ->
+                       {'day': ds[i],
+                        'wd': isodow(ds[i]) - 1,
+                        'd': xs[i] - list_sum(xs[i-3:i+3]) / 7.0})) AS m
+            FROM series WHERE len(xs) >= 7
+        )
+    ),
+    seas AS (
+        SELECT event_type, wd, AVG(d) AS s FROM flat GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT f.event_type, f.day, f.d - s.s AS r
+        FROM flat f JOIN seas s USING (event_type, wd)
+    ),
+    st AS (
+        SELECT event_type, quantile_cont(r, 0.5) AS med
+        FROM resid GROUP BY event_type
+    ),
+    dev AS (
+        SELECT r.event_type, r.day, ABS(r.r - st.med) AS dev
+        FROM resid r JOIN st USING (event_type)
+    ),
+    sig AS (
+        SELECT event_type, 1.4826 * quantile_cont(dev, 0.5) AS sigma
+        FROM dev GROUP BY event_type
+    ),
+    scored AS (
+        SELECT d.event_type, d.day,
+               ROUND(d.dev / sig.sigma + 1e-9, 4) + 0.0 AS score_r
+        FROM dev d JOIN sig USING (event_type)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN score_r > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_anomalies,
+               MAX({'s': score_r, 'd': day}) AS w
+        FROM scored GROUP BY event_type
+    )
+    SELECT event_type, n_days, n_anomalies,
+           STRFTIME(w.d, '%Y-%m-%d') AS worst_day,
+           w.s AS worst_score_r
+    FROM agg
+    """,
+)
+def t30_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T30: seasonal-residual anomaly census — the detection pass t28's
+    decomposition exists to feed: weekday-adjust each interior day
+    (d − seasonal), then flag days whose |residual − median| exceeds
+    3 robust sigmas (1.4826·MAD — median/MAD, not mean/stddev, so the
+    anomalies being hunted can't inflate their own threshold, the same
+    robustness argument as dq10's Tukey fences vs dq4's z-score).
+    Reports per type: evaluated days, anomaly count, and the worst
+    day+score.
+
+    Engine shape: t28's ordered-array discipline for trend (one
+    collect_list per type, JVM slice-fold MA, no per-type window);
+    median and MAD as exact F.percentile over the per-type residual
+    frame (≤ calendar-days rows per type — two tiny grouped
+    aggregates, not windows). Anomaly threshold compares the ROUNDED
+    score (4dp, +1e-9 nudge) on both engines, so the boolean census
+    can't flake on the ~1e-12 seasonal-mean drift; worst-day ties
+    break on (score_r, day) struct order — a total order, stable
+    cross-engine. Dates render as strings (the FIXTURES.md timestamp
+    rule)."""
+    daily = _daily_cents(spark, sf_dir)
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
+    )
+    xs = F.transform("dx", lambda r: r["x"])
+    ds = F.transform("dx", lambda r: r["day"])
+    n = F.size("dx")
+    trend = lambda i: (  # noqa: E731
+        F.aggregate(F.slice(xs, i - 3, 7), F.lit(0.0), lambda a, v: a + v) / 7.0
+    )
+    flat = (
+        series.filter(n >= 7)
+        .select(
+            "event_type",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(4), n - 3),
+                    lambda i: F.struct(
+                        F.element_at(ds, i).alias("day"),
+                        F.weekday(F.element_at(ds, i)).alias("wd"),
+                        (F.element_at(xs, i) - trend(i)).alias("d"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("event_type", "m.day", "m.wd", "m.d")
+    )
+    seas = flat.groupBy("event_type", "wd").agg(F.avg("d").alias("s"))
+    resid = flat.join(F.broadcast(seas), ["event_type", "wd"]).select(  # bcast: fixed (type x weekday grid)
+        "event_type", "day", (F.col("d") - F.col("s")).alias("r")
+    )
+    st = resid.groupBy("event_type").agg(
+        F.percentile("r", F.lit(0.5)).alias("med")
+    )
+    dev = resid.join(F.broadcast(st), "event_type").select(  # bcast: fixed (1 row per event type)
+        "event_type", "day", F.abs(F.col("r") - F.col("med")).alias("dev")
+    )
+    sig = dev.groupBy("event_type").agg(
+        (1.4826 * F.percentile("dev", F.lit(0.5))).alias("sigma")
+    )
+    scored = dev.join(F.broadcast(sig), "event_type").select(  # bcast: fixed (1 row per event type)
+        "event_type",
+        "day",
+        (F.round(F.col("dev") / F.col("sigma") + 1e-9, 4) + 0.0).alias(
+            "score_r"
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("score_r") > 3.0).cast("int"))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.date_format(
+            F.max(F.struct("score_r", "day"))["day"], "yyyy-MM-dd"
+        ).alias("worst_day"),
+        F.max("score_r").alias("worst_score_r"),
+    )

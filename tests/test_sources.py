@@ -324,3 +324,17 @@ def test_analyze_table_feeds_cost_based_optimizer(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_s10_readback_prunes_partitions(spark, sf_dir):
+    """s10's claim: the event_type predicate lands in PartitionFilters
+    (directory-level pruning), not in the post-scan row filter."""
+    from meepo_spark.queries.sources import s10_partitioned_sink_roundtrip
+
+    df = s10_partitioned_sink_roundtrip(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "purchase" in part
+    # and the row-level data filters carry NO event_type predicate
+    data = plan.split("DataFilters: [")[1].split("]")[0]
+    assert "event_type" not in data
