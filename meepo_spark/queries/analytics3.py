@@ -471,3 +471,81 @@ def q23_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0  # normalize IEEE negative zero (growth == -epsilon)
         ).alias("mom_growth"),
     )
+
+
+@register(
+    "e20_quantile_treatment_effect",
+    oracle="""
+    WITH rev AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    q AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               quantile_cont(cents, 0.25) AS q25,
+               quantile_cont(cents, 0.50) AS q50,
+               quantile_cont(cents, 0.75) AS q75
+        FROM rev GROUP BY arm
+    )
+    SELECT a.n_users AS n_control, b.n_users AS n_treatment,
+           ROUND(a.q25 / 100.0, 2) AS c_p25,
+           ROUND(a.q50 / 100.0, 2) AS c_p50,
+           ROUND(a.q75 / 100.0, 2) AS c_p75,
+           ROUND((b.q25 - a.q25) / 100.0, 2) + 0.0 AS qte_p25,
+           ROUND((b.q50 - a.q50) / 100.0, 2) + 0.0 AS qte_p50,
+           ROUND((b.q75 - a.q75) / 100.0, 2) + 0.0 AS qte_p75
+    FROM (SELECT * FROM q WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM q WHERE arm = 1) b
+    """,
+)
+def e20_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: quantile treatment effect — the distributional view of the
+    v16/v23 experiment: per-user purchase revenue by arm, exact
+    p25/p50/p75 per arm, and the per-quantile control→treatment
+    difference. Mean lift (v16's world) hides where the effect lives;
+    QTE shows whether the tail or the median moved — the standard
+    heavy-tail readout for revenue metrics.
+
+    Scale shape: one per-user aggregate (shuffle keyed on user), then
+    ONE grouped exact-percentile aggregate over the 2-arm frame
+    (integer cents, the v4 value-map discipline — no global sort, no
+    window); the 2-row quantile frame self-joins arm 0 × arm 1 at
+    driver-trivial size. QTE differences round AFTER subtraction with
+    the -0.0 normalization (a zero effect must not hash as '-0')."""
+    ev = table(spark, sf_dir, "events")
+    rev = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cents")
+    ).select((F.col("user_id") % 2).alias("arm"), "cents")
+    q = rev.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.percentile(
+            "cents", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("qs"),
+    )
+    a = q.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_control"), F.col("qs").alias("qa")
+    )
+    b = q.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_treatment"), F.col("qs").alias("qb")
+    )
+    return a.crossJoin(F.broadcast(b)).select(  # bcast: fixed (1-row arm frame)
+        "n_control",
+        "n_treatment",
+        F.round(F.col("qa")[0] / 100.0, 2).alias("c_p25"),
+        F.round(F.col("qa")[1] / 100.0, 2).alias("c_p50"),
+        F.round(F.col("qa")[2] / 100.0, 2).alias("c_p75"),
+        (F.round((F.col("qb")[0] - F.col("qa")[0]) / 100.0, 2) + 0.0).alias("qte_p25"),
+        (F.round((F.col("qb")[1] - F.col("qa")[1]) / 100.0, 2) + 0.0).alias("qte_p50"),
+        (F.round((F.col("qb")[2] - F.col("qa")[2]) / 100.0, 2) + 0.0).alias("qte_p75"),
+    )

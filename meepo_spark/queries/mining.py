@@ -617,3 +617,113 @@ def m6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select("s", F.round(F.col("v") + 1e-9, 6).alias("pi_r")).withColumnRenamed(
         "s", "state"
     )
+
+
+@register(
+    "m7_frequent_triples",
+    oracle="""
+    WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM items),
+    triples AS (
+        SELECT a.event_type AS t_a, b.event_type AS t_b, c.event_type AS t_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        JOIN items c ON a.user_id = c.user_id AND b.event_type < c.event_type
+        GROUP BY 1, 2, 3
+    )
+    SELECT t_a, t_b, t_c, support,
+           ROUND(support * 1.0 / nu.n + 1e-9, 4) AS support_ratio
+    FROM triples CROSS JOIN nu
+    WHERE support * 10 >= nu.n
+    """,
+)
+def m7_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: frequent 3-itemsets over behavior baskets (user → distinct
+    event types) at 10% relative support — the level-3 Apriori pass on
+    top of m1's pairs. The ENGINE plan is the level-wise algorithm:
+    candidate triples extend FREQUENT pairs only, then two semi-joins
+    prune candidates whose (b,c)/(a,c) sub-pairs are infrequent before
+    the expensive support count — the downward-closure property
+    guarantees this loses nothing, which is exactly what the oracle's
+    unpruned brute-force triple join verifies by hash match.
+
+    Scale shape: the frequent-pair frame is item²-bounded (event-type
+    vocabulary, not users) and broadcast into both the extension join
+    and the prune semi-joins; the only user-sized shuffles are the
+    distinct-items pass and the final support count, whose input the
+    pruning already cut. Support threshold compares as integers
+    (support·10 ≥ n_users) — no float ratio near the cut."""
+    ev = table(spark, sf_dir, "events")
+    items = ev.select("user_id", "event_type").distinct()
+    nu = items.agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    pair_support = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("p_a"),
+            F.col("b.event_type").alias("p_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ps"))
+    )
+    fp = (
+        pair_support.crossJoin(F.broadcast(nu))  # bcast: fixed (1-row user count)
+        .filter(F.col("ps") * 10 >= F.col("n"))
+        .select("p_a", "p_b")
+    )
+    # extend frequent pairs by a third item from the same basket...
+    cand = (
+        items.alias("a")
+        .join(
+            F.broadcast(fp).alias("f"),  # bcast: fixed (item-vocabulary sized)
+            F.col("a.event_type") == F.col("f.p_a"),
+        )
+        .join(
+            items.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_type") == F.col("f.p_b")),
+        )
+        .join(
+            items.alias("c"),
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("f.p_b") < F.col("c.event_type")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("f.p_a").alias("t_a"),
+            F.col("f.p_b").alias("t_b"),
+            F.col("c.event_type").alias("t_c"),
+        )
+    )
+    # ...and prune candidates whose other two sub-pairs are infrequent
+    # BEFORE the support count (downward closure: lossless)
+    pruned = cand.join(
+        F.broadcast(fp),  # bcast: fixed (item-vocabulary sized)
+        (F.col("t_b") == F.col("p_a")) & (F.col("t_c") == F.col("p_b")),
+        "left_semi",
+    ).join(
+        F.broadcast(fp),  # bcast: fixed (item-vocabulary sized)
+        (F.col("t_a") == F.col("p_a")) & (F.col("t_c") == F.col("p_b")),
+        "left_semi",
+    )
+    return (
+        pruned.groupBy("t_a", "t_b", "t_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(nu))  # bcast: fixed (1-row user count)
+        .filter(F.col("support") * 10 >= F.col("n"))
+        .select(
+            "t_a",
+            "t_b",
+            "t_c",
+            "support",
+            F.round(F.col("support") * 1.0 / F.col("n") + 1e-9, 4).alias(
+                "support_ratio"
+            ),
+        )
+    )
