@@ -1409,3 +1409,113 @@ def l56_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_eval_contaminated"
         ),
     )
+
+
+@register(
+    "l60_sorted_neighborhood",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               array_to_string(string_split(lower(text), ' ')[1:4], ' ') AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+        FROM keyed
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+    ),
+    sh AS ({_SHINGLES_SQL}),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT LEAST(id_a, id_b)    AS id_lo,
+           GREATEST(id_a, id_b) AS id_hi,
+           CAST(inter AS BIGINT) AS n_inter,
+           CAST(na AS BIGINT)    AS n_a,
+           CAST(nb AS BIGINT)    AS n_b
+    FROM ver
+    WHERE 3 * inter >= na + nb
+    """,
+)
+def l60_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60: sorted-neighborhood (SNM) dedup blocking — the LAST classic
+    blocking strategy missing from the family (LSH l2, SimHash l2d,
+    length-bucket n-gram l2c, containment l2g, winnowing fingerprints
+    l54): globally order the corpus by a cheap normalized key (first
+    3 lowercase tokens, doc_id tie-break — a total order), then
+    compare each doc only to its w=5 rank successors, verifying with
+    exact 3-shingle Jaccard >= 1/2 (integer form 3·|∩| >= |A|+|B|).
+    Candidates are n·w by construction — the census the oracle's
+    window self-join replays exactly.
+
+    Scale shape: the global rank comes from `bucketed_row_number`
+    (first-char-of-key bucket — monotone with the key, ties share a
+    bucket), NOT a single-task global window; successor pairing is an
+    EQUI-join on rank after an explode of each row's w target ranks
+    (n·w rows, no range join, no skew — every rank matches at most w
+    probes); the verify join rides the session-cached hashed-shingle
+    frame (intersection counts are hash-invariant vs the oracle's
+    string shingles, the l2 argument). Cross-engine ordering is safe:
+    binary/codepoint collation on both engines over ASCII keys,
+    doc_id breaks ties totally."""
+    from meepo_spark.operators.enumeration import bucketed_row_number
+    from meepo_spark.queries.doc_cache import shingled_docs
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 3), " ").alias(
+            "k"
+        ),
+    )
+    ranked = bucketed_row_number(
+        keyed,
+        bucket=F.substring("k", 1, 1),
+        order_cols=[F.col("k"), F.col("doc_id")],
+        out="rn",
+    ).select("doc_id", "rn")
+    probes = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + 5)
+        ).alias("rn_b"),
+    )
+    cand = probes.join(
+        ranked.select(F.col("doc_id").alias("id_b"), F.col("rn").alias("rn_b")),
+        "rn_b",
+    ).select("id_a", "id_b")
+    sh = shingled_docs(spark, sf_dir).select("doc_id", "sh")
+    ver = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_inter"),
+            F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
+        )
+    )
+    return ver.filter(
+        F.lit(3) * F.col("n_inter") >= F.col("n_a") + F.col("n_b")
+    ).select(
+        F.least("id_a", "id_b").alias("id_lo"),
+        F.greatest("id_a", "id_b").alias("id_hi"),
+        "n_inter",
+        "n_a",
+        "n_b",
+    )

@@ -58,6 +58,8 @@ WAIVER_BOUNDS: dict[str, int] = {
     "a8_replay_range": 2000,          # hour buckets in the replay range
     "l8_sequence_packing": 2000,      # 1000x-reduced doc-id buckets
     "l52_shuffled_packing": 400,      # 256 md5-prefix buckets
+    "l60_sorted_neighborhood": 128,   # first-char-of-key buckets
+                                      # (ASCII alphabet-bounded)
     "l21_classifier_auc": 4000,       # 1024-wide score bands x sources
     "l23_quality_decile_budget": 300, # 32 quality buckets
     "t19_cusum_changepoint": 400,     # ceil(days/8) bands x |types|
