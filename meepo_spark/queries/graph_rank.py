@@ -287,3 +287,134 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tri_rank", F.row_number().over(pos).cast("long"))
         .orderBy("tri_rank")
     )
+
+
+_BFS_ITERS = 8
+
+_BFS_HEAD = """
+WITH edges AS MATERIALIZED (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    GROUP BY 1, 2
+),
+prim AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM edges) WHERE rn = 1
+),
+d0 AS MATERIALIZED (
+    SELECT n_nationkey AS node,
+           CASE WHEN n_nationkey = 0 THEN 0 ELSE 999 END AS d
+    FROM nation)
+"""
+
+
+def _bfs_step_sql(t: int) -> str:
+    return f""",
+d{t} AS MATERIALIZED (
+    SELECT n.node, LEAST(n.d, COALESCE(MIN(p.d + 1), 999)) AS d
+    FROM d{t - 1} n
+    LEFT JOIN (SELECT e.dst AS node, x.d
+               FROM prim e JOIN d{t - 1} x ON x.node = e.src) p
+      ON p.node = n.node
+    GROUP BY n.node, n.d
+)"""
+
+
+_BFS_TAIL = f"""
+SELECT nn.n_name,
+       CAST(CASE WHEN r.d >= 999 THEN NULL ELSE r.d END AS BIGINT) AS hops
+FROM d{_BFS_ITERS} r JOIN nation nn ON r.node = nn.n_nationkey
+"""
+
+_BFS_ORACLE = (
+    _BFS_HEAD
+    + "".join(_bfs_step_sql(t) for t in range(1, _BFS_ITERS + 1))
+    + _BFS_TAIL
+)
+
+
+@register("g28_bfs_trade_hops", oracle=_BFS_ORACLE)
+def g28_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G28: single-source shortest hops (8 rounds of Bellman-Ford
+    relaxation) from nation 0 over the PRIMARY-trade-partner graph —
+    each nation keeps only its argmax-weight outgoing edge (ties on
+    destination id), turning the dense trade matrix into a functional
+    graph whose chain structure a reachability question actually
+    probes (the dense graph is diameter ~1 and BFS would be vacuous).
+    Unreachable nations report NULL. The traversal member of the
+    graph family next to g10 (fixed-point scores), g14 (local
+    counting) and operators/graph.py (global components).
+
+    Scale shape: g10's exact posture — one fact pass reduces 100 TB
+    to <=625 edge rows (broadcast dim key maps, one (src,dst)
+    shuffle); the argmax prune and all 8 relaxation rounds run on the
+    coalesced 25-row frame with lineage checkpointed every other
+    round; per-round cost is independent of fact size. The oracle
+    unrolls the same 8 relaxations over a sentinel-999 distance
+    column — integer arithmetic end to end, no float discipline
+    needed."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
+    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn_w = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    prim = (
+        edges.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst")
+        .coalesce(1)
+        .cache()  # <=25 rows; read 8x by the relaxation below
+    )
+    dist = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == 0, F.lit(0))
+        .otherwise(F.lit(999))
+        .alias("d"),
+    ).coalesce(1)
+    for it in range(_BFS_ITERS):
+        if it % 2 == 0:  # same lineage posture as g10
+            dist = dist.localCheckpoint(eager=True)
+        inc = (
+            prim.alias("e")
+            .join(dist.alias("x"), F.col("x.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"), (F.col("x.d") + 1).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = dist.join(inc, "node", "left").select(
+            "node",
+            F.least(F.col("d"), F.coalesce(F.col("nd"), F.lit(999))).alias("d"),
+        )
+    return dist.join(
+        maybe_broadcast(
+            nation.select(F.col("n_nationkey").alias("node"), "n_name")
+        ),
+        "node",
+    ).select(
+        "n_name",
+        F.when(F.col("d") >= 999, F.lit(None))
+        .otherwise(F.col("d"))
+        .cast("long")
+        .alias("hops"),
+    )

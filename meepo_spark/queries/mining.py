@@ -727,3 +727,98 @@ def m7_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "m8_item_item_cosine",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items
+            GROUP BY 1),
+    co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS co
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, co,
+           ROUND(cos_sim + 1e-9, 6) AS cosine_r,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT c.part_a, c.part_b, c.co,
+               c.co / sqrt(da.n * db.n) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.part_a
+                   ORDER BY c.co / sqrt(da.n * db.n) DESC, c.part_b) AS rank
+        FROM co c
+        JOIN deg da ON da.l_partkey = c.part_a
+        JOIN deg db ON db.l_partkey = c.part_b
+    )
+    WHERE rank <= 3
+    """,
+)
+def m8_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: item-item collaborative filtering — cosine similarity over
+    binary basket vectors (co(a,b)/√(n_a·n_b)), top-3 neighbors per
+    part with co-occurrence >= 2. The classic neighborhood recommender
+    ('customers who bought X also bought'), completing the mining
+    family's arc from m1's lift (independence test) to an actual
+    ranked neighbor list.
+
+    Determinism without rounding-before-rank: cosine here is ONE
+    correctly-rounded IEEE op chain over exact integers
+    (int÷sqrt(int·int)) — no float summation anywhere — so both
+    engines compute bit-identical scores and the (cosine DESC,
+    part_b) rank is stable cross-engine; only the DISPLAY value
+    rounds. Scale shape: co-occurrence via one self-equi-join on
+    orderkey (pair count bounded by Σ k_i², k_i = basket width — flat
+    at any corpus size for bounded baskets), degree frame joined
+    twice, and the top-3 is a rank-limited window (WindowGroupLimit:
+    map-side top-k per part, the sort never sees the full pair
+    set)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    co = (
+        a.join(b, (F.col("part_a") != F.col("part_b")) & (a.ok == b.ok))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    scored = (
+        co.join(
+            deg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na")),
+            "part_a",
+        )
+        .join(
+            deg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            (F.col("co") / F.sqrt(F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("part_a").orderBy(F.col("cos_sim").desc(), F.col("part_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.round(F.col("cos_sim") + 1e-9, 6).alias("cosine_r"),
+            "rank",
+        )
+    )
