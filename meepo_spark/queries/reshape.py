@@ -985,3 +985,113 @@ def v23_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z * se / F.col("p0") + 1e-9, 4).alias("mde_rel_r"),
         F.ceil(F.round(n_req, 6)).cast("long").alias("n_per_arm_2pp"),
     )
+
+
+@register(
+    "v24_mann_whitney_u",
+    oracle="""
+    WITH rev AS (
+        SELECT user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    vm AS (
+        SELECT cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(arm) AS BIGINT) AS c1
+        FROM rev GROUP BY cents
+    ),
+    c AS (
+        SELECT cents, cnt, c1,
+               COALESCE(SUM(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+        FROM vm
+    ),
+    agg AS (
+        SELECT SUM(cnt)                              AS n,
+               SUM(c1)                               AS n1,
+               SUM(cnt) - SUM(c1)                    AS n0,
+               SUM((cb + (cnt + 1) / 2.0) * c1)      AS r1,
+               SUM(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie
+        FROM c
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n0 * n1 / 2.0)
+                 / sqrt((n0 * n1 / 12.0)
+                        * ((n + 1) - tie / (n * (n - 1.0)))) + 1e-9, 4)
+               AS z_r
+    FROM agg
+    """,
+)
+def v24_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V24: exact Mann–Whitney U (Wilcoxon rank-sum) with tie
+    correction — the nonparametric A/B test for the heavy-tailed
+    per-user revenue metric where v16's proportion z-test and a
+    t-test both mislead. Average ranks come from the VALUE MAP
+    (distinct cents -> count), not a row-level sort: avg_rank(v) =
+    count_below(v) + (count(v)+1)/2, the same rank-before shape l21's
+    AUC uses (AUC and U are affine twins; this query adds the
+    hypothesis-test form: tie-corrected sigma and the z statistic).
+
+    Determinism is EXACT, not rounded: every avg rank is an integer
+    or half-integer, all products/sums stay far below 2^52, so r1,
+    U, and the tie term are exact doubles on both engines regardless
+    of summation order — z rounds at 4dp for display only. Scale
+    shape: one per-user shuffle, one value-map aggregate, and
+    `bucketed_prefix_sum` over 32768-cent bands for count-below (the
+    g11/v13/l21 discipline — distinct revenue values grow with users,
+    never 'small'); no single-task sort anywhere."""
+    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+
+    ev = table(spark, sf_dir, "events")
+    rev = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cents")
+    ).select((F.col("user_id") % 2).alias("arm"), "cents")
+    vm = rev.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("arm").alias("c1")
+    )
+    c = bucketed_prefix_sum(
+        vm,
+        bucket=F.floor(F.col("cents") / 32768),
+        order_cols=[F.col("cents").asc()],
+        vals={"cb": "cnt"},
+        frame_end=-1,
+    )
+    agg = c.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("c1").alias("n1"),
+        (F.sum("cnt") - F.sum("c1")).alias("n0"),
+        F.sum((F.col("cb") + (F.col("cnt") + 1) / 2.0) * F.col("c1")).alias(
+            "r1"
+        ),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n0") * F.col("n1") / 2.0
+    sigma = F.sqrt(
+        (F.col("n0") * F.col("n1") / 12.0)
+        * (
+            (F.col("n") + 1)
+            - F.col("tie") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return agg.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        u.alias("u_stat"),
+        F.round((u - mu) / sigma + 1e-9, 4).alias("z_r"),
+    )

@@ -60,6 +60,8 @@ WAIVER_BOUNDS: dict[str, int] = {
     "l52_shuffled_packing": 400,      # 256 md5-prefix buckets
     "l60_sorted_neighborhood": 128,   # first-char-of-key buckets
                                       # (ASCII alphabet-bounded)
+    "v24_mann_whitney_u": 4096,       # 32768-cent revenue bands
+                                      # (per-user revenue range / 32768)
     "l21_classifier_auc": 4000,       # 1024-wide score bands x sources
     "l23_quality_decile_budget": 300, # 32 quality buckets
     "t19_cusum_changepoint": 400,     # ceil(days/8) bands x |types|

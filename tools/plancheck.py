@@ -146,6 +146,8 @@ WINDOW_WAIVED = {
     "a8_replay_range",         # per-hour-bucket replay offsets
     "l8_sequence_packing",     # per-lang offsets over the 1000x-reduced
                                # doc-id bucket aggregate
+    "v24_mann_whitney_u",      # offsets over 32768-cent revenue bands
+                               # (range-bounded bucket aggregate)
     "l60_sorted_neighborhood", # offsets over first-char-of-key buckets
                                # (ASCII alphabet-bounded, ~30 rows)
     "l52_shuffled_packing",    # offsets over the 256-row md5-prefix
