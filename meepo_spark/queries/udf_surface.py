@@ -617,3 +617,77 @@ def u11_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT v.vec_id, s.* FROM u11_vecs v,"
         " LATERAL unpack_dims(embedding, 4) s"
     )
+
+
+@cache
+def _lang_profile_udtf():
+    """U12: UDTF over a TABLE argument with PARTITION BY / ORDER BY —
+    Spark routes each partition's rows through ONE instance (eval per
+    row, terminate once), giving custom per-group streaming-fold
+    semantics with guaranteed intra-partition order: the generalized
+    grouped-map where output need not be pandas-shaped and state is
+    explicit."""
+
+    @F.udtf(
+        returnType="lang string, n_docs bigint, total_chars bigint,"
+        " first3_ids string",
+        useArrow=True,
+    )
+    class LangProfile:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.chars = 0
+            self.first3: list[str] = []
+
+        def eval(self, row):  # noqa: ANN001 — signature fixed by Spark
+            self.lang = row["lang"]
+            self.n += 1
+            self.chars += int(row["n_chars"])
+            if len(self.first3) < 3:
+                self.first3.append(str(row["doc_id"]))
+
+        def terminate(self):
+            if self.lang is not None:
+                yield self.lang, self.n, self.chars, ",".join(self.first3)
+
+    return LangProfile
+
+
+@register(
+    "u12_table_arg_udtf",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           array_to_string(list_sort(LIST(doc_id))[1:3], ',') AS first3_ids
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def u12_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U12: the TABLE-argument UDTF boundary graded end to end —
+    `FROM lang_profile(TABLE(docs) PARTITION BY lang ORDER BY doc_id)`
+    folds each language's documents through one UDTF instance in
+    doc_id order and emits a single summary row from terminate().
+    The first3_ids column is ORDER-SENSITIVE: it hash-matches the
+    oracle's sorted-list prefix only if Spark actually delivers rows
+    in the declared ORDER BY within each partition — so the query
+    grades the ordering contract, not just the fold totals. Seventh
+    Python-boundary class (after scalar/grouped-map/static-UDTF/
+    Arrow-kernel/arrow-UDF/polymorphic-UDTF): partitioned stateful
+    table functions.
+
+    Scale shape: PARTITION BY shuffles once on lang; each partition
+    streams through eval() with O(1) state (count, sum, 3 ids) — the
+    applyInPandas alternative materializes each group as a DataFrame,
+    this holds only the fold state. Python is the deliberate subject
+    under test; the pure-JVM twin IS the oracle's GROUP BY."""
+    spark.udtf.register("lang_profile", _lang_profile_udtf())
+    table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).createOrReplaceTempView("u12_docs")
+    return spark.sql(
+        "SELECT * FROM lang_profile(TABLE(u12_docs)"
+        " PARTITION BY lang ORDER BY doc_id)"
+    )
