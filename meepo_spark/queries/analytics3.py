@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.queries.exp_frames import REV_ARMS_SQL, user_revenue_arms
 from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 
@@ -475,14 +476,8 @@ def q23_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e20_quantile_treatment_effect",
-    oracle="""
-    WITH rev AS (
-        SELECT user_id, user_id % 2 AS arm,
-               CAST(SUM(CASE WHEN event_type = 'purchase'
-                             THEN CAST(ROUND(value * 100) AS BIGINT)
-                             ELSE 0 END) AS BIGINT) AS cents
-        FROM events GROUP BY user_id
-    ),
+    oracle=f"""
+    WITH rev AS ({REV_ARMS_SQL}),
     q AS (
         SELECT arm,
                CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -516,17 +511,7 @@ def e20_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame
     window); the 2-row quantile frame self-joins arm 0 × arm 1 at
     driver-trivial size. QTE differences round AFTER subtraction with
     the -0.0 normalization (a zero effect must not hash as '-0')."""
-    ev = table(spark, sf_dir, "events")
-    rev = ev.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.round(F.col("value") * 100).cast("long"),
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("cents")
-    ).select((F.col("user_id") % 2).alias("arm"), "cents")
+    rev = user_revenue_arms(spark, sf_dir)
     q = rev.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.percentile(

@@ -1416,7 +1416,7 @@ def l56_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH keyed AS (
         SELECT doc_id,
-               array_to_string(string_split(lower(text), ' ')[1:4], ' ') AS k
+               array_to_string(string_split(lower(text), ' ')[1:3], ' ') AS k
         FROM documents
     ),
     ranked AS (

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
+from meepo_spark.queries.exp_frames import REV_ARMS_SQL, user_revenue_arms
 
 
 @register(
@@ -989,14 +990,8 @@ def v23_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v24_mann_whitney_u",
-    oracle="""
-    WITH rev AS (
-        SELECT user_id % 2 AS arm,
-               CAST(SUM(CASE WHEN event_type = 'purchase'
-                             THEN CAST(ROUND(value * 100) AS BIGINT)
-                             ELSE 0 END) AS BIGINT) AS cents
-        FROM events GROUP BY user_id
-    ),
+    oracle=f"""
+    WITH rev AS ({REV_ARMS_SQL}),
     vm AS (
         SELECT cents,
                CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -1047,17 +1042,7 @@ def v24_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     never 'small'); no single-task sort anywhere."""
     from meepo_spark.operators.enumeration import bucketed_prefix_sum
 
-    ev = table(spark, sf_dir, "events")
-    rev = ev.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.round(F.col("value") * 100).cast("long"),
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("cents")
-    ).select((F.col("user_id") % 2).alias("arm"), "cents")
+    rev = user_revenue_arms(spark, sf_dir)
     vm = rev.groupBy("cents").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("arm").alias("c1")
     )

@@ -2708,7 +2708,9 @@ def e18_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT d.event_type, d.day,
-               ROUND(d.dev / sig.sigma + 1e-9, 4) + 0.0 AS score_r
+               CASE WHEN sig.sigma = 0 THEN 0.0
+                    ELSE ROUND(d.dev / sig.sigma + 1e-9, 4) + 0.0
+               END AS score_r
         FROM dev d JOIN sig USING (event_type)
     ),
     agg AS (
@@ -2785,12 +2787,17 @@ def t30_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dev.groupBy("event_type").agg(
         (1.4826 * F.percentile("dev", F.lit(0.5))).alias("sigma")
     )
+    # sigma == 0 (a type whose deviations are >=50% exactly zero — e.g.
+    # exactly 7 days of data leaves ONE interior day with residual 0)
+    # must not divide: Spark gives NaN where DuckDB gives NULL, and NaN
+    # sorts above every double. Zero variability -> zero anomaly score,
+    # stated identically on both engines (code-review finding #2).
     scored = dev.join(F.broadcast(sig), "event_type").select(  # bcast: fixed (1 row per event type)
         "event_type",
         "day",
-        (F.round(F.col("dev") / F.col("sigma") + 1e-9, 4) + 0.0).alias(
-            "score_r"
-        ),
+        F.when(F.col("sigma") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("dev") / F.col("sigma") + 1e-9, 4) + 0.0)
+        .alias("score_r"),
     )
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
