@@ -1044,3 +1044,101 @@ def dq13_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+@register(
+    "dq14_mahalanobis_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(l_quantity)                     AS mx,
+               AVG(l_extendedprice)                AS my,
+               AVG(l_quantity * l_quantity)        AS sxx,
+               AVG(l_extendedprice * l_extendedprice) AS syy,
+               AVG(l_quantity * l_extendedprice)   AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    st AS (
+        SELECT l_returnflag, n, mx, my,
+               sxx - mx * mx AS vx,
+               syy - my * my AS vy,
+               sxy - mx * my AS cxy
+        FROM m
+    )
+    SELECT s.l_returnflag, s.n,
+           ROUND(s.cxy / sqrt(s.vx * s.vy) + 1e-9, 4) AS corr_r,
+           CAST(SUM(CASE WHEN
+                ((l.l_quantity - s.mx) * (l.l_quantity - s.mx) * s.vy
+                 - 2 * (l.l_quantity - s.mx) * (l.l_extendedprice - s.my) * s.cxy
+                 + (l.l_extendedprice - s.my) * (l.l_extendedprice - s.my) * s.vx)
+                / (s.vx * s.vy - s.cxy * s.cxy) > 9.21
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN st s USING (l_returnflag)
+    GROUP BY s.l_returnflag, s.n, s.cxy, s.vx, s.vy
+    """,
+)
+def dq14_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ14: bivariate outlier census — squared Mahalanobis distance of
+    (quantity, extendedprice) against each return-flag group's own
+    2x2 covariance, counting rows beyond the chi-square(2) 99% cut
+    (9.21). The multivariate complement to dq10's per-measure Tukey
+    fences: a row can sit inside both marginal fences yet be wildly
+    off the JOINT quantity-price relationship (tiny quantity at a huge
+    price), which only the covariance-aware distance sees. The 2x2
+    inverse is closed-form, so the whole census stays in scalar
+    expressions — no matrix library, no UDF.
+
+    Float discipline: moments are double AVGs (summation-order drift
+    ~1e-12), but the graded outputs are drift-safe by construction —
+    the census compares the RAW distance to 9.21 (distances spread
+    over ~0-10^2, so a 1e-10 drift flips a count only if some row
+    lands within 1e-10 of the cut: P ~ 1e-7 at sf0.1), and the only
+    emitted double is the per-group correlation, rounded with the
+    standard nudge. Per-row scores are deliberately NOT emitted: 600k
+    rounded values would put ~0.6 expected rows on a 4dp grid
+    boundary (the l58 -0.0 lesson, probability edition).
+
+    Scale shape: dq10's two-pass anatomy — one moments aggregate
+    (map-side combined), the 3-row stats frame broadcast back, one
+    counting scan. Both passes column-pruned to the two measures."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("sxx"),
+        F.avg(F.col("y") * F.col("y")).alias("syy"),
+        F.avg(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    st = m.select(
+        "l_returnflag",
+        "n",
+        "mx",
+        "my",
+        (F.col("sxx") - F.col("mx") * F.col("mx")).alias("vx"),
+        (F.col("syy") - F.col("my") * F.col("my")).alias("vy"),
+        (F.col("sxy") - F.col("mx") * F.col("my")).alias("cxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("vx")
+    ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    return (
+        li.join(F.broadcast(st), "l_returnflag")  # bcast: fixed (3-row stats)
+        .groupBy("l_returnflag", "n", "vx", "vy", "cxy")
+        .agg(F.sum((d2 > 9.21).cast("int")).cast("long").alias("n_outliers"))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(
+                F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy")) + 1e-9, 4
+            ).alias("corr_r"),
+            "n_outliers",
+        )
+    )

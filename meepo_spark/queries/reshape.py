@@ -1080,3 +1080,97 @@ def v24_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u_stat"),
         F.round((u - mu) / sigma + 1e-9, 4).alias("z_r"),
     )
+
+
+@register(
+    "v25_cuped_adjustment",
+    oracle="""
+    WITH rev AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND CAST(ts AS DATE) < DATE '2024-01-16'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT AVG(x) AS mx, AVG(y) AS my,
+               AVG(x * x) - AVG(x) * AVG(x) AS vx,
+               AVG(y * y) - AVG(y) * AVG(y) AS vy,
+               AVG(x * y) - AVG(x) * AVG(y) AS cxy
+        FROM rev
+    ),
+    a AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(x) AS amx, AVG(y) AS amy
+        FROM rev GROUP BY arm
+    )
+    SELECT a.arm, a.n,
+           ROUND(a.amy / 100.0 + 1e-9, 4) AS mean_y_r,
+           ROUND((a.amy - (g.cxy / g.vx) * (a.amx - g.mx)) / 100.0 + 1e-9, 4)
+               AS mean_y_adj_r,
+           ROUND(g.cxy / g.vx + 1e-9, 4) AS theta_r,
+           ROUND(g.cxy * g.cxy / (g.vx * g.vy) + 1e-9, 4) AS var_reduction_r
+    FROM a CROSS JOIN g
+    """,
+)
+def v25_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V25: CUPED variance reduction — adjust each arm's experiment-
+    period revenue by the pre-period covariate (theta = cov(x,y)/
+    var(x); days 1-15 predict days 16-30), the standard trick that
+    shrinks an A/B test's required sample by the squared pre/post
+    correlation (reported here as var_reduction = corr², the fraction
+    of outcome variance the covariate removes). Completes the
+    experimentation shelf: v16 (test), v23 (power), e20 (QTE), v24
+    (rank test), v25 (variance reduction).
+
+    Everything derives from ONE per-user aggregate and its moments —
+    the adjusted arm mean is amy − θ(amx − mx) and the variance
+    reduction is cov²/(vx·vy), so no second per-row pass and no
+    per-row rounded values (the dq14 drift-probability discipline:
+    only per-arm/global aggregates are emitted, each rounded with the
+    nudge). Scale shape: one user-keyed shuffle, then 2-row × 1-row
+    scalar algebra."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    pre = F.to_date("ts") < F.lit("2024-01-16").cast("date")
+    rev = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_p & pre, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(is_p & ~pre, cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    g = rev.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias("vx"),
+        (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("vy"),
+        (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")).alias("cxy"),
+    )
+    a = rev.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("amx"),
+        F.avg("y").alias("amy"),
+    )
+    theta = F.col("cxy") / F.col("vx")
+    return a.crossJoin(F.broadcast(g)).select(  # bcast: fixed (1-row moments)
+        "arm",
+        "n",
+        F.round(F.col("amy") / 100.0 + 1e-9, 4).alias("mean_y_r"),
+        F.round(
+            (F.col("amy") - theta * (F.col("amx") - F.col("mx"))) / 100.0
+            + 1e-9,
+            4,
+        ).alias("mean_y_adj_r"),
+        F.round(theta + 1e-9, 4).alias("theta_r"),
+        F.round(
+            F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy")) + 1e-9, 4
+        ).alias("var_reduction_r"),
+    )

@@ -83,6 +83,7 @@ NESTED_LOOP_WAIVED = {
     # round-7 continuation scalar broadcasts, bounded by construction:
     "m7_frequent_triples",  # 1-row user-count crossJoin(broadcast), twice
     "e20_quantile_treatment_effect",  # 1-row arm-quantile crossJoin(broadcast)
+    "v25_cuped_adjustment",  # 1-row global-moments crossJoin(broadcast)
     "q15_top_supplier",  # 1-row max-revenue crossJoin(broadcast)
     "v11_equidepth_histogram",  # per-flag (lo, hi, N) broadcast (5 rows)
     # round-3 additions, bounded-by-construction broadcasts:
