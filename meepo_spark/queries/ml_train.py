@@ -193,3 +193,49 @@ def l59_logreg_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(t, loss) for t, loss in enumerate(hist)]
     rows.append((_ITERS, metrics["loss"]))
     return _rounded_frame(spark, rows, "iter bigint, loss double", "loss")
+
+
+def _logreg_confusion_oracle() -> str:
+    return (
+        _logreg_prefix_sql()
+        + """
+    SELECT CAST(y AS BIGINT)            AS actual,
+           CAST((z >= 0) AS BIGINT)     AS predicted,
+           CAST(COUNT(*) AS BIGINT)     AS n
+    FROM pf GROUP BY 1, 2
+    """
+    )
+
+
+@register("l61_logreg_confusion", oracle=_logreg_confusion_oracle())
+def l61_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L61: APPLY the l58-trained classifier — the confusion census
+    (actual × predicted counts) of the trained model over the corpus,
+    the l46→l47 train→apply arc for the learned-model family: l58
+    grades the artifact, this grades its deployment pass (the scoring
+    scan a curation pipeline runs to gate documents). Scoring reuses
+    the cached fit; predictions are sign(z) with z folded in the
+    operator's exact association order, so the integer census matches
+    the oracle's replay of the same 5 training rounds plus one scoring
+    pass (boundary risk: a flip needs some |z| < ~1e-13 — the l58
+    accuracy argument, integer edition).
+
+    Scale shape: ONE scan of the feature frame with the weight vector
+    as literals — the cheapest possible deployment plan (codegen'd
+    multiply-adds, no Python, no join); at 100 TB this is the gate
+    stage of the curation DAG, embarrassingly parallel."""
+    w, _hist, _metrics = _fitted(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).cast("double").alias("__y"),
+        *[
+            F.col("embedding").getItem(i).cast("double").alias(f"__x{i}")
+            for i in range(_D)
+        ],
+    )
+    from meepo_spark.operators.optim import _linear_z
+
+    z = _linear_z(w, _D)
+    return emb.groupBy(
+        F.col("__y").cast("long").alias("actual"),
+        (z >= 0).cast("long").alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n"))
