@@ -394,3 +394,36 @@ def test_verified_pairs_cache_reuses_materialized_frame(spark, sf_dir):
         assert other is not b
     finally:
         _drain()
+
+
+def test_snm_bucketed_rank_equals_global_rank(spark):
+    """l60's contract on bucketed_row_number: a first-character bucket
+    over a string sort key must reproduce the naive global
+    row_number ordering exactly — including empty keys, shared
+    prefixes, and doc_id tie-breaks on duplicate keys."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from meepo_spark.operators.enumeration import bucketed_row_number
+
+    rng = random.Random(7)
+    words = ["", "a", "ab", "abc", "b", "ba", "zz", "m quick", "m slow"]
+    rows = [(i, rng.choice(words)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in bucketed_row_number(
+            df,
+            bucket=F.substring("k", 1, 1),
+            order_cols=[F.col("k"), F.col("doc_id")],
+            out="rn",
+        ).collect()
+    }
+    w = Window.orderBy(F.col("k"), F.col("doc_id"))
+    want = {
+        r["doc_id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want

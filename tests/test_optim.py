@@ -114,3 +114,17 @@ def test_logreg_casts_integer_labels(spark):
     wi, hi, mi = logreg_fit(df_i, ["x"], "y", iters=3)
     wd, hd, md = logreg_fit(df_d, ["x"], "y", iters=3)
     assert wi == wd and hi == hd and mi == md
+
+
+def test_exp_frames_engine_matches_sql_fragment(spark, duck, sf_dir):
+    """exp_frames single-sourcing contract: the engine helper and the
+    REV_ARMS_SQL oracle fragment must produce the identical (arm,
+    cents) multiset — the desync this module exists to prevent."""
+    from meepo_spark.queries.exp_frames import REV_ARMS_SQL, user_revenue_arms
+
+    got = sorted(
+        (r["arm"], r["cents"])
+        for r in user_revenue_arms(spark, sf_dir).collect()
+    )
+    want = sorted(tuple(r) for r in duck.execute(REV_ARMS_SQL).fetchall())
+    assert got == want
