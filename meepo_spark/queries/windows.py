@@ -1392,3 +1392,74 @@ def g27_approx_percentile_tolerance(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias(f"{tag}_in_band")
         )
     return agg.select(*cols).orderBy("l_returnflag")
+
+
+@register(
+    "w11_distribution_windows",
+    oracle="""
+    WITH w AS (
+        SELECT cents,
+               percent_rank() OVER win                 AS pr,
+               cume_dist()    OVER win                 AS cd,
+               ntile(4)       OVER win                 AS nt,
+               nth_value(cents, 2) OVER winf           AS second_cents
+        FROM (SELECT l_orderkey, l_linenumber,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem)
+        WINDOW win AS (PARTITION BY l_orderkey
+                       ORDER BY cents, l_linenumber),
+               winf AS (PARTITION BY l_orderkey
+                        ORDER BY cents, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(nt AS BIGINT)                          AS quartile,
+           CAST(COUNT(*) AS BIGINT)                    AS n,
+           ROUND(AVG(pr) + 1e-9, 4)                    AS avg_pr,
+           ROUND(AVG(cd) + 1e-9, 4)                    AS avg_cd,
+           CAST(SUM(CASE WHEN cents = second_cents THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS n_at_second_price
+    FROM w GROUP BY nt
+    """,
+)
+def w11_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: the distribution window-function family graded in one pass
+    — percent_rank, cume_dist, ntile(4), and nth_value over an
+    explicit full frame, all PARTITION BY l_orderkey (high-cardinality
+    partitions: ~4 rows each, the shape where per-partition window
+    sorts are embarrassingly parallel — never the tiny-key/global
+    class the window audit bans). These four were the last ungraded
+    members of the window surface (W1 covers row_number/rank/
+    dense_rank, W2 lag/lead, W3/w7/w9 frames, w10 IGNORE NULLS).
+
+    Value discipline: per-row percent_rank/cume_dist are ratios of
+    small integers (correctly-rounded single divisions — bit-identical
+    cross-engine); only their AVG drifts with summation order, so the
+    output is aggregate-only (4 rows), rounded with the nudge.
+    nth_value needs the explicit unbounded-following frame on BOTH
+    engines (the default frame stops at CURRENT ROW and returns NULL
+    for the first row of every order). Ties in (cents) break on
+    l_linenumber — a total order, so ntile assignment is deterministic
+    cross-engine."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    win = W.partitionBy("l_orderkey").orderBy("cents", "l_linenumber")
+    winf = win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w = li.select(
+        "cents",
+        F.percent_rank().over(win).alias("pr"),
+        F.cume_dist().over(win).alias("cd"),
+        F.ntile(4).over(win).alias("nt"),
+        F.nth_value("cents", 2).over(winf).alias("second_cents"),
+    )
+    return w.groupBy(F.col("nt").cast("long").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("pr") + 1e-9, 4).alias("avg_pr"),
+        F.round(F.avg("cd") + 1e-9, 4).alias("avg_cd"),
+        F.sum((F.col("cents") == F.col("second_cents")).cast("int"))
+        .cast("long")
+        .alias("n_at_second_price"),
+    )
