@@ -28,8 +28,12 @@ Numerics (the cross-engine contract the graded oracle relies on):
     measured drift ~1e-13 after 5 rounds, absorbed by the graded
     queries' 6dp rounding (+1e-9 nudge);
   * log-loss uses the softplus identity
-    ``-[y·ln p + (1-y)·ln(1-p)] = ln(1+e^z) - y·z`` — one exp and one
-    log per row, no ln(1-p) cancellation near p→1.
+    ``-[y·ln p + (1-y)·ln(1-p)] = softplus(z) - y·z`` computed in the
+    overflow-safe form ``max(z,0) + log1p(e^-|z|)`` — ``e^-|z|`` never
+    exceeds 1, so the loss stays finite for any |z| (the naive
+    ``ln(1+e^z)`` overflows to inf past z≈709 under large lr·iters);
+    the DuckDB oracle in queries/ml_train.py writes the identical
+    form, keeping the cross-engine contract in lockstep.
 
 Determinism: zero-initialized weights, fixed iteration count, fixed
 learning rate — repeated runs produce identical weights, which both
@@ -40,6 +44,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _softplus(z: Column) -> Column:
+    """Overflow-safe ln(1+e^z) = max(z,0) + log1p(e^-|z|): the exp
+    argument is ≤0, so no |z| can push it to inf (naive form dies at
+    z≈709)."""
+    return F.greatest(z, F.lit(0.0)) + F.log1p(F.exp(-F.abs(z)))
 
 
 def _linear_z(weights: list[float], d: int) -> Column:
@@ -90,14 +101,14 @@ def logreg_fit(
             F.avg((p - y) * F.col(f"__x{i}")).alias(f"g{i + 1}")
             for i in range(d)
         ]
-        aggs.append(F.avg(F.log(F.lit(1.0) + F.exp(z)) - y * z).alias("loss"))
+        aggs.append(F.avg(_softplus(z) - y * z).alias("loss"))
         row = base.agg(*aggs).first()
         history.append(float(row["loss"]))
         w = [w[j] - lr * float(row[f"g{j}"]) for j in range(d + 1)]
 
     z = _linear_z(w, d)
     final = base.agg(
-        F.avg(F.log(F.lit(1.0) + F.exp(z)) - y * z).alias("loss"),
+        F.avg(_softplus(z) - y * z).alias("loss"),
         F.avg(((z >= 0) == (y >= 0.5)).cast("double")).alias("accuracy"),
     ).first()
     return (

@@ -118,7 +118,7 @@ def _logreg_weights_oracle() -> str:
             f"SELECT 'x{i}', ROUND(w{i} + 1e-9, 6) + 0.0 FROM w{_ITERS}"
         )
     terms.append(
-        "SELECT 'log_loss', ROUND(AVG(ln(1.0+exp(z)) - y*z) + 1e-9, 6) + 0.0"
+        "SELECT 'log_loss', ROUND(AVG((greatest(z, 0.0) + ln(1.0+exp(-abs(z)))) - y*z) + 1e-9, 6) + 0.0"
         " FROM pf"
     )
     terms.append(
@@ -131,13 +131,13 @@ def _logreg_weights_oracle() -> str:
 def _logreg_descent_oracle() -> str:
     losses = [
         f"SELECT CAST({t} AS BIGINT) AS iter,"
-        f" ROUND(AVG(ln(1.0+exp(z)) - y*z) + 1e-9, 6) + 0.0 AS loss_r"
+        f" ROUND(AVG((greatest(z, 0.0) + ln(1.0+exp(-abs(z)))) - y*z) + 1e-9, 6) + 0.0 AS loss_r"
         f" FROM p{t}"
         for t in range(_ITERS)
     ]
     losses.append(
         f"SELECT CAST({_ITERS} AS BIGINT),"
-        " ROUND(AVG(ln(1.0+exp(z)) - y*z) + 1e-9, 6) + 0.0 FROM pf"
+        " ROUND(AVG((greatest(z, 0.0) + ln(1.0+exp(-abs(z)))) - y*z) + 1e-9, 6) + 0.0 FROM pf"
     )
     return _logreg_prefix_sql() + "\n" + " UNION ALL ".join(losses)
 

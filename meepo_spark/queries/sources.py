@@ -19,6 +19,7 @@ oracle) transfers to it unchanged once the jar is on the classpath.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -309,15 +310,19 @@ def s10_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     `event_type=purchase` appears under PartitionFilters, not as a
     row filter (asserted in tests/test_sources.py); at 100 TB that's
     the difference between listing one prefix and scanning the lake.
-    The sink path is a fixed per-(sf) location under the system tmp
-    dir, mode('overwrite'), so repeated runs (bench min-of-N,
-    selfcheck) replace rather than leak. Timestamps round-trip
+    The sink path is keyed on a hash of the ABSOLUTE fixture dir (not
+    just its basename) under the system tmp dir, mode('overwrite'), so
+    repeated runs (bench min-of-N, selfcheck) replace rather than
+    leak, and two different roots that share a basename can never
+    silently share a sink. Timestamps round-trip
     parquet µs exactly; the day cast happens AFTER read-back."""
     src = table(spark, sf_dir, "events")
+    abs_sf = os.path.abspath(os.path.normpath(sf_dir))
+    sf_id = hashlib.sha1(abs_sf.encode("utf-8")).hexdigest()[:12]
     dest = os.path.join(
         tempfile.gettempdir(),
         "meepo_spark_s10",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(abs_sf)}-{sf_id}",
     )
     (
         src.write.mode("overwrite")

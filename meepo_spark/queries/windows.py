@@ -1459,7 +1459,10 @@ def w11_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("pr") + 1e-9, 4).alias("avg_pr"),
         F.round(F.avg("cd") + 1e-9, 4).alias("avg_cd"),
-        F.sum((F.col("cents") == F.col("second_cents")).cast("int"))
+        F.coalesce(
+            F.sum((F.col("cents") == F.col("second_cents")).cast("int")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_at_second_price"),
     )
