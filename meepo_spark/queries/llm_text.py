@@ -1149,6 +1149,42 @@ def _bpe_fertility_oracle_sql(k: int) -> str:
     return "".join(parts)
 
 
+def _bpe_kernel_census_oracle_sql(k: int) -> str:
+    """l62's oracle: the same training unroll + apply chain l47 uses
+    (word grain instead of (lang, word)), ending in a merged-token
+    vocabulary census — the oracle is path-blind, so hash-matching it
+    through the Arrow KERNEL application path proves kernel ≡ fold
+    cross-engine, not just property-pinned."""
+    parts = [
+        _bpe_train_ctes(k),
+        """,
+    a0 AS (
+        SELECT list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms,
+               CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word
+    )""",
+    ]
+    for i in range(k):
+        parts.append(f""",
+    a{i + 1} AS (
+        SELECT list_reduce(list_transform(syms, c -> [c]),
+                           {_BPE_MERGE_LAMBDA}) AS syms, wc
+        FROM a{i} LEFT JOIN b{i} b ON TRUE
+    )""")
+    parts.append(f"""
+    SELECT sym AS token,
+           CAST(LENGTH(sym) AS BIGINT) AS token_len,
+           CAST(SUM(wc) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(syms) AS sym, wc FROM a{k})
+    WHERE LENGTH(sym) >= 2
+    GROUP BY sym
+    ORDER BY n_occurrences DESC, token
+    LIMIT 25""")
+    return "".join(parts)
+
+
 _MERGE_TABLE_CACHE = SessionFrameCache(max_per_app=3)
 
 
@@ -1234,6 +1270,58 @@ def l47_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.length("word") * F.col("wc")).cast("double") / n_tok + 1e-9, 4
         ).alias("chars_per_token"),
+    )
+
+
+@register("l62_bpe_kernel_census", oracle=_bpe_kernel_census_oracle_sql(_BPE_K))
+def l62_bpe_kernel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L62: the Arrow-batched KERNEL application path graded through
+    the oracle gate (VERDICT r7 next-round #1). Every other BPE query
+    takes the k≤64 chained-fold JVM path; this one passes
+    ``compile_threshold=0`` so the SAME trained table is applied by
+    ``_bpe_apply_kernel`` (operators/bpe.py) — the path a production
+    30-50k-merge vocabulary takes, where a fold chain would compile a
+    k-deep expression tree (SCALE.md §18). The output is the merged-
+    token vocabulary census (top 25 multi-char tokens by weighted
+    occurrence — the artifact you'd eyeball to sanity-check a trained
+    tokenizer), and the DuckDB oracle replays training + application
+    with the path-blind unrolled fold — so a hash match proves the
+    kernel's greedy-left substring-indexed replay is value-identical
+    to the fold semantics ON THE GRADED CORPUS, closing the gap where
+    the production path was only property-pinned on random small-k
+    corpora.
+
+    Scale shape: application is one ArrowEvalPython projection over
+    the word-count vocabulary frame (corpus never rescanned; plan size
+    O(1) in table size); the census is one explode + hash aggregate,
+    top-25 by a total (count DESC, token) order so LIMIT is
+    deterministic. length(token) >= 2 keeps only symbols CREATED by
+    merges, so the census is empty unless kernel merges actually
+    fired."""
+    from meepo_spark.operators.bpe import bpe_apply
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg = bpe_apply(
+        words, _trained_merge_table(spark, sf_dir), compile_threshold=0
+    )
+    tok = seg.select(F.explode("syms").alias("token"), "wc")
+    return (
+        tok.filter(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+        .select(
+            "token",
+            F.length("token").cast("long").alias("token_len"),
+            "n_occurrences",
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(25)
     )
 
 

@@ -215,3 +215,49 @@ def test_arrow_kernel_plan_is_constant_size(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan
     assert "aggregate(" not in plan, "fold chain leaked into kernel path"
+
+
+def test_fold_and_kernel_agree_on_astral_plane_text(spark):
+    """VERDICT r7 #2: fold vs kernel on NON-BMP input. Spark 4's
+    split(word, '') advances by CODE POINT (Java regex zero-width
+    matches never land inside a surrogate pair), and the kernel's
+    list(word) is code points by construction — so the two paths must
+    segment emoji/astral text identically AND train→apply must
+    round-trip merges whose symbols are astral characters."""
+    from meepo_spark.operators.bpe import bpe_apply, bpe_merge_table
+
+    rng = random.Random(47)
+    alphabet = ["a", "b", "\U0001F600", "\U0001D11E", "\U0001F680", "é", "中"]
+    train = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7))): rng.randint(1, 5)
+        for _ in range(18)
+    }
+    train_df = spark.createDataFrame(
+        [(w, c) for w, c in train.items()], "word string, wc long"
+    )
+    merges_df = bpe_merge_table(train_df, 6).localCheckpoint()
+
+    apply_words = list(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(20)
+        }
+    ) + ["\U0001F600\U0001F600\U0001F600", "a\U0001D11Eb", "中中"]
+    adf = spark.createDataFrame([(w,) for w in apply_words], "word string")
+
+    def grab(df):
+        return {r["word"]: r["syms"] for r in df.collect()}
+
+    via_fold = grab(bpe_apply(adf, merges_df))
+    via_kernel = grab(bpe_apply(adf, merges_df, compile_threshold=0))
+    assert via_fold == via_kernel
+    merges = [
+        (r.step, r.left, r.right, 0) for r in merges_df.orderBy("step").collect()
+    ]
+    expect = dict(zip(apply_words, ref_apply(apply_words, merges)))
+    assert via_kernel == expect
+    # the initial segmentation itself must be whole code points on
+    # both engines — no surrogate halves anywhere
+    for syms in via_fold.values():
+        for s in syms:
+            assert not any(0xD800 <= ord(c) <= 0xDFFF for c in s), syms
