@@ -1519,3 +1519,136 @@ def l60_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     )
+
+
+# --- l18b: three-way dedup signal agreement (VERDICT r7 next-round #7)
+
+from meepo_spark.operators.fingerprint import winnow_ctes
+
+
+@register(
+    "l18b_three_way_dedup_census",
+    oracle=f"""
+    WITH d AS ({_SHINGLES_SQL}),
+    lens AS (SELECT doc_id, len(sh) AS ln FROM d),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    mp AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN lens la ON s.id_a = la.doc_id
+        JOIN lens lb ON s.id_b = lb.doc_id
+        WHERE s.c * 1.0 / (la.ln + lb.ln - s.c) >= 0.6
+    ),
+    hb AS (SELECT doc_id, md5(unnest(sh)) AS h FROM d),
+    bits AS (
+        SELECT doc_id, t.i AS i,
+               SUM(CASE WHEN (((strpos('0123456789abcdef',
+                                       substr(h, 15 - (t.i // 4), 1)) - 1)
+                               >> (t.i % 4)) & 1) = 1
+                   THEN 1 ELSE 0 END) AS ones,
+               COUNT(*) AS n
+        FROM hb, range(60) t(i)
+        GROUP BY doc_id, t.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << i)
+                        ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id
+    ),
+    sp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ),
+    {winnow_ctes(5, 4)},
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM tf),
+    ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 20),
+    ee AS (SELECT e.* FROM e JOIN ok USING (fp)),
+    wp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    ms AS (
+        SELECT COALESCE(m.id_a, s.id_a) AS id_a,
+               COALESCE(m.id_b, s.id_b) AS id_b,
+               m.id_a IS NOT NULL AS in_m,
+               s.id_a IS NOT NULL AS in_s
+        FROM mp m FULL OUTER JOIN sp s
+          ON m.id_a = s.id_a AND m.id_b = s.id_b
+    ),
+    j3 AS (
+        SELECT COALESCE(x.in_m, FALSE) AS in_m,
+               COALESCE(x.in_s, FALSE) AS in_s,
+               w.id_a IS NOT NULL AS in_w
+        FROM ms x FULL OUTER JOIN wp w
+          ON x.id_a = w.id_a AND x.id_b = w.id_b
+    )
+    SELECT (CASE WHEN in_m THEN 'M' ELSE '-' END
+            || CASE WHEN in_s THEN 'S' ELSE '-' END
+            || CASE WHEN in_w THEN 'W' ELSE '-' END) AS signal,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j3 GROUP BY 1
+    """,
+)
+def l18b_three_way_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18b: the ensemble-dedup diagnostic — the agreement census of
+    the three LEXICAL near-dup signal families over the full corpus:
+    MinHash-LSH + exact-verify (J >= 0.6, l2's exact pipeline, shared
+    via the session pair cache), SimHash pigeonhole candidates
+    (Hamming <= 3 on the 60-bit md5-derived signature, l2d's exact
+    pipeline), and MOSS winnowing candidate pairs (k=5/w=4
+    fingerprints, df <= 20 stop cut, >= 3 shared, l54's exact
+    pipeline). Every pair found by ANY signal lands in one of seven
+    'M/S/W' buckets; the disagreement volumes are the tuning targets
+    an ensemble pipeline watches before letting one signal gate
+    another (extends l18, which compared one lexical signal against
+    embeddings on a bounded block — this is the full-corpus three-way
+    lexical matrix VERDICT r7 #7 asked for).
+
+    Scale shape: nothing new is materialized — the three pair
+    generators ARE the graded l2/l2d/l54 plans (banded buckets,
+    pigeonhole segments, fingerprint postings: each bounded, never
+    all-pairs), and the census adds two full-outer joins on the pair
+    keys (pair volume ~ dup structure, << corpus²) plus one hash
+    aggregate. The oracle brute-forces all three signals pairwise,
+    which is possible only at fixture scale — at 100 TB the bucketed
+    plans are the point."""
+    from meepo_spark.operators.fingerprint import (
+        candidate_pairs as fp_candidate_pairs,
+        explode_fps,
+        with_fingerprints,
+    )
+    from meepo_spark.queries.doc_cache import tokenized_docs
+
+    mp = _verified_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "m", F.lit(1)
+    )
+    sp = (
+        l2d_simhash_candidates(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("s", F.lit(1))
+    )
+    fps = with_fingerprints(
+        tokenized_docs(spark, sf_dir).select("doc_id", "toks"), "toks", 5, 4
+    ).select("doc_id", "fps")
+    wp = (
+        fp_candidate_pairs(explode_fps(fps), max_df=20, min_shared=3)
+        .select("id_a", "id_b")
+        .withColumn("w", F.lit(1))
+    )
+    j = mp.join(sp, ["id_a", "id_b"], "full").join(wp, ["id_a", "id_b"], "full")
+    signal = F.concat(
+        F.when(F.col("m").isNotNull(), F.lit("M")).otherwise(F.lit("-")),
+        F.when(F.col("s").isNotNull(), F.lit("S")).otherwise(F.lit("-")),
+        F.when(F.col("w").isNotNull(), F.lit("W")).otherwise(F.lit("-")),
+    )
+    return j.groupBy(signal.alias("signal")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
