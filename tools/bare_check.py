@@ -5,7 +5,11 @@ apply; the engine must pin its own conventions per-query (table()
 sets the session timezone) and survive Spark 4 defaults (ANSI on,
 default shuffle partitions, default AQE).
 
-Usage: python tools/bare_check.py [sf_dir]
+Usage: python tools/bare_check.py [sf_dir] [query ...] [--json PATH]
+
+--json serializes the full per-query result (the CORRECTNESS_r*.json
+shape plus timing) so the bare gate is diffable like SELFCHECK_r*.json
+(VERDICT r7 #6) instead of living only in a log.
 """
 
 from __future__ import annotations
@@ -33,5 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.selfcheck import check  # noqa: E402  (after session exists)
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(check(sf))
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or None
+    sys.exit(check(sf, names=names, json_path=json_path))
