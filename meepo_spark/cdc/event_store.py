@@ -307,7 +307,27 @@ class TransactionalEventStore(EventStore):
             .partitionBy("event_date")
             .parquet(target)
         )
+        self._assert_attempt_alive(target)
         return self.commits.commit_with_retry(epoch_id, [target])
+
+    def _assert_attempt_alive(self, target: str) -> None:
+        """Zombie-writer fence: a writer that stalls past the vacuum
+        grace window can have its (uncommitted) attempt dir reclaimed;
+        committing the vacuumed path would poison every subsequent
+        ``log()`` with a manifest entry pointing at nothing. Re-check
+        existence immediately before the manifest commit and fail
+        LOUDLY — the caller replays the epoch through the normal path
+        (a fresh attempt dir), which is exactly the crash-recovery
+        contract. The residual vacuum-between-check-and-commit window
+        is milliseconds and requires vacuum running with a grace
+        smaller than a single commit round-trip — a configuration
+        violation of the documented contract (grace_seconds must
+        exceed the longest write attempt AND the longest reader)."""
+        if not os.path.isdir(target):
+            raise RuntimeError(
+                f"attempt dir vanished before commit (vacuumed?): {target} "
+                "— writer exceeded the vacuum grace window; replay the epoch"
+            )
 
     # --- read path ----------------------------------------------------
     def log(self) -> DataFrame:
@@ -380,7 +400,19 @@ class TransactionalEventStore(EventStore):
         in-flight writer that finished its parquet but has not yet
         won its manifest commit has fresh mtimes and survives (the
         Delta VACUUM retention discipline, filesystem-mtime flavored).
-        Returns the removed paths."""
+        Returns the removed paths.
+
+        Grace-window CONTRACT (tests/test_commit_log.py concurrency
+        matrix): ``grace_seconds`` must exceed BOTH (a) the longest
+        write attempt — a writer that stalls past it can have its
+        uncommitted dir reclaimed, and its late commit then fails
+        loudly via ``_assert_attempt_alive`` (replay the epoch) — and
+        (b) the longest-running reader — a reader iterating a
+        pre-compaction manifest still scans the replaced epoch dirs,
+        which become vacuum candidates the moment compaction swaps
+        the file set; inside the grace window its scan is safe, past
+        it the read fails (never silently loses rows — parquet scans
+        of removed paths raise)."""
         import shutil
         import time
 
@@ -503,6 +535,7 @@ class TypedTransactionalEventStore(TransactionalEventStore):
             .partitionBy("event_date")
             .parquet(target)
         )
+        self._assert_attempt_alive(target)
         return self.commits.commit_with_retry(
             epoch_id, [target], {"registry_version": version}
         )

@@ -527,3 +527,95 @@ def test_vacuum_never_touches_legacy_layout_committed_data(spark, tmp_path):
     assert store.log().count() == n, "vacuum gutted a legacy committed epoch"
     # and the empty-parent sweep must not rmdir a LIVE legacy epoch dir
     assert os.path.isdir(legacy_dir)
+
+
+def test_vacuum_racing_inflight_writer_inside_grace_then_commit(spark, tmp_path):
+    """VERDICT r7 #4 case 1: vacuum runs WHILE a slow writer sits
+    between its parquet write and its manifest commit. Inside the
+    grace window the attempt dir survives and the writer's commit
+    lands normally; the committed rows are readable afterward."""
+    ch = events_as_changes(spark, SF_DIR).limit(60)
+    store = TransactionalEventStore(spark, str(tmp_path / "vrace"))
+    assert store.append_epoch(ch.filter(F.col("offset") % 2 == 0), 0) is True
+
+    # slow writer: parquet landed, commit not yet issued
+    inflight = store._epoch_dir(1)
+    e1 = ch.filter(F.col("offset") % 2 == 1)
+    (
+        e1.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(inflight)
+    )
+    assert store.vacuum_orphans(grace_seconds=3600.0) == []
+    assert os.path.isdir(inflight)
+    # the stalled writer wakes up and finishes its commit
+    assert store.commits.commit_with_retry(1, [inflight]) is True
+    assert store.log().count() == ch.count()
+    # now-committed dir is live: even a zero-grace vacuum spares it
+    assert store.vacuum_orphans(grace_seconds=0.0) == []
+    assert store.log().count() == ch.count()
+
+
+def test_vacuum_racing_reader_of_precompaction_manifest(spark, tmp_path):
+    """VERDICT r7 #4 case 2: a reader iterating a manifest version
+    that compaction has since replaced. Its epoch dirs are orphan
+    candidates after the swap; inside the grace window the reader's
+    scan still works, past it the dirs are reclaimed and the read
+    fails LOUDLY (never a silent row loss)."""
+    import pytest
+
+    ch = events_as_changes(spark, SF_DIR).limit(100)
+    store = TransactionalEventStore(spark, str(tmp_path / "vread"))
+    assert store.append_epoch(ch, 0) is True
+    reader = store.log()  # plan pinned to the pre-compaction file set
+    n = ch.count()
+
+    store.compact_txn()  # manifest now points at the snapshot only
+    n_compacted = store.log().count()  # latest image per (table, pk)
+    # vacuum inside grace: replaced epoch dirs survive, reader is safe
+    assert store.vacuum_orphans(grace_seconds=3600.0) == []
+    assert reader.count() == n
+
+    # vacuum past grace: the replaced dirs go; a fresh log() (current
+    # manifest) is intact, the stale reader raises instead of lying
+    dropped = store.vacuum_orphans(grace_seconds=0.0)
+    assert dropped, "replaced pre-compaction epoch dirs must be reclaimed"
+    assert store.log().count() == n_compacted
+    with pytest.raises(Exception):
+        reader.count()
+
+
+def test_zombie_writer_commit_after_vacuum_fails_loudly(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #4 case 3: a writer resurrects AFTER its uncommitted
+    attempt dir was vacuumed (it stalled past the grace window). Its
+    commit must raise — committing the vacuumed path would poison
+    every later log() with a manifest entry pointing at nothing — and
+    replaying the epoch through the normal path must converge."""
+    import pytest
+
+    ch = events_as_changes(spark, SF_DIR).limit(60)
+    store = TransactionalEventStore(spark, str(tmp_path / "vzomb"))
+
+    # interleave the race deterministically: vacuum fires in the gap
+    # between append_epoch's parquet write and its pre-commit fence
+    # (firing it anywhere earlier in the gap leaves the same state)
+    orig_guard = TransactionalEventStore._assert_attempt_alive
+
+    def vacuum_then_guard(self, target):
+        store.vacuum_orphans(grace_seconds=0.0)
+        orig_guard(self, target)
+
+    monkeypatch.setattr(
+        TransactionalEventStore, "_assert_attempt_alive", vacuum_then_guard
+    )
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        store.append_epoch(ch, 0)
+    monkeypatch.setattr(
+        TransactionalEventStore, "_assert_attempt_alive", orig_guard
+    )
+
+    # nothing was committed, the store is clean, replay converges
+    assert store.log().count() == 0
+    assert store.append_epoch(ch, 0) is True
+    assert store.log().count() == ch.count()
