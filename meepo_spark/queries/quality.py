@@ -762,58 +762,90 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     of integers is IEEE-exact), broadcast back for one counting
     scan.
 
-    Scale shape: NO melt — the oracle melts for SQL convenience, but
-    tripling fact rows through an Expand doubled-and-some the cost
-    (a first cut at 5.3 s was the whole bench's worst query). All six
-    quartiles come from ONE wide aggregate over the 3 integer-unit
-    columns (value-map percentiles, the v4 discipline), the fences
-    broadcast back as one row, and a second wide aggregate counts
-    all three fence breaches in the same pass. Two column-pruned
-    scans of the fact total — intrinsic to any exact-quantile fence
-    — and the shuffle carries 1 row each time. ROUND before every
+    Scale shape (reworked r8, VERDICT r7 #5): the exact quartiles come
+    from a VALUE HISTOGRAM, not F.percentile — the percentile
+    aggregate's partial state is a per-task value->count map whose
+    merge lands on ONE final task, and extendedprice-cents is
+    near-unique per row, so at fixture scale that merge was the whole
+    query's cost AND its measured variance (fresh-plan probes: the
+    percentile stage alone swung 1.9-2.6 s while the counting pass
+    held 0.4-0.9 s; the BENCH_history 2.7-4.7 s band — the '1.01 s'
+    readings in that history are sf<=0.01 probe rows, not sf0.1
+    swings), and at 100 TB a domain-sized single-task map merge is an
+    OOM, not a plan. Instead: one Expand melts the 3 measures, a hash
+    aggregate collapses to the (measure, value) domain — bounded by
+    the VALUE DOMAIN, never rows — and the quantile_cont rank
+    interpolation reads the two straddling values off a
+    bucketed_prefix_sum CDF (every wide stage parallel across 1024
+    value buckets, the g11/v13 discipline). Fences broadcast back (3
+    rows) for one counting pass. Measured: same wall as the
+    percentile plan at sf0.1 (stage overhead replaces the map merge)
+    with the run-to-run band tightened ~1.5x, and every stage
+    domain- or bucket-bounded at 100x. ROUND before every
     double->BIGINT cast on BOTH sides (bare casts truncate in Spark
     but round in DuckDB — the dq6 trap)."""
+    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+
     li = table(spark, sf_dir, "lineitem")
-    units = {
-        "extendedprice": F.round(F.col("l_extendedprice") * 100).cast("long"),
-        "quantity": F.round(F.col("l_quantity") * 100).cast("long"),
-        "discount": F.round(F.col("l_discount") * 10000).cast("long"),
-    }
-    m = li.select(*[c.alias(name) for name, c in units.items()])
-    q = m.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.percentile(name, F.array(F.lit(0.25), F.lit(0.75))).alias(f"q_{name}")
-            for name in units
-        ],
+    melted = li.select(
+        F.expr(
+            "stack(3,"
+            " 'extendedprice', CAST(ROUND(l_extendedprice * 100) AS LONG),"
+            " 'quantity',      CAST(ROUND(l_quantity * 100) AS LONG),"
+            " 'discount',      CAST(ROUND(l_discount * 10000) AS LONG)"
+            ") AS (col, v)"
+        )
+    )
+    hist = melted.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    rng = hist.groupBy("col").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    h2 = hist.join(F.broadcast(rng), "col")  # bcast: fixed (3 rows)
+    width = (F.col("hi") - F.col("lo")) / 1024 + F.lit(1e-12)
+    pid = F.least(F.floor((F.col("v") - F.col("lo")) / width), F.lit(1023))
+    cum = bucketed_prefix_sum(
+        h2, pid, [F.col("v")], {"cum": "c"}, part_cols=["col"]
+    )
+    # quantile_cont at q: pos = (n-1)*q; the value at 0-indexed rank k
+    # is the histogram row whose CDF interval [cum-c, cum) covers k
+    pos25 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.25)
+    pos75 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.75)
+    tagged = cum.select(
+        "col",
+        "n",
+        F.col("v").cast("double").alias("x"),
+        pos25.alias("p25"),
+        pos75.alias("p75"),
+        (F.col("cum") - F.col("c")).alias("lo_r"),
+        F.col("cum").alias("hi_r"),
     )
 
-    def fence_count(name: str):
-        q1, q3 = F.col(f"q_{name}")[0], F.col(f"q_{name}")[1]
-        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
-        return F.sum(
-            F.when((F.col(name) < lo) | (F.col(name) > hi), 1).otherwise(0)
-        ).alias(f"o_{name}")
+    def x_at(k):
+        return F.max(
+            F.when((F.col("lo_r") <= k) & (k < F.col("hi_r")), F.col("x"))
+        )
 
-    counted = m.crossJoin(F.broadcast(q)).agg(  # bcast: fixed (1-row fences)
-        F.first("n").alias("n"),
-        *[F.first(f"q_{name}").alias(f"q_{name}") for name in units],
-        *[fence_count(name) for name in units],
+    def interp(p: str):
+        frac = F.max(p) - F.floor(F.max(p))
+        return x_at(F.floor(p)) + frac * (x_at(F.ceil(p)) - x_at(F.floor(p)))
+
+    quart = tagged.groupBy("col").agg(
+        F.max("n").alias("n"),
+        interp("p25").alias("q1"),
+        interp("p75").alias("q3"),
     )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("col"),
-                F.col("n").alias("n"),
-                (F.round(F.col(f"q_{name}")[0], 2) + 0.0).alias("q1"),
-                (F.round(F.col(f"q_{name}")[1], 2) + 0.0).alias("q3"),
-                F.col(f"o_{name}").alias("n_outliers"),
-            )
-            for name in units
-        ]
-    )
-    return counted.select(F.explode(rows).alias("r")).select(
-        "r.col", "r.n", "r.q1", "r.q3", "r.n_outliers"
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    fenced = melted.join(F.broadcast(quart), "col")  # bcast: fixed (3 rows)
+    return fenced.groupBy("col").agg(
+        F.max("n").alias("n"),
+        (F.round(F.max("q1"), 2) + 0.0).alias("q1"),
+        (F.round(F.max("q3"), 2) + 0.0).alias("q3"),
+        F.sum(F.when((F.col("v") < lo) | (F.col("v") > hi), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
     )
 
 
