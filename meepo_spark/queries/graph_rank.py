@@ -418,3 +418,151 @@ def g28_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hops"),
     )
+
+
+# --- g29: label-propagation communities (round 8) -----------------------
+
+_LPA_ITERS = 4
+
+_LPA_HEAD = """
+WITH dedges AS MATERIALIZED (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+    SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src AS u, dst AS v, w FROM dedges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS u, src AS v, w FROM dedges WHERE src <> dst
+    ) GROUP BY 1, 2
+),
+nds AS MATERIALIZED (SELECT n_nationkey AS node, n_name FROM nation),
+lab0 AS MATERIALIZED (SELECT node, node AS lab FROM nds)
+"""
+
+
+def _lpa_step_sql(i: int) -> str:
+    return f""",
+nb{i} AS (
+    SELECT e.u AS node, l.lab AS lab, CAST(SUM(e.w) AS BIGINT) AS ws
+    FROM und e JOIN lab{i - 1} l ON l.node = e.v
+    GROUP BY 1, 2
+),
+best{i} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY ws DESC, lab ASC) AS rn
+        FROM nb{i}) WHERE rn = 1
+),
+lab{i} AS MATERIALIZED (
+    SELECT n.node, COALESCE(b.lab, p.lab) AS lab
+    FROM nds n
+    JOIN lab{i - 1} p ON n.node = p.node
+    LEFT JOIN best{i} b ON n.node = b.node
+)"""
+
+
+def _lpa_oracle_sql(k: int) -> str:
+    return (
+        _LPA_HEAD
+        + "".join(_lpa_step_sql(i) for i in range(1, k + 1))
+        + f"""
+SELECT CAST(l.lab AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       array_to_string(list_sort(list(n.n_name)), ',') AS members
+FROM lab{k} l JOIN nds n USING (node)
+GROUP BY l.lab"""
+    )
+
+
+@register("g29_label_propagation", oracle=_lpa_oracle_sql(_LPA_ITERS))
+def g29_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G29: community detection by SYNCHRONOUS weighted label
+    propagation on the undirected nation trade graph — the fourth
+    member of the iterative-graph family (PageRank g10, triangles
+    g14, BFS hops g28, CC in operators/graph). Each round every node
+    adopts the label carrying the max total incident edge weight
+    among its neighbors, ties broken on the smaller label — a TOTAL
+    order, and the update is synchronous with a FIXED round budget,
+    so the run is deterministic and the DuckDB oracle replays it
+    exactly (async/random-order LPA, the textbook default, is
+    irreproducible by construction — the sync variant is what a
+    batch engine ships). Isolated nodes keep their own label.
+
+    Scale shape: the g10 two-phase posture — one fact pass reduces
+    100 TB to a <=625-row symmetrized edge list (two broadcast dim
+    joins + one groupBy), then 4 rounds of join + weighted-mode
+    argmax (the l3l struct-min, no sort) on the bounded graph with
+    localCheckpoint lineage cuts. Per-round cost is fact-independent.
+    Integer weights end to end: hash-exact, no float discipline."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
+    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
+    dedges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = (
+        dedges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionByName(
+            dedges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .coalesce(1)
+        .cache()  # <=600 rows at any SF; read once per round
+    )
+    nodes = (
+        nation.select(F.col("n_nationkey").alias("node"), "n_name")
+        .coalesce(1)
+        .cache()  # 25 rows
+    )
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(_LPA_ITERS):
+        lab = lab.localCheckpoint(eager=True)  # 25 rows; shallow plans
+        nb = (
+            und.join(lab.select(F.col("node").alias("v"), "lab"), "v")
+            .groupBy("u", "lab")
+            .agg(F.sum("w").alias("ws"))
+        )
+        best = (
+            nb.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct((-F.col("ws")).alias("nws"), F.col("lab").alias("lab"))
+                ).alias("b")
+            )
+            .select(F.col("u").alias("node"), F.col("b.lab").alias("new_lab"))
+        )
+        lab = lab.join(best, "node", "left").select(
+            "node", F.coalesce("new_lab", "lab").alias("lab")
+        )
+    return (
+        lab.join(nodes, "node")
+        .groupBy(F.col("lab").cast("long").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "members"
+            ),
+        )
+    )

@@ -1174,3 +1174,98 @@ def v25_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy")) + 1e-9, 4
         ).alias("var_reduction_r"),
     )
+
+
+# --- v26: Benjamini-Hochberg FDR across the experiment metric grid ----
+
+_BH_SQL = """
+    WITH cells AS (
+        SELECT event_type, MONTH(ts) AS mo,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM events GROUP BY event_type, MONTH(ts)
+    ),
+    tested AS (
+        SELECT event_type, mo, n0, c0, n1, c1,
+               CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pool
+        FROM cells
+        WHERE n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+    ),
+    zs AS (
+        SELECT event_type, mo,
+               abs((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                   / sqrt(pool * (CAST(1 AS DOUBLE) - pool)
+                          * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)))
+                   AS az
+        FROM tested
+    ),
+    ks AS (SELECT event_type, mo, az,
+                  CAST(1 AS DOUBLE)
+                  / (CAST(1 AS DOUBLE) + CAST(0.2316419 AS DOUBLE) * az) AS k
+           FROM zs),
+    ps AS (
+        SELECT event_type, mo, az,
+               CAST(2 AS DOUBLE)
+                   * (exp(-(az * az) / CAST(2 AS DOUBLE))
+                      / sqrt(CAST(2 AS DOUBLE) * pi()))
+                   * (((((CAST(1.330274429 AS DOUBLE) * k
+                          - CAST(1.821255978 AS DOUBLE)) * k
+                         + CAST(1.781477937 AS DOUBLE)) * k
+                        - CAST(0.356563782 AS DOUBLE)) * k
+                       + CAST(0.319381530 AS DOUBLE)) * k) AS p
+        FROM ks
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ps),
+    ranked AS (
+        SELECT event_type, mo, az, p,
+               CAST(ROW_NUMBER() OVER
+                    (ORDER BY p ASC, event_type ASC, mo ASC) AS BIGINT) AS rnk
+        FROM ps
+    ),
+    flagged AS (
+        SELECT r.event_type, r.mo, r.az, r.p, r.rnk, mm.m,
+               (r.p <= r.rnk * CAST(0.05 AS DOUBLE) / mm.m) AS ok
+        FROM ranked r CROSS JOIN mm
+    ),
+    kstar AS (
+        SELECT COALESCE(MAX(rnk), CAST(0 AS BIGINT)) AS ks
+        FROM flagged WHERE ok
+    )
+    SELECT f.event_type, CAST(f.mo AS BIGINT) AS mo,
+           ROUND(f.az + 1e-9, 4) + 0.0 AS abs_z,
+           ROUND(f.p + 1e-9, 6) + 0.0 AS p_value,
+           f.rnk, f.m,
+           (f.rnk <= k.ks) AS rejected
+    FROM flagged f CROSS JOIN kstar k
+"""
+
+
+@register("v26_bh_fdr", oracle=_BH_SQL)
+def v26_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V26: Benjamini-Hochberg FDR step-up over the full experiment
+    metric grid — v16 reads ONE z-test; a real experimentation
+    platform reads dozens per day (here: conversion z per (event_type,
+    month) cell, hash-parity arms) and without multiplicity control
+    the 5%-level false positives scale with the grid. BH: rank the
+    two-sided p-values ascending, find the largest rank with
+    p <= rank*alpha/m, reject everything at or below it.
+
+    Cross-engine p-values: the normal tail is the Abramowitz-Stegun
+    26.2.17 polynomial written ONCE as shared SQL text and executed
+    verbatim by BOTH engines (the sql9 shared-dialect discipline), so
+    the only divergence source is libm exp ulps — absorbed by the 6dp
+    round, while ranks/rejections compare exactly. Degenerate cells
+    (empty arm, all-convert, none-convert) are excluded from m on both
+    sides — the 0/0 NULL-vs-NaN trap cut, not papered over.
+
+    Scale shape: one map-side-combined aggregate collapses the fact to
+    the metric grid (<= |types| x 12 rows at ANY corpus size); the
+    ranking window and the two scalar broadcasts run on that bounded
+    grid. The WindowExec input is grid-bounded — waived with a runtime
+    bound in tests/test_window_waivers.py."""
+    from meepo_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_BH_SQL)

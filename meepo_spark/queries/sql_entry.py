@@ -570,3 +570,32 @@ def sql14_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+_FILTERED_AGG_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS open_cents,
+           COUNT(DISTINCT o_custkey)
+                FILTER (WHERE o_totalprice > 100000) AS n_big_customers
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql15_filtered_agg", oracle=_FILTERED_AGG_SQL)
+def sql15_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL15: the FILTER clause on aggregates (shared Spark-4/DuckDB
+    dialect) — per-aggregate predicates without CASE-wrapping every
+    argument, including the FILTER + DISTINCT combination (a distinct
+    agg whose input set is itself predicated). One conditional-
+    aggregation pass: Catalyst plans each FILTER as a predicated
+    partial agg in the same hash aggregate, so adding a filtered
+    column never adds a scan, and the distinct+filter column rewrites
+    through the standard expand+two-phase distinct plan. COALESCE on
+    the filtered SUM: a group with no 'O' rows yields NULL on both
+    engines, pinned to 0 so the contract is explicit."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_FILTERED_AGG_SQL)

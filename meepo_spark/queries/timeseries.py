@@ -2809,3 +2809,82 @@ def t30_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("worst_day"),
         F.max("score_r").alias("worst_score_r"),
     )
+
+
+@register(
+    "t31_rolling_correlation",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag AS flag, l_shipdate AS day,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT flag, day,
+               corr(rev, qty) OVER pw AS c,
+               COUNT(*) OVER pw AS n,
+               stddev_samp(rev) OVER pw AS sx,
+               stddev_samp(qty) OVER pw AS sy
+        FROM d
+        WINDOW pw AS (PARTITION BY flag ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag, CAST(day AS VARCHAR) AS day,
+           ROUND(c + 1e-9, 4) + 0.0 AS corr_7d
+    FROM w
+    WHERE n = 7 AND sx > 0 AND sy > 0 AND YEAR(day) = 1995
+    """,
+)
+def t31_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31: rolling 7-day Pearson correlation between two co-measured
+    series (daily revenue vs daily quantity per return flag) — the
+    pairs-trading / co-movement monitor g19's STATIC correlation
+    matrix cannot express: the window shows WHEN the coupling breaks,
+    not just whether it holds on average. Emits 1995 days with a full
+    7-day trailing window and non-degenerate variance on both legs
+    (zero-variance windows are excluded explicitly: DuckDB corr yields
+    NULL there while Spark yields NaN — the 0/0 cross-engine trap, cut
+    rather than papered over).
+
+    Scale shape: the fact collapses to the (flag, day) grain FIRST
+    (one partial-aggregated shuffle; the window then slides over a
+    calendar-bounded frame of ~2.5k rows per flag — bounded by DAYS,
+    never fact rows, the t10/t12 discipline). Day sums are exact
+    integer cents/centiunits on both engines, so the only float work
+    is the correlation itself, computed by each engine's stable
+    co-moment aggregate and compared at 4dp."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("qty"),
+    )
+    pw = W.partitionBy("flag").orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "flag",
+        "day",
+        F.corr("rev", "qty").over(pw).alias("c"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+        F.stddev_samp("rev").over(pw).alias("sx"),
+        F.stddev_samp("qty").over(pw).alias("sy"),
+    )
+    return (
+        w.filter(
+            (F.col("n") == 7)
+            & (F.col("sx") > 0)
+            & (F.col("sy") > 0)
+            & (F.year("day") == 1995)
+        )
+        .select(
+            "flag",
+            F.col("day").cast("string").alias("day"),
+            (F.round(F.col("c") + 1e-9, 4) + 0.0).alias("corr_7d"),
+        )
+    )

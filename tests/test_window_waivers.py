@@ -82,6 +82,8 @@ WAIVER_BOUNDS: dict[str, int] = {
     "l43_dup_quality_interaction": 100,  # 32-bucket ntile aggregate
     # round-6:
     "e18_pareto_concentration": 4000,  # distinct per-user volumes x 5 types
+    # round-8:
+    "v26_bh_fdr": 200,                 # <= |event types| x 12 month cells
 }
 
 _LIMIT_RE = re.compile(r"limit=(\d+)")

@@ -85,6 +85,8 @@ NESTED_LOOP_WAIVED = {
     "e20_quantile_treatment_effect",  # 1-row arm-quantile crossJoin(broadcast)
     "v25_cuped_adjustment",  # 1-row global-moments crossJoin(broadcast)
     "q15_top_supplier",  # 1-row max-revenue crossJoin(broadcast)
+    # round-8 scalar broadcasts, bounded by construction:
+    "v26_bh_fdr",  # 1-row m-count + 1-row k* rank crossJoin(broadcast)
     "v11_equidepth_histogram",  # per-flag (lo, hi, N) broadcast (5 rows)
     # round-3 additions, bounded-by-construction broadcasts:
     "l22_mixture_sampling",  # 5-row rate table + 1-row totals
@@ -143,6 +145,7 @@ WINDOW_WAIVED = {
     "g11_weighted_median",     # per-flag offsets over 32768-cent bands
                                # (r4: distinct cents measured fact-sized)
     "v11_equidepth_histogram", # per-flag offsets over 32 value buckets
+    "v26_bh_fdr",              # BH rank over the metric grid (<= |types| x 12 rows)
     "o6_null_ordering",        # per-(flag, bucket) offsets, dual order
     "a8_replay_range",         # per-hour-bucket replay offsets
     "l8_sequence_packing",     # per-lang offsets over the 1000x-reduced
