@@ -1428,3 +1428,232 @@ def l55_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.coalesce("h", F.lit(0)).alias("trunc_hits"),
     )
+
+
+# --- l63: Johnson-Lindenstrauss random projection (round 8) -----------
+
+_JL_OUT = 16  # projected dims; scale = 1/sqrt(16) = 1/4 (exact)
+
+
+def _jl_sign_sql(p: str, j: str) -> str:
+    """The md5-parity ±1 entry (operators/similarity.rademacher_planes
+    formula as SQL) — entry is +1 when the first hex digit of
+    md5('p:j') is even."""
+    return (
+        f"(CASE WHEN (strpos('0123456789abcdef', substr(md5({p}::VARCHAR"
+        f" || ':' || {j}::VARCHAR), 1, 1)) - 1) % 2 = 0"
+        " THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+    )
+
+
+_JL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 100),
+    proj AS (
+        SELECT vec_id, v,
+               list_transform(range({_JL_OUT}), p ->
+                   list_reduce(
+                       list_concat([CAST(0 AS DOUBLE)],
+                           list_transform(range(64),
+                               j -> v[j + 1] * {_jl_sign_sql('p', 'j')})),
+                       (a, b) -> a + b) / CAST(4 AS DOUBLE)) AS pv
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               sqrt(list_reduce(list_concat([CAST(0 AS DOUBLE)],
+                   list_transform(range(64),
+                       j -> (a.v[j+1] - b.v[j+1]) * (a.v[j+1] - b.v[j+1]))),
+                   (x, y) -> x + y)) AS d0,
+               sqrt(list_reduce(list_concat([CAST(0 AS DOUBLE)],
+                   list_transform(range({_JL_OUT}),
+                       j -> (a.pv[j+1] - b.pv[j+1]) * (a.pv[j+1] - b.pv[j+1]))),
+                   (x, y) -> x + y)) AS d1
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ),
+    r AS (SELECT d1 / d0 AS ratio FROM pairs WHERE d0 > 0)
+    SELECT CAST(FLOOR(ratio * 20) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MIN(ratio) + 1e-9, 4) + 0.0 AS min_ratio,
+           ROUND(MAX(ratio) + 1e-9, 4) + 0.0 AS max_ratio,
+           ROUND(AVG(ratio) + 1e-9, 4) + 0.0 AS avg_ratio
+    FROM r GROUP BY 1
+"""
+
+
+@register("l63_jl_projection", oracle=_JL_ORACLE)
+def l63_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L63: Johnson-Lindenstrauss dimensionality reduction — project
+    the 64-dim embeddings onto {_JL_OUT} Rademacher (±1) directions
+    scaled by 1/sqrt(k), then CENSUS the pairwise L2 distortion
+    (d_projected / d_original) over a 100-vector probe block, bucketed
+    at 0.05 width. The operator a 100 TB embedding store runs before
+    swapping its ANN index to a cheaper dimensionality: JL theory says
+    the ratio concentrates near 1, and this censuses the actual
+    distribution instead of trusting the lemma. The ±1 planes are the
+    md5-parity family (operators/similarity.rademacher_planes) so the
+    DuckDB oracle rebuilds the IDENTICAL matrix from the formula —
+    sign-LSH's reproducibility discipline applied to projection; ±1
+    products are lossless, folds are sequential on both engines, and
+    1/sqrt(16) = 1/4 is an exact power of two, so projected vectors
+    are bit-identical cross-engine and the floor-bucket assignment
+    cannot straddle.
+
+    Scale shape: the projection is a pure per-row JVM fold fused into
+    the scan (plane literals in the plan, no shuffle, no Python) — at
+    100 TB it is a map-only pass that cuts downstream ANN cost 4x;
+    the distortion census is probe-blocked (100 vectors, 4950 pairs)
+    exactly like l3c, so its cost is constant at any corpus size."""
+    from meepo_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(DIM, _JL_OUT)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+
+    def dot_plane(p: list[float]):
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ) / F.lit(4.0)
+
+    proj = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array(*[dot_plane(p) for p in planes]).alias("pv"),
+    )
+
+    a = proj.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("pv").alias("pa")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("pv").alias("pb")
+    )
+
+    def l2(x, y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(x, y, lambda u, w: (u - w) * (u - w)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        l2(F.col("va"), F.col("vb")).alias("d0"),
+        l2(F.col("pa"), F.col("pb")).alias("d1"),
+    )
+    r = pairs.filter(F.col("d0") > 0).select((F.col("d1") / F.col("d0")).alias("ratio"))
+    return r.groupBy(
+        F.floor(F.col("ratio") * 20).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.round(F.min("ratio") + 1e-9, 4) + 0.0).alias("min_ratio"),
+        (F.round(F.max("ratio") + 1e-9, 4) + 0.0).alias("max_ratio"),
+        (F.round(F.avg("ratio") + 1e-9, 4) + 0.0).alias("avg_ratio"),
+    )
+
+
+# --- l64: int8 scalar quantization census (round 8) -------------------
+
+_SQ_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (
+        SELECT vec_id, t.j AS dim, v[t.j + 1] AS x
+        FROM e, range(64) t(j)
+    ),
+    stats AS (
+        SELECT dim, MIN(x) AS lo, MAX(x) AS hi,
+               (MAX(x) - MIN(x)) / CAST(255 AS DOUBLE) AS scale
+        FROM x GROUP BY dim HAVING MAX(x) > MIN(x)
+    ),
+    q AS (
+        SELECT x.dim, x.x, s.lo, s.scale,
+               FLOOR((x.x - s.lo) / s.scale + CAST(0.5 AS DOUBLE)) AS code
+        FROM x JOIN stats s USING (dim)
+    ),
+    err AS (
+        SELECT dim, lo, scale, code,
+               abs((lo + code * scale) - x) AS e
+        FROM q
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,
+           ROUND(sqrt(AVG(e * e)) + 1e-9, 6) + 0.0 AS rmse,
+           ROUND(MAX(e) + 1e-9, 6) + 0.0 AS max_err,
+           ROUND(MAX(e) / scale + 1e-9, 4) + 0.0 AS max_err_scales
+    FROM err GROUP BY dim, scale
+"""
+
+
+@register("l64_int8_quantization", oracle=_SQ_ORACLE)
+def l64_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64: scalar int8 quantization of the embedding store — per-dim
+    affine codes (lo + code*(hi-lo)/255, code in 0..255) and the
+    reconstruction-error census that decides whether 4x compression is
+    safe: per dimension, RMSE and max abs error plus code-space
+    utilization (n_codes). The third member of the compression family
+    (PQ l3i codes subspaces jointly, Matryoshka l55 truncates dims;
+    this is the per-dim affine baseline every vector store ships —
+    FAISS SQ8 / Milvus SQ).
+
+    Cross-engine: quantization rounds via FLOOR(t + 0.5) — written
+    identically on both engines, unlike ROUND whose half-way rule is
+    engine-defined; (x-lo)/scale is an identical double chain, so
+    codes are integer-exact and only the error AGGREGATES carry float
+    rounding (6dp). Constant dimensions (hi == lo) are excluded on
+    both sides rather than dividing by zero. max_err_scales pins the
+    theory check: affine rounding error can never exceed half a scale
+    step (the census value is <= 0.5 by construction — a wrong
+    rounding rule on either engine would break the hash, not just the
+    bound).
+
+    Scale shape: one posexplode + per-dim partial-aggregated min/max
+    (64-row output at ANY corpus size), broadcast back, one more
+    map-side-combined error aggregate — two map-only passes over the
+    store, shuffles bounded by 64 rows. At 100 TB this is the cheap
+    full-scan pair every quantizer training job runs."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    stats = (
+        x.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "dim",
+            "lo",
+            ((F.col("hi") - F.col("lo")) / F.lit(255.0)).alias("scale"),
+        )
+    )
+    q = x.join(F.broadcast(stats), "dim").select(  # bcast: fixed (64 rows)
+        "dim",
+        "lo",
+        "scale",
+        F.floor((F.col("x") - F.col("lo")) / F.col("scale") + F.lit(0.5)).alias(
+            "code"
+        ),
+        "x",
+    )
+    err = q.select(
+        "dim",
+        "scale",
+        "code",
+        F.abs((F.col("lo") + F.col("code") * F.col("scale")) - F.col("x")).alias(
+            "e"
+        ),
+    )
+    return err.groupBy(F.col("dim").cast("long").alias("dim"), "scale").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.count_distinct("code").alias("n_codes"),
+        (F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))) + 1e-9, 6) + 0.0).alias(
+            "rmse"
+        ),
+        (F.round(F.max("e") + 1e-9, 6) + 0.0).alias("max_err"),
+        (F.round(F.max("e") / F.first("scale") + 1e-9, 4) + 0.0).alias(
+            "max_err_scales"
+        ),
+    ).drop("scale")

@@ -62,6 +62,7 @@ BNLJ_BOUNDS: dict[str, int] = {
     "l18_dedup_signal_agreement": 4096,
     "l3c_embedding_near_dup": 4096,
     "l2c_ngram_jaccard_block": 8192,  # 2000-doc block frame if planned as BNLJ
+    "l63_jl_projection": 2048,  # 100-vector probe block (cache-reuse headroom)
     "l13_dedup_threshold_curve": 64,
     # 1%-sample signature frame (l24-style sample-bounded truth join)
     "l49_minhash_calibration": 128,
