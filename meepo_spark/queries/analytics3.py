@@ -534,3 +534,70 @@ def e20_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round((F.col("qb")[1] - F.col("qa")[1]) / 100.0, 2) + 0.0).alias("qte_p50"),
         (F.round((F.col("qb")[2] - F.col("qa")[2]) / 100.0, 2) + 0.0).alias("qte_p75"),
     )
+
+
+# --- e21: sample-ratio-mismatch check (round 8) ------------------------
+
+_SRM_SQL = """
+    WITH arms AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0
+                                        THEN user_id END) AS BIGINT) AS n0,
+               CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1
+                                        THEN user_id END) AS BIGINT) AS n1
+        FROM events GROUP BY event_type
+    ),
+    chi AS (
+        SELECT event_type, n0, n1,
+               CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+                   / CAST(n0 + n1 AS DOUBLE) AS chi2
+        FROM arms WHERE n0 + n1 > 0
+    ),
+    zs AS (SELECT event_type, n0, n1, chi2, sqrt(chi2) AS az FROM chi),
+    ks AS (SELECT event_type, n0, n1, chi2, az,
+                  CAST(1 AS DOUBLE)
+                  / (CAST(1 AS DOUBLE) + CAST(0.2316419 AS DOUBLE) * az) AS k
+           FROM zs),
+    ps AS (
+        SELECT event_type, n0, n1, chi2,
+               CAST(2 AS DOUBLE)
+                   * (exp(-(az * az) / CAST(2 AS DOUBLE))
+                      / sqrt(CAST(2 AS DOUBLE) * pi()))
+                   * (((((CAST(1.330274429 AS DOUBLE) * k
+                          - CAST(1.821255978 AS DOUBLE)) * k
+                         + CAST(1.781477937 AS DOUBLE)) * k
+                        - CAST(0.356563782 AS DOUBLE)) * k
+                       + CAST(0.319381530 AS DOUBLE)) * k) AS p
+        FROM ks
+    )
+    SELECT event_type, n0, n1,
+           ROUND(chi2 + 1e-9, 4) + 0.0 AS chi2,
+           ROUND(p + 1e-9, 6) + 0.0 AS p_value,
+           (p < CAST(0.001 AS DOUBLE)) AS srm_flag
+    FROM ps
+"""
+
+
+@register("e21_srm_check", oracle=_SRM_SQL)
+def e21_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: sample-ratio-mismatch detection — THE first gate every
+    experiment readout runs before any metric is believed: per
+    event_type, the distinct-user split across hash-parity arms is
+    chi-square-tested against the designed 50/50; p < 0.001 flags a
+    broken randomizer/logging path (the industry-standard SRM
+    threshold). Complements v16 (the metric test) and v26 (the
+    multiplicity correction): SRM invalidates both when it fires.
+
+    Chi-square with 1 df: chi2 = (n0-n1)^2/(n0+n1) exactly (integer
+    numerator), and the survival function is 2*(1-Phi(sqrt(chi2))) —
+    the same shared-SQL-text A&S 26.2.17 polynomial v26 uses, so both
+    engines run the identical double chain (decimal literals all
+    explicitly CAST).
+
+    Scale shape: one distinct-user aggregate per (event_type, arm) —
+    map-side partial over the user domain — then all float work runs
+    on the |event_type|-row census."""
+    from meepo_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_SRM_SQL)

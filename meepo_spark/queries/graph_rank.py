@@ -566,3 +566,126 @@ def g29_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- g30: k-core peeling (round 8) --------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 5
+
+_KCORE_HEAD = (
+    _LPA_HEAD
+    + """,
+mx AS MATERIALIZED (SELECT MAX(w) AS mw FROM und),
+se AS MATERIALIZED (
+    SELECT u, v FROM und CROSS JOIN mx WHERE w * 2 >= mw
+),
+act0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM se)
+"""
+)
+
+
+def _kcore_step_sql(i: int) -> str:
+    return f""",
+deg{i} AS (
+    SELECT e.u AS node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM se e
+    JOIN act{i - 1} a ON e.u = a.node
+    JOIN act{i - 1} b ON e.v = b.node
+    GROUP BY e.u
+),
+act{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE d >= {_KCORE_K})"""
+
+
+def _kcore_oracle_sql(rounds: int) -> str:
+    return (
+        _KCORE_HEAD
+        + "".join(_kcore_step_sql(i) for i in range(1, rounds + 1))
+        + f""",
+degf AS (
+    SELECT e.u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM se e
+    JOIN act{rounds} a ON e.u = a.node
+    JOIN act{rounds} b ON e.v = b.node
+    GROUP BY e.u
+)
+SELECT CAST(d.node AS BIGINT) AS node, n.n_name, d.core_degree
+FROM degf d JOIN nds n ON d.node = n.node"""
+    )
+
+
+@register("g30_kcore", oracle=_kcore_oracle_sql(_KCORE_ROUNDS))
+def g30_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G30: k-core extraction by synchronous peeling — the degeneracy
+    screen that separates a graph's cohesive backbone from its
+    periphery (the standard pre-filter before community/centrality
+    work, and the classic spam-farm detector). The trade graph is
+    thresholded to STRONG edges (weight >= half the max — the dense
+    25-nation graph is otherwise one trivial core), then 5 sync
+    rounds drop every node whose within-subgraph degree < 2; the
+    census reports the surviving core with each member's core degree.
+    Fixed round budget + synchronous updates + integer degrees =
+    deterministic and exactly unrollable by the oracle (the g29
+    discipline; peeling on a 25-node graph reaches its fixpoint well
+    inside 5 rounds, and a fixpoint is stable under extra rounds by
+    construction).
+
+    Scale shape: the g10 two-phase posture — fact reduced once to the
+    <=625-row edge list; each peel round is one join + integer degree
+    count on the bounded graph with localCheckpoint lineage cuts."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
+    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
+    dedges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = (
+        dedges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionByName(
+            dedges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .coalesce(1)
+        .cache()  # <=600 rows at any SF
+    )
+    mx = und.agg(F.max("w").alias("mw"))
+    se = (
+        und.crossJoin(F.broadcast(mx))  # bcast: fixed (1-row max weight)
+        .filter(F.col("w") * 2 >= F.col("mw"))
+        .select("u", "v")
+        .coalesce(1)
+        .cache()
+    )
+    act = se.select(F.col("u").alias("node")).distinct()
+
+    def degrees(active):
+        return (
+            se.join(active.select(F.col("node").alias("u")), "u")
+            .join(active.select(F.col("node").alias("v")), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        act = act.localCheckpoint(eager=True)  # <=25 rows; shallow plans
+        act = degrees(act).filter(F.col("d") >= _KCORE_K).select("node")
+    degf = degrees(act).withColumnRenamed("d", "core_degree")
+    nds = nation.select(F.col("n_nationkey").alias("node"), "n_name")
+    return degf.join(nds, "node").select(
+        F.col("node").cast("long").alias("node"), "n_name", "core_degree"
+    )

@@ -1525,3 +1525,215 @@ def l57_winnow_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )
+
+
+# --- l65: Kneser-Ney bigram LM (round 8) -------------------------------
+
+_KN_D = 0.75  # absolute discount; exactly representable in binary
+
+_KN_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, lang, toks, unnest(range(1, n)) AS i FROM t)
+    ),
+    cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ct,
+                   CAST(COUNT(*) AS BIGINT) AS nf
+            FROM cbg GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM cbg GROUP BY 1),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cbg),
+    model AS (
+        SELECT cbg.w1, cbg.w2,
+               (GREATEST(CAST(cbg.c AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                         CAST(0 AS DOUBLE)) / CAST(ctx.ct AS DOUBLE))
+               + ((CAST(0.75 AS DOUBLE) * CAST(ctx.nf AS DOUBLE)
+                   / CAST(ctx.ct AS DOUBLE))
+                  * (CAST(cont.nb AS DOUBLE) / CAST(btot.b AS DOUBLE))) AS p
+        FROM cbg
+        JOIN ctx ON ctx.w1 = cbg.w1
+        JOIN cont ON cont.w2 = cbg.w2
+        CROSS JOIN btot
+    ),
+    scored AS (
+        SELECT b.lang, LN(m.p) AS lp
+        FROM bg b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(lp) + 1e-9, 4) + 0.0 AS cross_entropy
+    FROM scored GROUP BY lang
+"""
+
+
+@register("l65_kneser_ney_lm", oracle=_KN_ORACLE)
+def l65_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65: interpolated Kneser-Ney bigram LM — the smoothing that
+    actually ships in LM-based quality filters (KenLM's default),
+    where l4m's add-one baseline systematically over-penalizes rare
+    continuations: absolute discount D=0.75 off every bigram count,
+    mass redistributed through the CONTINUATION probability (how many
+    distinct contexts precede w2), not the raw unigram. Trained on
+    the corpus token stream and scored in-sample per occurrence; the
+    census is per-language cross-entropy — the number a CCNet-style
+    filter thresholds.
+
+    Cross-engine: all model inputs are exact integer counts; D=0.75
+    is exactly representable in binary, and both engines evaluate the
+    identical (discount/ctx) + (backoff_weight * continuation) chain
+    with explicit DOUBLE casts (the v26 decimal-literal discipline),
+    so per-bigram probabilities are bit-comparable and only the
+    per-lang AVG carries summation-order noise (absorbed at 4dp).
+
+    Scale shape: the model tables are vocabulary-sized (bigram/
+    context/continuation counts — map-side-combined aggregates), the
+    scoring join is broadcast-able at real scales, and the token
+    stream is touched exactly twice (count, score) — the l4m plan
+    with one extra tiny aggregate for the continuation counts."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = d.select("lang", toks.alias("toks"))
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    bg = t.filter(F.size("toks") >= 2).select(
+        "lang",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cbg.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("ct"), F.count(F.lit(1)).alias("nf")
+    )
+    cont = cbg.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    btot = cbg.agg(F.count(F.lit(1)).alias("b"))
+    p = (
+        F.greatest(F.col("c").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("ct").cast("double")
+    ) + (
+        (F.lit(0.75) * F.col("nf").cast("double") / F.col("ct").cast("double"))
+        * (F.col("nb").cast("double") / F.col("b").cast("double"))
+    )
+    model = (
+        cbg.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))  # bcast: fixed (1-row bigram total)
+        .select("w1", "w2", p.alias("p"))
+    )
+    scored = bg.join(model, ["w1", "w2"]).select("lang", F.log("p").alias("lp"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.round(-F.avg("lp") + 1e-9, 4) + 0.0).alias("cross_entropy"),
+    )
+
+
+# --- l66: BPE compression curve over merge-table prefixes (round 8) ----
+
+_CURVE_PREFIXES = [0, 2, 4, 8]  # 0 = character baseline; 8 = _BPE_K
+
+
+def _bpe_curve_oracle_sql(k: int, prefixes: list[int]) -> str:
+    """One training unroll + ONE word-grain apply chain a0..a{k}; the
+    curve reads each requested prefix row off the shared chain (a
+    prefix-p application IS the chain state after p merges)."""
+    parts = [
+        _bpe_train_ctes(k),
+        """,
+    a0 AS (
+        SELECT LENGTH(word) AS wlen,
+               list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms,
+               CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word
+    )""",
+    ]
+    for i in range(k):
+        parts.append(f""",
+    a{i + 1} AS (
+        SELECT wlen,
+               list_reduce(list_transform(syms, c -> [c]),
+                           {_BPE_MERGE_LAMBDA}) AS syms, wc
+        FROM a{i} LEFT JOIN b{i} b ON TRUE
+    )""")
+    selects = [
+        f"""
+    SELECT CAST({p} AS BIGINT) AS k_merges,
+           CAST(SUM(wc) AS BIGINT) AS n_words,
+           CAST(SUM(len(syms) * wc) AS BIGINT) AS n_tokens,
+           ROUND(SUM(len(syms) * wc)::DOUBLE / SUM(wc) + 1e-9, 4)
+               AS fertility,
+           ROUND(SUM(wlen * wc)::DOUBLE / SUM(len(syms) * wc) + 1e-9, 4)
+               AS chars_per_token
+    FROM a{p}"""
+        for p in prefixes
+    ]
+    return "".join(parts) + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "l66_bpe_compression_curve",
+    oracle=_bpe_curve_oracle_sql(_BPE_K, _CURVE_PREFIXES),
+)
+def l66_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66: the tokenizer compression CURVE — corpus token count and
+    fertility after applying each PREFIX of the trained merge table
+    (0 = character baseline, then 2/4/8 merges). THE plot a tokenizer
+    training run watches to pick its vocabulary size: marginal
+    compression per merge decays, and the curve is monotone
+    non-increasing in tokens by construction (each merge can only
+    shrink segmentations) — a property the hash gate now pins at four
+    points rather than trusting. Completes the BPE family: l46 trains,
+    l47/l62 apply one table, this grades the APPLICATION AS A FUNCTION
+    OF TABLE LENGTH (prefix-closure is what makes BPE vocabularies
+    streamable artifacts: ship 32k merges, clients can run any
+    prefix).
+
+    Scale shape: training is the shared session-cached artifact; each
+    prefix application is a chained JVM fold over the word-count
+    vocabulary frame (corpus never rescanned), and the oracle reads
+    all prefixes off ONE shared apply chain. Integer token sums;
+    two 4dp ratio roundings."""
+    from meepo_spark.operators.bpe import bpe_apply
+
+    d = table(spark, sf_dir, "documents")
+    wl = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    merges = _trained_merge_table(spark, sf_dir)
+    outs = []
+    for p in _CURVE_PREFIXES:
+        seg = bpe_apply(wl, merges.filter(F.col("step") <= p))
+        n_tok = F.sum(F.size("syms") * F.col("wc"))
+        outs.append(
+            seg.agg(
+                F.lit(p).cast("long").alias("k_merges"),
+                F.sum("wc").cast("long").alias("n_words"),
+                n_tok.cast("long").alias("n_tokens"),
+                F.round(n_tok.cast("double") / F.sum("wc") + 1e-9, 4).alias(
+                    "fertility"
+                ),
+                F.round(
+                    F.sum(F.length("word") * F.col("wc")).cast("double")
+                    / n_tok
+                    + 1e-9,
+                    4,
+                ).alias("chars_per_token"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, outs)
