@@ -689,3 +689,123 @@ def g30_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degf.join(nds, "node").select(
         F.col("node").cast("long").alias("node"), "n_name", "core_degree"
     )
+
+
+# --- g31: degree assortativity (round 8) --------------------------------
+
+_ASSORT_ORACLE = (
+    _LPA_HEAD
+    + """,
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+ed AS (
+    SELECT du.d AS dx, dv.d AS dy
+    FROM und e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(dx) AS BIGINT) AS sx,
+           CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+           CAST(SUM(dx * dy) AS BIGINT) AS sxy
+    FROM ed
+)
+SELECT m,
+       ROUND(CAST(sx AS DOUBLE) / m + 1e-9, 4) + 0.0 AS mean_edge_degree,
+       CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                       / CAST(m * sxx - sx * sx AS DOUBLE) + 1e-9, 4) + 0.0
+       END AS assortativity
+FROM s"""
+)
+
+
+@register("g31_assortativity", oracle=_ASSORT_ORACLE)
+def g31_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G31: degree assortativity of the undirected nation trade graph —
+    the Pearson correlation of endpoint degrees over the edge list
+    (Newman 2002), THE one-number summary of whether hubs trade with
+    hubs (r > 0) or with the periphery (r < 0); disassortativity is
+    the typical trade/Internet signature and decides whether hub
+    failures fragment the graph. Completes the graph-metric family:
+    g10 ranks nodes, g14 counts triangles, g29/g30 find structure —
+    this measures the mixing pattern they all sit on.
+
+    Cross-engine exactness: degrees and all four edge sums are exact
+    integers (the symmetrized edge list counts each undirected edge
+    twice — the standard convention, making Sy = Sx), so the
+    correlation reduces to ONE division of two exact integer
+    polynomials: (m*Sxy - Sx^2) / (m*Sxx - Sx^2) — bit-identical on
+    both engines before the 4dp round.
+
+    Scale shape: the g10 two-phase posture — fact to <=625 edges once;
+    degrees and sums are two tiny aggregates + one broadcast join."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+
+    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
+    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
+    dedges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = (
+        dedges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionByName(
+            dedges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .coalesce(1)
+        .cache()
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        und.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))),
+            "u",
+        )  # bcast: fixed (25 rows)
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))),
+            "v",
+        )  # bcast: fixed (25 rows)
+        .select("dx", "dy")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "m",
+        (F.round(F.col("sx").cast("double") / F.col("m") + 1e-9, 4) + 0.0).alias(
+            "mean_edge_degree"
+        ),
+        # a REGULAR graph (every degree equal — the fully-connected
+        # shape the dense fixtures produce) has zero degree variance:
+        # assortativity is undefined, pinned to NULL on both engines
+        F.when(
+            F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+            F.round(
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                + 1e-9,
+                4,
+            )
+            + 0.0,
+        ).alias("assortativity"),
+    )

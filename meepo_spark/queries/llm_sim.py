@@ -1657,3 +1657,141 @@ def l64_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_err_scales"
         ),
     ).drop("scale")
+
+
+# --- l67: sparse TF-IDF cosine top-k via inverted index (round 8) ------
+
+_SPARSE_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                          * LN(CAST(nn.n AS DOUBLE) / df.df)
+                          * CAST(1000 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN nn
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nr
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS q_id, b.doc_id AS c_id,
+               CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < 10
+        GROUP BY 1, 2
+    ),
+    cos AS (
+        SELECT d.q_id, d.c_id,
+               CAST(d.dot AS DOUBLE) / (qa.nr * qb.nr) AS c
+        FROM dots d
+        JOIN nrm qa ON d.q_id = qa.doc_id
+        JOIN nrm qb ON d.c_id = qb.doc_id
+    )
+    SELECT q_id, c_id, ROUND(c + 1e-9, 6) + 0.0 AS cos_r,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT q_id, c_id, c,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY c DESC, c_id ASC) AS rank
+        FROM cos
+    ) WHERE rank <= 5
+"""
+
+
+@register("l67_sparse_cosine_topk", oracle=_SPARSE_ORACLE)
+def l67_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67: SPARSE document similarity — TF-IDF cosine top-5 via the
+    inverted index, the lexical complement to the dense-embedding
+    family (l3*): dot products come from a posting-list EQUI-JOIN on
+    the term (only term-sharing pairs ever meet — the BM25/sparse-
+    retrieval scale shape; no all-pairs stage, no vector scan), which
+    is how doc-to-doc similarity actually runs over 100 TB of text
+    when there are no embeddings.
+
+    Cross-engine exactness: TF-IDF weights are QUANTIZED to integer
+    milliunits — floor(tf*ln(N/df)*1000 + 0.5) — so every dot product
+    is an exact integer SUM (summation-order-free, unlike a float dot
+    accumulated across shuffle partitions) and the cosine is one
+    double division chain; ranking ties break on c_id. The lone float
+    input (ln) differs by at most an ulp between libms, which flips a
+    quantized weight only within 1e-12 of a rounding boundary.
+
+    Scale shape: tf/df/norm are map-side-combined aggregates; the
+    posting join is keyed on the term with the 10-doc query side
+    filtered BEFORE the join; top-5 per query is a ranked window the
+    planner runs as WindowGroupLimit."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = tf.agg(F.count_distinct("doc_id").alias("n"))
+    w = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nn))  # bcast: fixed (1-row corpus size)
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
+    )
+    qa = w.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q_id"), "term", F.col("w").alias("wq")
+    )
+    dots = (
+        qa.join(
+            w.select(F.col("doc_id").alias("c_id"), "term", F.col("w").alias("wc")),
+            "term",
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("wq") * F.col("wc")).cast("long").alias("dot"))
+    )
+    cos = (
+        dots.join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("q_id"), F.col("nr").alias("nq"))),
+            "q_id",
+        )  # bcast: 10 query norms after the join prunes
+        .join(
+            nrm.select(F.col("doc_id").alias("c_id"), F.col("nr").alias("nc")),
+            "c_id",
+        )
+        .select(
+            "q_id",
+            "c_id",
+            (F.col("dot").cast("double") / (F.col("nq") * F.col("nc"))).alias("c"),
+        )
+    )
+    win = Window.partitionBy("q_id").orderBy(F.col("c").desc(), F.col("c_id").asc())
+    return (
+        cos.select("q_id", "c_id", "c", F.row_number().over(win).alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "c_id",
+            (F.round(F.col("c") + 1e-9, 6) + 0.0).alias("cos_r"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -338,3 +338,77 @@ def s10_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             "cents"
         ),
     )
+
+
+@register(
+    "s11_bucketed_smb_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def s11_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: BUCKETED-table layout graded through the oracle gate —
+    orders and customer are written as managed tables bucketed 8 ways
+    on the join key (bucketBy + sortBy + saveAsTable), read back, and
+    joined bucket-to-bucket. The oracle computes the same join from
+    the SOURCE parquet, so the hash match proves the bucketed write →
+    catalog read → join cycle is lossless AND bucket-aligned (a row
+    hashed into the wrong bucket never meets its match and the counts
+    break).
+
+    Scale shape: bucketing is THE shuffle amortizer at 100 TB — both
+    sides pre-partitioned and pre-sorted on the key means every
+    subsequent co-keyed join/aggregate is exchange-free (sort-merge
+    on co-located buckets); one write-time shuffle is paid once and
+    reused by every downstream query. The exchange-free plan is
+    asserted in tests/test_sources.py (broadcast disabled, both scans
+    feed the SortMergeJoin with no ShuffleExchange). Table names are
+    keyed on a hash of the absolute fixture dir (the s10 collision
+    discipline); mode('overwrite') keeps re-runs idempotent."""
+    import shutil
+
+    abs_sf = os.path.abspath(os.path.normpath(sf_dir))
+    sf_id = hashlib.sha1(abs_sf.encode("utf-8")).hexdigest()[:12]
+    t_o, t_c = f"s11_orders_{sf_id}", f"s11_customer_{sf_id}"
+    # a managed table's LOCATION outlives the in-memory catalog (the
+    # session that wrote it is gone, the warehouse dir is not), and
+    # Spark refuses to re-create a managed table over a leftover
+    # location — drop both the catalog entry and any stale dir first
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    for name in (t_o, t_c):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join(wh_path, name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    (
+        table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(t_o)
+    )
+    (
+        table(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(t_c)
+    )
+    o = spark.table(t_o)
+    c = spark.table(t_c)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )

@@ -338,3 +338,29 @@ def test_s10_readback_prunes_partitions(spark, sf_dir):
     # and the row-level data filters carry NO event_type predicate
     data = plan.split("DataFilters: [")[1].split("]")[0]
     assert "event_type" not in data
+
+
+def test_s11_bucketed_join_is_exchange_free(spark, sf_dir):
+    """s11's claim: with both sides bucketed 8 ways on the join key
+    (and broadcast disabled so the planner can't sidestep the
+    question), the SortMergeJoin consumes the bucketed scans DIRECTLY
+    — no ShuffleExchange anywhere in the join subtree. That's the
+    write-once-shuffle-never-again contract bucketing exists for."""
+    from meepo_spark.queries.sources import s11_bucketed_smb_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = s11_bucketed_smb_join(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    final = plan.split("== Initial Plan ==")[0]  # drop the AQE echo
+    assert "SortMergeJoin" in final, plan
+    assert final.count("Bucketed: true") == 2, final
+    join_part = final.split("SortMergeJoin")[1]
+    # the only legal exchange is ABOVE the join (the final groupBy,
+    # which prints BEFORE the join in tree order); below the join
+    # there must be none — buckets are co-located
+    assert "Exchange hashpartitioning" not in join_part, join_part
