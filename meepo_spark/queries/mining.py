@@ -822,3 +822,79 @@ def m8_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "m9_sequential_rules",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_type, MIN(ts) AS fts
+        FROM events GROUP BY 1, 2
+    ),
+    ab AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM f a JOIN f b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        WHERE b.fts > a.fts AND b.fts <= a.fts + INTERVAL 7 DAY
+        GROUP BY 1, 2
+    ),
+    na AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM f GROUP BY 1)
+    SELECT ab.antecedent, ab.consequent, na.n_a, ab.n_ab,
+           ROUND(CAST(ab.n_ab AS DOUBLE) / na.n_a + 1e-9, 4) + 0.0
+               AS confidence
+    FROM ab JOIN na ON na.event_type = ab.antecedent
+    """,
+)
+def m9_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: time-bounded SEQUENTIAL association rules — for each
+    ordered event-type pair (A -> B), the share of users whose first B
+    follows their first A within 7 days. The temporal complement of
+    m5's co-occurrence rules (order- and window-blind) and m2's
+    one-step transitions (adjacent events only): this is the
+    "does signup lead to purchase within a week" shape growth teams
+    actually ask, on the first-touch grain that makes the rule
+    well-defined per user.
+
+    Scale shape: the event log collapses to the (user, type,
+    first_ts) frame in one map-side-combined aggregate — bounded by
+    users x |types|, NOT events — and the sequential join runs inside
+    each user's <= |types| rows (a self-equi-join on user_id, never a
+    fact self-join). Counts are exact integers; confidence is one
+    division rounded at 4dp; the 7-day window is exact timestamp
+    arithmetic on both engines (compared, never rendered)."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("fts"))
+    a = f.select(
+        "user_id", F.col("event_type").alias("antecedent"), F.col("fts").alias("ta")
+    )
+    b = f.select(
+        "user_id", F.col("event_type").alias("consequent"), F.col("fts").alias("tb")
+    )
+    ab = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = f.groupBy(F.col("event_type").alias("antecedent")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    return (
+        ab.join(F.broadcast(na), "antecedent")  # bcast: fixed (|types| rows)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_a",
+            "n_ab",
+            (
+                F.round(F.col("n_ab").cast("double") / F.col("n_a") + 1e-9, 4)
+                + 0.0
+            ).alias("confidence"),
+        )
+    )

@@ -1269,3 +1269,113 @@ def v26_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     return spark.sql(_BH_SQL)
+
+
+# --- v27: Welch's unequal-variance t-test (round 8) --------------------
+
+_WELCH_SQL = f"""
+    WITH arms AS ({REV_ARMS_SQL}),
+    mom AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS ss
+        FROM arms GROUP BY arm
+    ),
+    mv AS (
+        SELECT arm, n,
+               CAST(s AS DOUBLE) / n AS m,
+               (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS v
+        FROM mom
+    ),
+    w AS (
+        SELECT a.n AS n0, b.n AS n1, a.m AS m0, b.m AS m1,
+               a.v / a.n + b.v / b.n AS se2,
+               a.v / a.n AS se0, b.v / b.n AS se1
+        FROM mv a JOIN mv b ON a.arm = 0 AND b.arm = 1
+    )
+    SELECT n0, n1,
+           ROUND((m0 - m1) / CAST(100 AS DOUBLE) + 1e-9, 2) + 0.0
+               AS mean_diff_dollars,
+           ROUND((m0 - m1) / sqrt(se2) + 1e-9, 4) + 0.0 AS t_stat,
+           ROUND((se2 * se2)
+                 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1))
+                 + 1e-9, 2) + 0.0 AS welch_df
+    FROM w
+"""
+
+
+@register("v27_welch_ttest", oracle=_WELCH_SQL)
+def v27_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V27: Welch's unequal-variance t-test on per-user revenue — the
+    workhorse continuous-metric readout (v16 tests proportions; v24 is
+    the rank-based fallback; this is what actually runs on revenue,
+    where arm variances differ by construction): t statistic plus the
+    Welch-Satterthwaite degrees of freedom. Shares the single-sourced
+    revenue frame (queries/exp_frames) with e20/v24/v25 so the
+    population can never drift from its siblings.
+
+    Cross-engine: n / Σx / Σx² are exact integers (cents), means and
+    variances are identical double chains with every integer CAST
+    explicit (Σx·Σx would overflow BIGINT at ~5e9 cents — cast BEFORE
+    the square on both engines), so t and df agree to ulps before the
+    4dp/2dp rounds.
+
+    Scale shape: one per-user aggregate, one 2-row moment census —
+    every float op runs on two rows."""
+    arms = user_revenue_arms(spark, sf_dir)
+    mom = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    mv = mom.select(
+        "arm",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    a = mv.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0")
+    )
+    b = mv.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    w = a.crossJoin(F.broadcast(b)).select(  # bcast: fixed (1-row arm census)
+        "n0",
+        "n1",
+        "m0",
+        "m1",
+        (F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")).alias("se2"),
+        (F.col("v0") / F.col("n0")).alias("se0"),
+        (F.col("v1") / F.col("n1")).alias("se1"),
+    )
+    return w.select(
+        "n0",
+        "n1",
+        (
+            F.round((F.col("m0") - F.col("m1")) / F.lit(100.0) + 1e-9, 2) + 0.0
+        ).alias("mean_diff_dollars"),
+        (
+            F.round((F.col("m0") - F.col("m1")) / F.sqrt("se2") + 1e-9, 4) + 0.0
+        ).alias("t_stat"),
+        (
+            F.round(
+                (F.col("se2") * F.col("se2"))
+                / (
+                    F.col("se0") * F.col("se0") / (F.col("n0") - 1)
+                    + F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                )
+                + 1e-9,
+                2,
+            )
+            + 0.0
+        ).alias("welch_df"),
+    )
