@@ -772,13 +772,17 @@ def g31_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = (
         und.join(
-            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))),
+            F.broadcast(  # bcast: fixed (25 rows)
+                deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+            ),
             "u",
-        )  # bcast: fixed (25 rows)
+        )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))),
+            F.broadcast(  # bcast: fixed (25 rows)
+                deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+            ),
             "v",
-        )  # bcast: fixed (25 rows)
+        )
         .select("dx", "dy")
     )
     s = ed.agg(

@@ -1769,11 +1769,14 @@ def l67_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "c_id")
         .agg(F.sum(F.col("wq") * F.col("wc")).cast("long").alias("dot"))
     )
+    qn = nrm.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q_id"), F.col("nr").alias("nq")
+    )
     cos = (
         dots.join(
-            F.broadcast(nrm.select(F.col("doc_id").alias("q_id"), F.col("nr").alias("nq"))),
+            F.broadcast(qn),  # bcast: fixed (10 query norms)
             "q_id",
-        )  # bcast: 10 query norms after the join prunes
+        )
         .join(
             nrm.select(F.col("doc_id").alias("c_id"), F.col("nr").alias("nc")),
             "c_id",
