@@ -419,3 +419,53 @@ def test_morton_interleave_rejects_sign_bit_overflow(spark):
         interleave_bits([F.lit(1)] * 4, bits=16)
     # 3 x 16 = 48 and 2 x 16 = 32 stay in range
     assert interleave_bits([F.lit(1)] * 3, bits=16) is not None
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=2, max_size=60),
+    dup=st.integers(min_value=1, max_value=4),
+)
+def test_histogram_cdf_quantile_matches_percentile(spark, vals, dup):
+    """dq10's round-8 rework replaced F.percentile with a histogram +
+    bucketed_prefix_sum CDF + rank interpolation. Property: on ANY
+    integer multiset (duplicates included — `dup` replicates the list
+    so CDF intervals wider than 1 are exercised), the histogram
+    formulation reproduces F.percentile's q1/q3 exactly (both
+    implement quantile_cont: pos = (n-1)p, linear interpolation
+    between the straddling order statistics)."""
+    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+
+    data = vals * dup
+    df = spark.createDataFrame([(int(v),) for v in data], "v long")
+    ref = df.agg(
+        F.percentile("v", F.array(F.lit(0.25), F.lit(0.75))).alias("q")
+    ).first()["q"]
+
+    hist = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    rng = hist.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    h2 = hist.crossJoin(F.broadcast(rng))
+    width = (F.col("hi") - F.col("lo")) / 1024 + F.lit(1e-12)
+    pid = F.least(F.floor((F.col("v") - F.col("lo")) / width), F.lit(1023))
+    cum = bucketed_prefix_sum(h2, pid, [F.col("v")], {"cum": "c"})
+    pos25 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.25)
+    pos75 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.75)
+    tagged = cum.select(
+        F.col("v").cast("double").alias("x"),
+        pos25.alias("p25"), pos75.alias("p75"),
+        (F.col("cum") - F.col("c")).alias("lo_r"), F.col("cum").alias("hi_r"),
+    )
+
+    def x_at(k):
+        return F.max(F.when((F.col("lo_r") <= k) & (k < F.col("hi_r")), F.col("x")))
+
+    def interp(p):
+        frac = F.max(p) - F.floor(F.max(p))
+        return x_at(F.floor(p)) + frac * (x_at(F.ceil(p)) - x_at(F.floor(p)))
+
+    got = tagged.agg(interp("p25").alias("q1"), interp("p75").alias("q3")).first()
+    assert got["q1"] == pytest.approx(ref[0], abs=1e-9), (data, ref)
+    assert got["q3"] == pytest.approx(ref[1], abs=1e-9), (data, ref)
