@@ -322,7 +322,15 @@ class TransactionalEventStore(EventStore):
         is milliseconds and requires vacuum running with a grace
         smaller than a single commit round-trip — a configuration
         violation of the documented contract (grace_seconds must
-        exceed the longest write attempt AND the longest reader)."""
+        exceed the longest write attempt AND the longest reader).
+
+        Local-FS assumption: this fence (like vacuum_orphans' shutil/
+        mtime sweep) checks existence with os.path.isdir, which is
+        only meaningful when the store root is a local path. On a
+        URI-addressed root (s3://, hdfs://) it would always report
+        the dir missing and veto every commit — route the check
+        through the Hadoop FileSystem API alongside the write path
+        before pointing the store at a remote root."""
         if not os.path.isdir(target):
             raise RuntimeError(
                 f"attempt dir vanished before commit (vacuumed?): {target} "

@@ -1279,7 +1279,9 @@ _WELCH_SQL = f"""
         SELECT arm,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(cents) AS BIGINT) AS s,
-               CAST(SUM(cents * cents) AS BIGINT) AS ss
+               CAST(SUM(CAST(cents AS DECIMAL(18,0))
+                        * CAST(cents AS DECIMAL(18,0)))
+                    AS DECIMAL(38,0)) AS ss
         FROM arms GROUP BY arm
     ),
     mv AS (
@@ -1320,7 +1322,11 @@ def v27_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     variances are identical double chains with every integer CAST
     explicit (Σx·Σx would overflow BIGINT at ~5e9 cents — cast BEFORE
     the square on both engines), so t and df agree to ulps before the
-    4dp/2dp rounds.
+    4dp/2dp rounds. The second moment Σx² is accumulated as
+    DECIMAL(38,0) on BOTH engines — a BIGINT sum of squares saturates
+    at ~9.2e18, i.e. ~9e10 users at $10 apiece, inside 100 TB range;
+    38 digits is unreachable and the decimal sum stays exact and
+    shuffle-order-immune before the single cast to DOUBLE.
 
     Scale shape: one per-user aggregate, one 2-row moment census —
     every float op runs on two rows."""
@@ -1328,7 +1334,12 @@ def v27_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = arms.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+        F.sum(
+            F.col("cents").cast("decimal(18,0)")
+            * F.col("cents").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
     )
     mv = mom.select(
         "arm",

@@ -378,14 +378,24 @@ def s11_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a managed table's LOCATION outlives the in-memory catalog (the
     # session that wrote it is gone, the warehouse dir is not), and
     # Spark refuses to re-create a managed table over a leftover
-    # location — drop both the catalog entry and any stale dir first
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    # location — drop both the catalog entry and any stale dir first.
+    # Names are fully qualified into `default` so the managed location
+    # is <warehouse>/<name> regardless of the session's current
+    # database, and the warehouse conf is parsed as a URI (handles
+    # bare paths, file:/p, file:///p, file://host/p alike) instead of
+    # a literal 'file:' strip; a non-local warehouse scheme skips the
+    # local sweep (DROP TABLE is then the whole cleanup).
+    from urllib.parse import unquote, urlparse
+
+    t_o, t_c = f"default.{t_o}", f"default.{t_c}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    wh_path = unquote(wh.path) if wh.scheme in ("", "file") else None
     for name in (t_o, t_c):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        loc = os.path.join(wh_path, name)
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        if wh_path:
+            loc = os.path.join(wh_path, name.split(".", 1)[1])
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     (
         table(spark, sf_dir, "orders")
         .write.mode("overwrite")

@@ -37,12 +37,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.selfcheck import check  # noqa: E402  (after session exists)
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    json_path = None
-    if "--json" in args:
-        i = args.index("--json")
-        json_path = args[i + 1]
-        del args[i : i + 2]
-    sf = args[0] if args else "/root/testdata/sf0.01"
-    names = args[1:] or None
-    sys.exit(check(sf, names=names, json_path=json_path))
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Run the oracle gate under a bare driver-style "
+        "SparkSession (no session.py confs)."
+    )
+    parser.add_argument(
+        "sf_dir",
+        nargs="?",
+        default="/root/testdata/sf0.01",
+        help="fixture dir (default /root/testdata/sf0.01)",
+    )
+    parser.add_argument(
+        "names", nargs="*", help="query names to check (default: all)"
+    )
+    parser.add_argument(
+        "--json",
+        dest="json_path",
+        metavar="PATH",
+        help="serialize per-query results (CORRECTNESS shape + timing)",
+    )
+    ns = parser.parse_args()
+    sys.exit(check(ns.sf_dir, names=ns.names or None, json_path=ns.json_path))

@@ -247,12 +247,31 @@ def main() -> int:
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # exponent of the full-chain wall over the probed range
-    lo, hi = results[0], results[-1]
-    exponent = math.log(
-        max(hi["wall_full"], 1e-9) / max(lo["wall_full"], 1e-9)
-    ) / math.log(hi["mult"] / lo["mult"])
+    # exponent of the full-chain wall over the probed range: a
+    # least-squares log-log fit across ALL probed multiples (not just
+    # the endpoint pair), so a noisy endpoint can't fake the slope.
+    # With a single multiple there is no slope — report composition
+    # ratios only rather than dividing by log(1)=0.
     composed_ok = all(r["composition_ratio"] <= MAX_COMPOSITION for r in results)
+    distinct_mults = {r["mult"] for r in results}
+    if len(distinct_mults) < 2:
+        summary = {
+            "exponent_full_chain": None,
+            "note": "single multiple probed — no exponent; "
+            "pass >=2 distinct multiples for a slope",
+            "max_composition": MAX_COMPOSITION,
+            "composition_ok": composed_ok,
+            "ok": composed_ok,
+        }
+        print(json.dumps(summary), flush=True)
+        return 0 if summary["ok"] else 1
+    xs = [math.log(r["mult"]) for r in results]
+    ys = [math.log(max(r["wall_full"], 1e-9)) for r in results]
+    n = len(xs)
+    mean_x, mean_y = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mean_x) ** 2 for x in xs)
+    sxy = sum((x - mean_x) * (y - mean_y) for x, y in zip(xs, ys))
+    exponent = sxy / sxx
     summary = {
         "exponent_full_chain": round(exponent, 3),
         "max_exponent": MAX_EXPONENT,
