@@ -63,3 +63,23 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly; array_intersect and explode consumers are order-
     insensitive. Same SessionFrameCache discipline as tokenized_docs."""
     return _SH_CACHE.get(spark, sf_dir, _build_shingled)
+
+
+_SPARSE_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _build_sparse_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meepo_spark.operators.sparse import df_capped_tfidf, doc_terms
+
+    d = table(spark, sf_dir, "documents")
+    return df_capped_tfidf(doc_terms(d))["postings"]
+
+
+def sparse_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, w): the df-capped integer TF-IDF posting file
+    (unigrams + word trigrams, stop terms with 2*df > N removed, w
+    quantized to milliunits — operators/sparse.py). The l68 family
+    touches it three times per query (query side, candidate side,
+    norms) and l68c derives the pruned index from it — one corpus
+    pass builds it, the session cache serves every reuse."""
+    return _SPARSE_CACHE.get(spark, sf_dir, _build_sparse_postings)

@@ -1798,3 +1798,225 @@ def l67_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# --- l68: general sparse retrieval (df-capped postings) — round 9 ------
+
+# Shared DuckDB CTE chain: unigram+trigram terms over the
+# empties-filtered token array, integer df cut (2*df <= N keeps), and
+# milliunit-quantized TF-IDF postings. Kept in ONE string so the three
+# l68 oracles can never drift from each other.
+_SPARSE_IDX_CTES = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    terms AS (
+        SELECT doc_id,
+               unnest(ts || list_transform(
+                   range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS term
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms GROUP BY 1, 2
+    ),
+    dfp AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                          * LN(CAST(nn.n AS DOUBLE) / dfp.df)
+                          * CAST(1000 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+        FROM tf JOIN dfp USING (term) CROSS JOIN nn
+        WHERE dfp.df * 2 <= nn.n
+    )
+"""
+
+_SPARSE_TOPK_TAIL = """
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nr
+        FROM {W} GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS q_id, b.doc_id AS c_id,
+               CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        FROM {W} a JOIN {W} b
+          ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    cos AS (
+        SELECT d.q_id, d.c_id,
+               CAST(d.dot AS DOUBLE) / (qa.nr * qb.nr) AS c
+        FROM dots d
+        JOIN nrm qa ON d.q_id = qa.doc_id
+        JOIN nrm qb ON d.c_id = qb.doc_id
+    )
+    SELECT q_id, c_id, ROUND(c + 1e-9, 6) + 0.0 AS cos_r,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT q_id, c_id, c,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY c DESC, c_id ASC) AS rank
+        FROM cos
+    ) WHERE rank <= 3
+"""
+
+_L68_ORACLE = (
+    "WITH " + _SPARSE_IDX_CTES + ", " + _SPARSE_TOPK_TAIL.format(W="w")
+)
+
+
+@register("l68_sparse_retrieval_topk", oracle=_L68_ORACLE)
+def l68_sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68: the l67 one-off promoted to a GENERAL sparse-retrieval
+    operator (VERDICT r8 #1) — query = corpus (every doc retrieves its
+    cosine top-3), over df-capped unigram+trigram TF-IDF postings
+    (operators/sparse.py). The fractional df cut is what makes
+    all-docs retrieval runnable: the documents fixture's 30
+    stopword-hot unigrams (df ~ 80% N) carry >99% of SUM(df^2) pair
+    volume for near-zero IDF weight, and 2*df <= N removes exactly
+    them on both engines via an integer compare. Every kept weight is
+    then >= floor(ln(2)*1000+0.5) > 0, so no zero-norm docs exist by
+    construction.
+
+    Cross-engine exactness: integer-quantized weights make every dot
+    an exact BIGINT (shuffle-order-immune); norms and cosines are
+    single double chains; ranking ties break on c_id (the l67
+    discipline, now over the full corpus).
+
+    Scale shape: candidates come only from the posting equi-join on
+    the term (no all-pairs stage); per-query top-3 is a rank-limited
+    window the planner runs as a Partial+Final WindowGroupLimit pair
+    (block top-k before the shuffle — asserted in tests/test_plans
+    .py); the posting file is built once per session (doc_cache
+    .sparse_postings) and reused by the query side, candidate side,
+    norms, and l68c's pruned index."""
+    from meepo_spark.operators.sparse import sparse_cosine_topk
+    from meepo_spark.queries.doc_cache import sparse_postings
+
+    w = sparse_postings(spark, sf_dir)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
+    )
+    top = sparse_cosine_topk(w, norms, k=3)
+    return top.select(
+        "q_id",
+        "c_id",
+        (F.round(F.col("cos") + 1e-9, 6) + 0.0).alias("cos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_L68B_ORACLE = (
+    "WITH "
+    + _SPARSE_IDX_CTES
+    + """
+    SELECT CAST(len(string_split(term, ' ')) AS BIGINT) AS ngram_n,
+           (df * 2 <= nn.n) AS kept,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(df * df) AS BIGINT) AS pair_volume,
+           CAST(MAX(df) AS BIGINT) AS max_df
+    FROM dfp CROSS JOIN nn
+    GROUP BY 1, 2
+"""
+)
+
+
+@register("l68b_df_cut_census", oracle=_L68B_ORACLE)
+def l68b_df_cut_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68b: the df-cut census that JUSTIFIES l68's stop-term
+    discipline as data, not prose — per (ngram class, kept/cut):
+    vocabulary size, posting volume SUM(df) and candidate-pair volume
+    SUM(df^2), i.e. exactly the work the posting join would do with
+    and without the cut. On the documents fixture the cut unigram row
+    dwarfs everything (30 terms, >99% of pair volume at near-zero
+    IDF) while every trigram survives — the hot-stopword shape a real
+    corpus shows at any scale.
+
+    Scale shape: tokenize + two map-side-combined aggregates; output
+    bounded by |ngram classes| x 2 rows at any corpus size."""
+    from meepo_spark.operators.sparse import df_capped_tfidf, doc_terms
+
+    d = table(spark, sf_dir, "documents")
+    idx = df_capped_tfidf(doc_terms(d))
+    return (
+        idx["df"]
+        .groupBy(
+            F.size(F.split(F.col("term"), " ")).cast("long").alias("ngram_n"),
+            "kept",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.col("df") * F.col("df")).cast("long").alias("pair_volume"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+    )
+
+
+_L68C_ORACLE = (
+    "WITH "
+    + _SPARSE_IDX_CTES
+    + """,
+    wp AS (
+        SELECT doc_id, term, w FROM (
+            SELECT doc_id, term, w,
+                   ROW_NUMBER() OVER (PARTITION BY term
+                                      ORDER BY w DESC, doc_id ASC) AS pr
+            FROM w
+        ) WHERE pr <= 20
+    ),
+"""
+    + _SPARSE_TOPK_TAIL.format(W="wp")
+)
+
+
+@register("l68c_pruned_postings_topk", oracle=_L68C_ORACLE)
+def l68c_pruned_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68c: static index pruning (Carmel-style) on top of the df cut
+    — each kept term's posting list truncated to its 20 highest
+    weights (ties on doc_id, so the pruned index is a deterministic,
+    oracle-replayable function of the corpus), then the same all-docs
+    top-3. This is the LINEAR-scale mode: candidate pairs per term
+    <= R^2 regardless of df, so pair volume <= |vocab| * R^2 even
+    when a fixed hot vocabulary makes the exact l68 join grow
+    quadratically (tools/sparse_scaling.py measures both modes under
+    hot-term replication; norms are recomputed over the PRUNED
+    vectors, so the pruned index defines its own exact metric rather
+    than approximating l68's). The truncation window partitions on
+    the term (vocab cardinality) and is rank-limited — a
+    Partial+Final WindowGroupLimit pair, never a full posting sort.
+
+    The cap bites at every SF (the 'dup' unigram: df 25 at sf0.01,
+    250 at sf0.1), so this query's result provably differs from
+    l68's and the pruning path itself is what the hash grades."""
+    from meepo_spark.operators.sparse import df_capped_tfidf, doc_terms, sparse_cosine_topk
+    from pyspark.sql import Window as W_
+
+    from meepo_spark.queries.doc_cache import sparse_postings
+
+    w = sparse_postings(spark, sf_dir)
+    pw = W_.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id").asc())
+    wp = (
+        w.select("doc_id", "term", "w", F.row_number().over(pw).alias("pr"))
+        .filter(F.col("pr") <= 20)
+        .drop("pr")
+    )
+    norms = wp.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
+    )
+    top = sparse_cosine_topk(wp, norms, k=3)
+    return top.select(
+        "q_id",
+        "c_id",
+        (F.round(F.col("cos") + 1e-9, 6) + 0.0).alias("cos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -814,3 +814,38 @@ def test_parquet_bloom_filter_skips_row_groups_on_point_lookup(spark, tmp_path):
         f"bloom scan emitted {r_bloom} rows vs plain {r_plain} — "
         "row-group bloom rejection is not engaging"
     )
+
+
+def test_l68_sparse_topk_is_block_topk_over_posting_join(spark):
+    """L68: the all-docs sparse retrieval must (a) generate candidates
+    through an EQUI-join on the term — no cartesian/nested-loop pair
+    stage anywhere — and (b) run the per-query top-3 as a
+    Partial+Final WindowGroupLimit pair (block top-k per shuffle
+    block), never a full sort of the candidate set under one Window.
+    Same contract for l68c's pruned index, whose per-term truncation
+    window must ALSO be rank-limited (WGL), not a posting-file sort.
+    (The single BroadcastNestedLoopJoin in these plans is the 1-row
+    corpus-size crossJoin — the standard waived scalar class, bounded
+    by tests/test_broadcast_waivers.py.)"""
+    for name, min_wgl_pairs in (
+        ("l68_sparse_retrieval_topk", 1),
+        ("l68c_pruned_postings_topk", 2),  # truncation + top-k windows
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        partials = sum(
+            1
+            for ln in plan.splitlines()
+            if ln.startswith("Arguments:")
+            and "row_number()" in ln
+            and ln.rstrip().endswith("Partial")
+        )
+        finals = sum(
+            1
+            for ln in plan.splitlines()
+            if ln.startswith("Arguments:")
+            and "row_number()" in ln
+            and ln.rstrip().endswith("Final")
+        )
+        assert partials >= min_wgl_pairs, (name, partials)
+        assert finals >= min_wgl_pairs, (name, finals)

@@ -91,6 +91,9 @@ NESTED_LOOP_WAIVED = {
     "g30_kcore",  # 1-row max-edge-weight crossJoin(broadcast)
     "l65_kneser_ney_lm",  # 1-row distinct-bigram-total crossJoin(broadcast)
     "l67_sparse_cosine_topk",  # 1-row corpus-size crossJoin(broadcast)
+    "l68_sparse_retrieval_topk",  # 1-row corpus-size crossJoin(broadcast)
+    "l68b_df_cut_census",  # 1-row corpus-size crossJoin(broadcast)
+    "l68c_pruned_postings_topk",  # 1-row corpus-size crossJoin(broadcast)
     "v27_welch_ttest",  # 1-row-x-1-row arm-moment crossJoin(broadcast)
     "v11_equidepth_histogram",  # per-flag (lo, hi, N) broadcast (5 rows)
     # round-3 additions, bounded-by-construction broadcasts:
