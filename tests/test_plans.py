@@ -849,3 +849,62 @@ def test_l68_sparse_topk_is_block_topk_over_posting_join(spark):
         )
         assert partials >= min_wgl_pairs, (name, partials)
         assert finals >= min_wgl_pairs, (name, finals)
+
+
+def test_aqe_skew_join_split_fires_on_hot_key(spark):
+    """VERDICT r8 #3: j11 proves MANUAL salting; this grades Spark's
+    OWN skew-join split — the mechanism session.py turns on and the
+    100 TB plan relies on for skew the pipeline didn't predict. A
+    join with one hot key (~83% of the fact side, incompressible md5
+    payload so shuffle bytes track row counts) must come back from
+    AQE with the SortMergeJoin re-planned as skew=true (the hot
+    partition split into advisory-sized chunks, the other side's
+    matching partition duplicated), and a NEGATIVE control with
+    skewJoin disabled must NOT — so the assert can't go vacuously
+    green on a plan-format drift.
+
+    Threshold contract (documented in SCALE.md §23): a partition is
+    split only if its size exceeds BOTH skewedPartitionFactor x the
+    median AND skewedPartitionThresholdInBytes (256 MB default — far
+    above any local fixture, which is why this test lowers it, and
+    why small-SF bench runs never exercise the split; at production
+    shuffle sizes the defaults engage by themselves)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50k",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+
+    def run_join():
+        big = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 6 != 0, F.lit(0))
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            F.concat(F.md5(F.col("id").cast("string")),
+                     F.md5((F.col("id") + 1).cast("string"))).alias("pay"),
+        )
+        dim = spark.range(0, 997).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("d")
+        )
+        out = big.join(dim, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.max("pay").alias("m")
+        )
+        [row] = out.collect()
+        assert row["n"] == 120_000
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = run_join()
+        assert "skew=true" in plan, plan[:2000]
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        control = run_join()
+        assert "skew=true" not in control
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
