@@ -601,3 +601,349 @@ def e21_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     return spark.sql(_SRM_SQL)
+
+
+# --- round 9: TPC-DS-shaped composites (VERDICT r8 #5) -----------------
+
+_ROLLUP_TOPK_SQL = """
+    WITH agg AS (
+        SELECT COALESCE(p_brand, 'ALL') AS brand,
+               COALESCE(p_type, 'ALL') AS ptype,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY ROLLUP(p_brand, p_type)
+    )
+    SELECT brand, ptype,
+           CAST(ROUND(rev, 2) AS DOUBLE) + 0.0 AS revenue,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT brand, ptype, rev,
+               ROW_NUMBER() OVER (PARTITION BY brand
+                                  ORDER BY rev DESC, ptype ASC) AS rk
+        FROM agg
+    ) WHERE rk <= 3
+"""
+
+
+@register("q24_windowed_rollup_topk", oracle=_ROLLUP_TOPK_SQL)
+def q24_windowed_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24 (TPC-DS q67 shape): hierarchical ROLLUP over the joined
+    fact, then rank-within-group on the ROLLED-UP aggregate — top-3
+    part types per brand, plus each brand's subtotal ranking inside
+    its own group and the grand total. The DS shape TPC-H misses:
+    a window consuming Expand output, so the rank sees subtotal rows
+    as peers of detail rows.
+
+    Cross-engine: revenue summed in DECIMAL(18,6) (order-immune),
+    rounded once at the edge; rollup NULLs are labelled 'ALL' on both
+    engines (fixture brands/types are never NULL, so the label is
+    unambiguous); rank ties break on the type label.
+
+    Scale shape: ONE fact scan — the rollup is a single Expand (x3
+    grouping combos) into one partial+final aggregate, never a
+    per-level re-scan (plan-asserted in tests/test_plans.py); the
+    ranking window runs on the <= |brands|x|types| aggregate grid and
+    is rank-limited (WindowGroupLimit pair)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    agg = (
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .rollup("p_brand", "p_type")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev")
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            "rev",
+        )
+    )
+    win = W.partitionBy("brand").orderBy(F.col("rev").desc(), F.col("ptype").asc())
+    return (
+        agg.select("brand", "ptype", "rev", F.row_number().over(win).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "brand",
+            "ptype",
+            (F.round("rev", 2).cast("double") + 0.0).alias("revenue"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_CHANNEL_STAR_SQL = """
+    WITH ch AS (
+        SELECT 'lineitem' AS channel, n.n_name AS nation,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6)) AS amt
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'orders' AS channel, n.n_name AS nation,
+               CAST(o.o_totalprice AS DECIMAL(18,6)) AS amt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT COALESCE(channel, 'ALL') AS channel,
+           COALESCE(nation, 'ALL') AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(amt), 2) AS DOUBLE) + 0.0 AS amount
+    FROM ch
+    GROUP BY GROUPING SETS ((channel, nation), (channel), ())
+"""
+
+
+@register("q25_channel_union_star", oracle=_CHANNEL_STAR_SQL)
+def q25_channel_union_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q25 (TPC-DS q5/q77 shape): multi-channel UNION star — two fact
+    channels (lineitem revenue by SUPPLIER nation, order totals by
+    CUSTOMER nation) unioned with a channel tag, then GROUPING SETS
+    ((channel, nation), (channel), ()) for the per-cell / per-channel
+    / grand-total report in one statement.
+
+    Scale shape: each fact is scanned EXACTLY ONCE — the union feeds
+    one Expand (x3 sets) into a single partial+final aggregate; a
+    per-set re-aggregation would triple the fact traffic
+    (plan-asserted: one Expand, one scan per fact). Dimension joins
+    broadcast; amounts in DECIMAL so the union'd sum is
+    shuffle-order-immune."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ch1 = (
+        li.join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.lit("lineitem").alias("channel"),
+            F.col("n_name").alias("nation"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("amt"),
+        )
+    )
+    ch2 = (
+        o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.lit("orders").alias("channel"),
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("amt"),
+        )
+    )
+    return (
+        ch1.unionAll(ch2)
+        .groupingSets(
+            [["channel", "nation"], ["channel"], []], "channel", "nation"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amt").alias("amt"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            "n_rows",
+            (F.round("amt", 2).cast("double") + 0.0).alias("amount"),
+        )
+    )
+
+
+_EXISTS_MIX_SQL = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    AND NOT EXISTS (
+        SELECT 1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = c.c_custkey
+          AND l.l_returnflag = 'R'
+          AND l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("q26_exists_antijoin_mix", oracle=_EXISTS_MIX_SQL)
+def q26_exists_antijoin_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q26 (TPC-DS q16/q69 shape): correlated EXISTS and NOT EXISTS
+    over TWO different fact paths in one predicate — customers who
+    placed at least one URGENT order but no RECENTLY-returned line
+    item (shipped 2000+; the anti side correlates through an
+    orders-lineitem JOIN with its own pushed filter, not a single
+    table — and without the recency cut the intersection is empty at
+    every fixture SF, which would grade nothing). TPC-H's q4/q21/q22 each use one quantifier;
+    the DS mix is both at once, which is where a planner must produce
+    semi + anti joins off shared fact scans rather than re-evaluating
+    subqueries per row.
+
+    Scale shape: EXISTS -> left-semi on o_custkey over the filtered
+    orders; NOT EXISTS -> left-anti against the (orders join
+    returned-lineitem) custkey stream — both pushed filters; no
+    per-row subquery anywhere. Account balances in exact cents."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    returned = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= "2000-01-01")
+        )
+        .select("l_orderkey")
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey")
+    )
+    kept = (
+        c.join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_semi")
+        .join(returned, c["c_custkey"] == returned["o_custkey"], "left_anti")
+    )
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+
+
+_CROSS_CHANNEL_SQL = """
+    WITH l_by AS (
+        SELECT n.n_name AS nation,
+               CAST(date_part('year', o2.o_orderdate) AS BIGINT) AS yr,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS rev_line
+        FROM lineitem l
+        JOIN orders o2  ON l.l_orderkey = o2.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    o_by AS (
+        SELECT n.n_name AS nation,
+               CAST(date_part('year', o.o_orderdate) AS BIGINT) AS yr,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT COALESCE(l.nation, o.nation) AS nation,
+               COALESCE(l.yr, o.yr) AS yr,
+               COALESCE(l.rev_line, 0) AS rev_line,
+               COALESCE(o.rev_orders, 0) AS rev_orders
+        FROM l_by l FULL OUTER JOIN o_by o
+          ON l.nation = o.nation AND l.yr = o.yr
+    ),
+    r AS (
+        SELECT nation, yr, rev_line, rev_orders,
+               CASE WHEN rev_orders = 0 THEN NULL
+                    ELSE CAST(rev_line AS DOUBLE)
+                         / CAST(rev_orders AS DOUBLE) END AS ratio
+        FROM joined
+    )
+    SELECT nation, yr,
+           CAST(ROUND(rev_line, 2) AS DOUBLE) + 0.0 AS rev_line,
+           CAST(ROUND(rev_orders, 2) AS DOUBLE) + 0.0 AS rev_orders,
+           ROUND(ratio + 1e-9, 4) + 0.0 AS ratio,
+           ROUND(ratio - LAG(ratio) OVER (PARTITION BY nation
+                                          ORDER BY yr ASC)
+                 + 1e-9, 4) + 0.0 AS ratio_yoy
+    FROM r
+"""
+
+
+@register("q27_cross_channel_ratio", oracle=_CROSS_CHANNEL_SQL)
+def q27_cross_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27 (TPC-DS q75 shape): cross-channel comparison — the
+    lineitem channel (supplier-nation revenue) FULL-OUTER-joined
+    against the orders channel (customer-nation totals) per
+    (nation, year), channel ratio, and its year-over-year delta via
+    LAG. The DS move TPC-H lacks: joining two INDEPENDENT aggregates
+    of different facts on a composite grain, then windowing the
+    joined grid.
+
+    Cross-engine: both channel sums are exact DECIMAL; the ratio and
+    its YoY delta are identical double chains rounded at the edge;
+    zero-denominator cells are NULL (not NaN) on both engines; the
+    first year's LAG is NULL on both.
+
+    Scale shape: two map-side-combined fact aggregates collapse to
+    the <= |nations| x |years| grid; the full-outer join and the LAG
+    window run on that bounded grid (the window partitions on
+    nation)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    l_by = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev_line")
+        )
+    )
+    o_by = (
+        o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_orders"))
+    )
+    joined = (
+        l_by.join(o_by, ["nation", "yr"], "full")
+        .select(
+            "nation",
+            "yr",
+            F.coalesce("rev_line", F.lit(0).cast("decimal(18,6)")).alias("rev_line"),
+            F.coalesce("rev_orders", F.lit(0).cast("decimal(18,6)")).alias(
+                "rev_orders"
+            ),
+        )
+    )
+    r = joined.withColumn(
+        "ratio",
+        F.when(F.col("rev_orders") == 0, F.lit(None).cast("double")).otherwise(
+            F.col("rev_line").cast("double") / F.col("rev_orders").cast("double")
+        ),
+    )
+    win = W.partitionBy("nation").orderBy(F.col("yr").asc())
+    return r.select(
+        "nation",
+        "yr",
+        (F.round("rev_line", 2).cast("double") + 0.0).alias("rev_line"),
+        (F.round("rev_orders", 2).cast("double") + 0.0).alias("rev_orders"),
+        (F.round(F.col("ratio") + 1e-9, 4) + 0.0).alias("ratio"),
+        (
+            F.round(F.col("ratio") - F.lag("ratio").over(win) + 1e-9, 4) + 0.0
+        ).alias("ratio_yoy"),
+    )

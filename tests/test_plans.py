@@ -7,6 +7,8 @@ these fail long before a benchmark would show it.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -908,3 +910,24 @@ def test_aqe_skew_join_split_fires_on_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ds_composites_expand_once_never_rescan(spark):
+    """Q24/Q25 (VERDICT r8 #5): the ROLLUP and the GROUPING SETS must
+    each compile to ONE Expand feeding one partial+final aggregate —
+    never a per-level / per-set Union of re-aggregations — and each
+    fact must be scanned exactly once (q25's two channels scan
+    lineitem once and orders once; q24 scans lineitem once). A
+    re-scan-per-channel plan triples fact traffic at 100 TB."""
+    q24 = plan_of(QUERIES["q24_windowed_rollup_topk"](spark, SF_DIR))
+    assert q24.count("Expand") >= 1
+    assert len(re.findall(r"\(\d+\) Expand", q24)) == 1, q24[:1500]
+    assert (
+        len(re.findall(r"\(\d+\) Scan parquet\b.*\n.*lineitem", q24)) == 1
+        or q24.count("lineitem.parquet") == 1
+    )
+    q25 = plan_of(QUERIES["q25_channel_union_star"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Expand", q25)) == 1, q25[:1500]
+    for fact in ("lineitem.parquet", "orders.parquet"):
+        assert q25.count(fact) == 1, (fact, q25.count(fact))
+    assert "partial_" in q24 and "partial_" in q25
