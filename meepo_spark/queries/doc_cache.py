@@ -83,3 +83,40 @@ def sparse_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms) and l68c derives the pruned index from it — one corpus
     pass builds it, the session cache serves every reuse."""
     return _SPARSE_CACHE.get(spark, sf_dir, _build_sparse_postings)
+
+
+# winnowing parameters shared by the l53/l54/l57/l18b family and the
+# cached pair frame below (llm_text re-exports these as _FP_K/_FP_W
+# for its generated oracles): k-token grams, w-gram window => the
+# MOSS guarantee threshold t = k + w - 1 = 8
+FP_K, FP_W = 5, 4
+FP_MAX_DF, FP_MIN_SHARED = 20, 3
+
+_WINNOW_PAIRS_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _build_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meepo_spark.operators.fingerprint import (
+        candidate_pairs,
+        explode_fps,
+        with_fingerprints,
+    )
+
+    d = tokenized_docs(spark, sf_dir)
+    e = explode_fps(
+        with_fingerprints(d.select("doc_id", "lang", "toks"), "toks", FP_K, FP_W)
+        .select("doc_id", "lang", "fps")
+    )
+    return candidate_pairs(e, max_df=FP_MAX_DF, min_shared=FP_MIN_SHARED)
+
+
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, lang_a, id_b, lang_b, shared): the MOSS winnowing
+    candidate-pair frame (k=5/w=4 fingerprints, df<=20 stop cut,
+    >=3 shared) — built once per (app, sf_dir) and shared by l54's
+    overlap census, l57's dedup resolution, and l18b's three-way
+    ensemble (each previously re-derived the full
+    tokenize->winnow->postings->pairs chain). lang columns ride along
+    per the candidate_pairs extras contract (functionally dependent
+    on doc_id); consumers that don't need them just drop them."""
+    return _WINNOW_PAIRS_CACHE.get(spark, sf_dir, _build_winnow_pairs)

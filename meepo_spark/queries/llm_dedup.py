@@ -55,6 +55,17 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_CACHE.get(spark, sf_dir, _build_pairs)
 
 
+_SIMHASH_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached SimHash candidate frame (id_a, id_b, hamming) —
+    the l2d pipeline's output, shared with l18b's ensemble census (the
+    same _PAIRS_CACHE discipline: one signature+pigeonhole build per
+    (app, sf_dir), every reuse served from the persisted frame)."""
+    return _SIMHASH_CACHE.get(spark, sf_dir, _build_simhash_pairs)
+
+
 @register(
     "l2_minhash_lsh_pairs",
     oracle=f"""
@@ -232,8 +243,13 @@ def l2d_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     XOR-popcount all pairs; the pigeonhole plan is complete at
     Hamming <= 3, so the equi-join candidates equal the brute-force
     answer exactly. Also property-tested in tests/test_llm.py
-    against exact Jaccard.
+    against exact Jaccard. Body extracted to _build_simhash_pairs
+    (round 9) so the frame is session-cached and shared with l18b.
     """
+    return simhash_pairs(spark, sf_dir)
+
+
+def _build_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sig = simhash(
         d, "text", "doc_id", bits=60,
@@ -1620,26 +1636,18 @@ def l18b_three_way_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. The oracle brute-forces all three signals pairwise,
     which is possible only at fixture scale — at 100 TB the bucketed
     plans are the point."""
-    from meepo_spark.operators.fingerprint import (
-        candidate_pairs as fp_candidate_pairs,
-        explode_fps,
-        with_fingerprints,
-    )
-    from meepo_spark.queries.doc_cache import tokenized_docs
+    from meepo_spark.queries.doc_cache import winnow_pairs
 
     mp = _verified_pairs(spark, sf_dir).select("id_a", "id_b").withColumn(
         "m", F.lit(1)
     )
     sp = (
-        l2d_simhash_candidates(spark, sf_dir)
+        simhash_pairs(spark, sf_dir)
         .select("id_a", "id_b")
         .withColumn("s", F.lit(1))
     )
-    fps = with_fingerprints(
-        tokenized_docs(spark, sf_dir).select("doc_id", "toks"), "toks", 5, 4
-    ).select("doc_id", "fps")
     wp = (
-        fp_candidate_pairs(explode_fps(fps), max_df=20, min_shared=3)
+        winnow_pairs(spark, sf_dir)
         .select("id_a", "id_b")
         .withColumn("w", F.lit(1))
     )

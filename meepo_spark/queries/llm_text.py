@@ -1326,13 +1326,13 @@ def l62_bpe_kernel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from meepo_spark.operators.fingerprint import (
-    candidate_pairs,
     explode_fps,
     winnow_ctes,
     with_fingerprints,
 )
 
-_FP_K, _FP_W = 5, 4  # k-token grams, w-gram winnow window (guarantee t = 8)
+# winnow params: single source in doc_cache (t = k + w - 1 = 8)
+from meepo_spark.queries.doc_cache import FP_K as _FP_K, FP_W as _FP_W
 
 
 @register(
@@ -1447,12 +1447,9 @@ def l54_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     under either BHJ or forced SMJ, measured); the bucketed
     expansion in operators/fingerprint.candidate_pairs is both the
     honest plan and the cheaper one."""
-    d = tokenized_docs(spark, sf_dir)
-    e = explode_fps(
-        with_fingerprints(d.select("doc_id", "lang", "toks"), "toks", _FP_K, _FP_W)
-        .select("doc_id", "lang", "fps")
-    )
-    pairs = candidate_pairs(e, max_df=20, min_shared=3)
+    from meepo_spark.queries.doc_cache import winnow_pairs
+
+    pairs = winnow_pairs(spark, sf_dir)
     return pairs.groupBy("lang_a", "lang_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.max("shared").alias("max_shared"),
@@ -1498,13 +1495,11 @@ def l57_winnow_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     join linear in dup structure, SCALE.md §19); the resolution is
     ONE anti-join of the corpus against the distinct dropped-id set.
     All-integer output."""
+    from meepo_spark.queries.doc_cache import winnow_pairs
+
     d = tokenized_docs(spark, sf_dir)
-    e = explode_fps(
-        with_fingerprints(d.select("doc_id", "toks"), "toks", _FP_K, _FP_W)
-        .select("doc_id", "fps")
-    )
     dropped = (
-        candidate_pairs(e, max_df=20, min_shared=3)
+        winnow_pairs(spark, sf_dir)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

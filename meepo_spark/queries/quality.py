@@ -778,10 +778,18 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation reads the two straddling values off a
     bucketed_prefix_sum CDF (every wide stage parallel across 1024
     value buckets, the g11/v13 discipline). Fences broadcast back (3
-    rows) for one counting pass. Measured: same wall as the
-    percentile plan at sf0.1 (stage overhead replaces the map merge)
-    with the run-to-run band tightened ~1.5x, and every stage
-    domain- or bucket-bounded at 100x. ROUND before every
+    rows) and outliers are counted off the HISTOGRAM (round 9): the
+    fence predicate is constant within a value bin, so summing bin
+    counts outside the fences is exact and the counting branch shares
+    the CDF branch's (col, v) partial aggregate via ReusedExchange —
+    the old full second melt+scan for the count is gone. The one
+    residual extra fact pass is Catalyst's own RemoveRedundantAggs
+    collapsing the bucket-range min/max onto the scan (map-only, 3
+    columns, no shuffle — asserted with the reuse contract in
+    tests/test_plans.py). Measured r8: same
+    wall as the percentile plan at sf0.1 with the run-to-run band
+    tightened ~1.5x; r9's single-scan rework cut ~1s more. Every
+    stage domain- or bucket-bounded at 100x. ROUND before every
     double->BIGINT cast on BOTH sides (bare casts truncate in Spark
     but round in DuckDB — the dq6 trap)."""
     from meepo_spark.operators.enumeration import bucketed_prefix_sum
@@ -838,12 +846,22 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
-    fenced = melted.join(F.broadcast(quart), "col")  # bcast: fixed (3 rows)
+    # count outliers off the HISTOGRAM, not a second fact scan: the
+    # fence test is constant inside a value bin, so SUM(c) over
+    # out-of-fence bins equals the row count exactly — and since this
+    # branch's (col, v) partial aggregate is the identical subtree the
+    # CDF branch shuffles, AQE serves it from a ReusedExchange
+    # (asserted in tests/test_plans.py)
+    fenced = hist.join(F.broadcast(quart), "col")  # bcast: fixed (3 rows)
     return fenced.groupBy("col").agg(
         F.max("n").alias("n"),
         (F.round(F.max("q1"), 2) + 0.0).alias("q1"),
         (F.round(F.max("q3"), 2) + 0.0).alias("q3"),
-        F.sum(F.when((F.col("v") < lo) | (F.col("v") > hi), 1).otherwise(0))
+        F.sum(
+            F.when((F.col("v") < lo) | (F.col("v") > hi), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        )
         .cast("long")
         .alias("n_outliers"),
     )

@@ -931,3 +931,29 @@ def test_ds_composites_expand_once_never_rescan(spark):
     for fact in ("lineitem.parquet", "orders.parquet"):
         assert q25.count(fact) == 1, (fact, q25.count(fact))
     assert "partial_" in q24 and "partial_" in q25
+
+
+def test_dq10_histogram_exchange_reused_not_rescanned(spark):
+    """DQ10 (round-9 rework): the outlier count reads the value
+    HISTOGRAM, whose (col, v) partial-aggregate exchange is the
+    identical subtree the CDF chain shuffles — the final adaptive
+    plan must serve every downstream consumer of the histogram from
+    ReusedExchange (>= 3 reuses: the count branch plus the CDF
+    chain's re-references), with at most TWO fact scans total: the
+    histogram build, plus the one residual map-only pass Catalyst's
+    RemoveRedundantAggregates creates by collapsing the bucket-range
+    aggregate (min/max over hist == min/max over the fact) onto the
+    scan — a rewrite that fires before AQE can offer the reused
+    exchange, and whose cost is a 3-column map pass, not a shuffle.
+    Before the rework the OUTLIER COUNT itself was a full second
+    melt+scan; a regression back to that shape shows up here as a
+    third scan or a vanished reuse."""
+    from conftest import SF_DIR_MID
+
+    df = QUERIES["dq10_iqr_outlier_census"](spark, SF_DIR_MID)
+    df.collect()  # AQE materializes exchange reuse in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 3, final[:2000]
+    n_scans = len(re.findall(r"Scan parquet\b", final))
+    assert n_scans <= 2, (n_scans, final[:2000])
