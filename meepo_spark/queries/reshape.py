@@ -1390,3 +1390,197 @@ def v27_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("welch_df"),
     )
+
+
+# --- v28: CUPED variance reduction (round 9) ----------------------------
+
+_CUPED_SQL = """
+    WITH per_user AS (
+        SELECT user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS post
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pre) AS BIGINT) AS sp,
+               CAST(SUM(post) AS BIGINT) AS so,
+               CAST(SUM(CAST(pre AS DECIMAL(18,0))
+                        * CAST(pre AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS spp,
+               CAST(SUM(CAST(post AS DECIMAL(18,0))
+                        * CAST(post AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS soo,
+               CAST(SUM(CAST(pre AS DECIMAL(18,0))
+                        * CAST(post AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS spo
+        FROM per_user GROUP BY arm
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+               CAST(SUM(sp) AS DOUBLE) AS tsp,
+               CAST(SUM(so) AS DOUBLE) AS tso,
+               CAST(SUM(spp) AS DOUBLE) AS tspp,
+               CAST(SUM(spo) AS DOUBLE) AS tspo
+        FROM mom
+    ),
+    th AS (
+        SELECT nn,
+               tsp / nn AS mu_pre,
+               (tspo / nn - (tsp / nn) * (tso / nn))
+                   / (tspp / nn - (tsp / nn) * (tsp / nn)) AS theta
+        FROM pooled
+    ),
+    stats AS (
+        SELECT m.arm, m.n,
+               CAST(m.so AS DOUBLE) / m.n AS mean_post,
+               CAST(m.sp AS DOUBLE) / m.n AS mean_pre,
+               CAST(m.soo AS DOUBLE) / m.n
+                   - (CAST(m.so AS DOUBLE) / m.n) * (CAST(m.so AS DOUBLE) / m.n)
+                   AS var_post,
+               CAST(m.spp AS DOUBLE) / m.n
+                   - (CAST(m.sp AS DOUBLE) / m.n) * (CAST(m.sp AS DOUBLE) / m.n)
+                   AS var_pre,
+               CAST(m.spo AS DOUBLE) / m.n
+                   - (CAST(m.sp AS DOUBLE) / m.n) * (CAST(m.so AS DOUBLE) / m.n)
+                   AS cov_a,
+               t.theta, t.mu_pre
+        FROM mom m CROSS JOIN th t
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n,
+           ROUND(mean_post / CAST(100 AS DOUBLE) + 1e-9, 4) + 0.0
+               AS mean_post_dollars,
+           ROUND((mean_post - theta * (mean_pre - mu_pre))
+                 / CAST(100 AS DOUBLE) + 1e-9, 4) + 0.0 AS mean_adj_dollars,
+           ROUND(theta + 1e-9, 6) + 0.0 AS theta,
+           ROUND((CAST(1 AS DOUBLE)
+                  - (var_post + theta * theta * var_pre
+                     - CAST(2 AS DOUBLE) * theta * cov_a) / var_post)
+                 * CAST(100 AS DOUBLE) + 1e-9, 2) + 0.0 AS var_reduction_pct
+    FROM stats
+"""
+
+
+@register("v28_cuped_adjustment", oracle=_CUPED_SQL)
+def v28_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V28: CUPED (Controlled-experiment Using Pre-Experiment Data,
+    Deng et al. WSDM'13) — the variance-reduction workhorse every
+    experimentation platform applies before the t-test: regress the
+    post-period metric on the pre-period metric (theta = cov/var,
+    POOLED across arms so the adjustment cannot bias the contrast),
+    report per arm the raw and adjusted means and the achieved
+    variance reduction. Completes the v-family readout chain: v16/v27
+    test, v24 ranks, v26 corrects multiplicity, v12 bootstraps —
+    this is the sensitivity multiplier applied before all of them.
+
+    Cross-engine: per-user pre/post revenues are exact integer cents
+    (first 15 days vs rest); all five moment sums are exact
+    (DECIMAL(38,0) for the squares — the v27 overflow discipline);
+    theta, adjusted means, and variances are mirrored double chains
+    rounded at the edge.
+
+    Scale shape: one per-user aggregate (map-side combined) collapses
+    the fact to the user grain, one 2-row moment census per arm, and
+    every float op runs on the 2-row frame with the 1-row pooled
+    theta broadcast back (bounded-by-construction crossJoin)."""
+    e = table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") < cut), cents)
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut), cents
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("post"),
+    ).select((F.col("user_id") % 2).alias("arm"), "pre", "post")
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")
+    mom = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sp"),
+        F.sum("post").cast("long").alias("so"),
+        F.sum(d18("pre") * d18("pre")).cast("decimal(38,0)").alias("spp"),
+        F.sum(d18("post") * d18("post")).cast("decimal(38,0)").alias("soo"),
+        F.sum(d18("pre") * d18("post")).cast("decimal(38,0)").alias("spo"),
+    )
+    pooled = mom.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("sp").cast("double").alias("tsp"),
+        F.sum("so").cast("double").alias("tso"),
+        F.sum("spp").cast("double").alias("tspp"),
+        F.sum("spo").cast("double").alias("tspo"),
+    )
+    th = pooled.select(
+        (F.col("tsp") / F.col("nn")).alias("mu_pre"),
+        (
+            (F.col("tspo") / F.col("nn")
+             - (F.col("tsp") / F.col("nn")) * (F.col("tso") / F.col("nn")))
+            / (F.col("tspp") / F.col("nn")
+               - (F.col("tsp") / F.col("nn")) * (F.col("tsp") / F.col("nn")))
+        ).alias("theta"),
+    )
+    mean_post = F.col("so").cast("double") / F.col("n")
+    mean_pre = F.col("sp").cast("double") / F.col("n")
+    stats = mom.crossJoin(F.broadcast(th)).select(  # bcast: fixed (1-row theta)
+        "arm",
+        "n",
+        mean_post.alias("mean_post"),
+        mean_pre.alias("mean_pre"),
+        (F.col("soo").cast("double") / F.col("n") - mean_post * mean_post).alias(
+            "var_post"
+        ),
+        (F.col("spp").cast("double") / F.col("n") - mean_pre * mean_pre).alias(
+            "var_pre"
+        ),
+        (F.col("spo").cast("double") / F.col("n") - mean_pre * mean_post).alias(
+            "cov_a"
+        ),
+        "theta",
+        "mu_pre",
+    )
+    return stats.select(
+        F.col("arm").cast("long").alias("arm"),
+        "n",
+        (F.round(F.col("mean_post") / F.lit(100.0) + 1e-9, 4) + 0.0).alias(
+            "mean_post_dollars"
+        ),
+        (
+            F.round(
+                (F.col("mean_post")
+                 - F.col("theta") * (F.col("mean_pre") - F.col("mu_pre")))
+                / F.lit(100.0)
+                + 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("mean_adj_dollars"),
+        (F.round(F.col("theta") + 1e-9, 6) + 0.0).alias("theta"),
+        (
+            F.round(
+                (
+                    F.lit(1.0)
+                    - (
+                        F.col("var_post")
+                        + F.col("theta") * F.col("theta") * F.col("var_pre")
+                        - F.lit(2.0) * F.col("theta") * F.col("cov_a")
+                    )
+                    / F.col("var_post")
+                )
+                * F.lit(100.0)
+                + 1e-9,
+                2,
+            )
+            + 0.0
+        ).alias("var_reduction_pct"),
+    )

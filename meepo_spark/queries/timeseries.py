@@ -2888,3 +2888,78 @@ def t31_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("c") + 1e-9, 4) + 0.0).alias("corr_7d"),
         )
     )
+
+
+# --- t32: sequential-fold EWMA (round 9) --------------------------------
+
+_EWMA_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+        SELECT event_type,
+               list(CAST(c AS DOUBLE) ORDER BY day) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               MAX(day) AS last_day,
+               CAST(SUM(c) AS BIGINT) AS total_cents
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days, last_day::VARCHAR AS last_day,
+           ROUND(list_reduce(xs, (acc, x) ->
+                     acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE))
+                 + 1e-9, 4) + 0.0 AS ewma_cents,
+           ROUND(CAST(total_cents AS DOUBLE) / n_days + 1e-9, 4) + 0.0
+               AS mean_cents
+    FROM arrs
+"""
+
+
+@register("t32_ewma_daily", oracle=_EWMA_SQL)
+def t32_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32: exponentially-weighted moving average of daily revenue per
+    event type (α = 0.3, seeded with the first day) — the smoothing
+    primitive behind every ops dashboard's trend line and the
+    forecasting baseline Holt-Winters extends. The recursion
+    ewma_t = α·x_t + (1−α)·ewma_{t−1} is ORDER-SENSITIVE, so it runs
+    as a SEQUENTIAL FOLD over the per-type sorted daily array
+    (F.aggregate / DuckDB list_reduce — the t20/l46 fold discipline):
+    bit-identical across engines where a parallel float SUM would
+    drift with shuffle order. Days with no events are skipped, not
+    zero-filled (t8 grades the gap-fill variant of the spine).
+
+    Scale shape: the fact collapses to |types| x |days| daily cents
+    (map-side combined, exact integers); the fold runs per type over
+    that bounded array — at 100 TB the array is still |days| long.
+    The seed is the first element itself (list_reduce semantics =
+    slice-fold from element 2), so a single-day type returns its own
+    value."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("c"))
+    arrs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "c"))),
+            lambda x: x["c"].cast("double"),
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.sum("c").cast("long").alias("total_cents"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return arrs.select(
+        "event_type",
+        "n_days",
+        F.col("last_day").cast("string").alias("last_day"),
+        (F.round(ewma + 1e-9, 4) + 0.0).alias("ewma_cents"),
+        (
+            F.round(F.col("total_cents").cast("double") / F.col("n_days") + 1e-9, 4)
+            + 0.0
+        ).alias("mean_cents"),
+    )

@@ -95,6 +95,8 @@ NESTED_LOOP_WAIVED = {
     "l68b_df_cut_census",  # 1-row corpus-size crossJoin(broadcast)
     "l68c_pruned_postings_topk",  # 1-row corpus-size crossJoin(broadcast)
     "v27_welch_ttest",  # 1-row-x-1-row arm-moment crossJoin(broadcast)
+    "v28_cuped_adjustment",  # 1-row pooled-theta crossJoin(broadcast)
+    "dq12_benford_digit_audit",  # 1-row digit-total crossJoin(broadcast)
     "v11_equidepth_histogram",  # per-flag (lo, hi, N) broadcast (5 rows)
     # round-3 additions, bounded-by-construction broadcasts:
     "l22_mixture_sampling",  # 5-row rate table + 1-row totals
