@@ -2963,3 +2963,181 @@ def t32_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("mean_cents"),
     )
+
+
+# --- t33: rolling 7-day distinct actives (round 9) ----------------------
+
+_ROLLING_DISTINCT_SQL = """
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM pairs),
+    contrib AS (
+        SELECT user_id,
+               unnest(list_transform(range(0, 7),
+                                     i -> day + CAST(i AS INTEGER))) AS wday
+        FROM pairs
+    ),
+    roll AS (
+        SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_7d
+        FROM contrib GROUP BY wday
+    ),
+    sameday AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM pairs GROUP BY day
+    )
+    SELECT d.day::VARCHAR AS day, s.n_active, r.n_active_7d
+    FROM days d
+    JOIN roll r ON r.wday = d.day
+    JOIN sameday s ON s.day = d.day
+"""
+
+
+@register("t33_rolling_distinct_users", oracle=_ROLLING_DISTINCT_SQL)
+def t33_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33: trailing-7-day distinct active users per observed day —
+    the DAU/WAU engagement metric every product dashboard carries.
+    Distinct-over-sliding-window does NOT decompose (a user active
+    twice in the window counts once), so the exact formulation is
+    contribute-and-count: each (user, day) first collapses to one row
+    (map-side-combined distinct), then fans out to the <= 7 window
+    days it contributes to, and one count-distinct per window day
+    finishes it — the standard exact rolling-distinct shape (the
+    approximate path at extreme scale swaps the final stage for HLL
+    sketch merges, graded as g3).
+
+    Scale shape: the fact collapses to |users| x |days| pairs before
+    the 7x fan-out, so the shuffle is bounded by active-user-days,
+    not events; no window function anywhere — the 'window' is an
+    integer fan-out plus a hash aggregate, both parallel across
+    days."""
+    e = table(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.date_add(F.col("day"), i),
+            )
+        ).alias("wday"),
+    )
+    roll = contrib.groupBy("wday").agg(
+        F.count_distinct("user_id").alias("n_active_7d")
+    )
+    sameday = pairs.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    return (
+        days.join(roll, days["day"] == roll["wday"])
+        .join(sameday, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_active",
+            "n_active_7d",
+        )
+    )
+
+
+# --- t34: Holt linear-trend smoothing (round 9) --------------------------
+
+_HOLT_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+        SELECT event_type,
+               list(CAST(c AS DOUBLE) ORDER BY day) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    folded AS (
+        SELECT event_type, n_days,
+               CASE WHEN n_days > 2 THEN
+                   list_reduce(
+                       list_concat([[xs[1], xs[2] - xs[1]]],
+                                   list_transform(xs[3:], x -> [x])),
+                       (acc, e) -> [
+                           CAST(0.5 AS DOUBLE) * e[1]
+                               + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                           CAST(0.3 AS DOUBLE)
+                               * ((CAST(0.5 AS DOUBLE) * e[1]
+                                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                                  - acc[1])
+                               + CAST(0.7 AS DOUBLE) * acc[2]
+                       ])
+               ELSE [xs[1], xs[2] - xs[1]] END AS lt
+        FROM arrs WHERE n_days >= 2
+    )
+    SELECT event_type, n_days,
+           ROUND(lt[1] + 1e-9, 4) + 0.0 AS level_cents,
+           ROUND(lt[2] + 1e-9, 4) + 0.0 AS trend_cents,
+           ROUND(lt[1] + lt[2] + 1e-9, 4) + 0.0 AS forecast_next_cents
+    FROM folded
+"""
+
+
+@register("t34_holt_linear_trend", oracle=_HOLT_SQL)
+def t34_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T34: Holt's linear-trend double exponential smoothing over
+    daily revenue per event type (α=0.5, β=0.3; seeded l=x1,
+    t=x2−x1) — the one-step forecaster EWMA (t32) can't be when the
+    series trends. The recursion carries TWO coupled state
+    components, so the fold accumulator is a [level, trend] array:
+    elements are wrapped as single-element arrays so DuckDB's
+    list_reduce (whose accumulator must share the element type) and
+    Spark's F.aggregate run the IDENTICAL double chain — including
+    recomputing level' inside the trend update, since SQL lambdas
+    have no let-binding; same expression, same double. Types with
+    fewer than 2 days are excluded on both engines.
+
+    Scale shape: same as t32 — the fact collapses to exact daily
+    integer cents, the fold runs per type over the bounded day
+    array."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("c"))
+    arrs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "c"))),
+            lambda x: x["c"].cast("double"),
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).filter(F.col("n_days") >= 2)
+    x1 = F.element_at("xs", 1)
+    x2 = F.element_at("xs", 2)
+    init = F.array(x1, x2 - x1)
+    half, a_c, b_c, bc_c = F.lit(0.5), F.lit(0.3), F.lit(0.7), F.lit(0.5)
+
+    def step(acc, e_):
+        new_l = half * F.element_at(e_, 1) + bc_c * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        new_t = a_c * (new_l - F.element_at(acc, 1)) + b_c * F.element_at(acc, 2)
+        return F.array(new_l, new_t)
+
+    lt = F.when(
+        F.col("n_days") > 2,
+        F.aggregate(
+            F.transform(
+                F.slice(F.col("xs"), 3, F.greatest(F.size("xs") - 2, F.lit(0))),
+                lambda x: F.array(x),
+            ),
+            init,
+            step,
+        ),
+    ).otherwise(init)
+    folded = arrs.select("event_type", "n_days", lt.alias("lt"))
+    return folded.select(
+        "event_type",
+        "n_days",
+        (F.round(F.element_at("lt", 1) + 1e-9, 4) + 0.0).alias("level_cents"),
+        (F.round(F.element_at("lt", 2) + 1e-9, 4) + 0.0).alias("trend_cents"),
+        (
+            F.round(F.element_at("lt", 1) + F.element_at("lt", 2) + 1e-9, 4) + 0.0
+        ).alias("forecast_next_cents"),
+    )
