@@ -1732,3 +1732,134 @@ def l66_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(DataFrame.unionByName, outs)
+
+
+# --- l69: cross-source vocabulary drift (round 9) ------------------------
+
+_KL_SQL = """
+    WITH t AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS term
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    ),
+    vocab AS (SELECT DISTINCT term FROM cnt),
+    vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    grid AS (
+        SELECT s.source, s.n, w.term, COALESCE(c.c, 0) AS c, z.v
+        FROM totals s
+        CROSS JOIN vocab w
+        CROSS JOIN vsz z
+        LEFT JOIN cnt c ON c.source = s.source AND c.term = w.term
+    ),
+    contrib AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.term,
+               (CAST(a.c + 1 AS DOUBLE) / CAST(a.n + a.v AS DOUBLE))
+               * LN((CAST(a.c + 1 AS DOUBLE) / CAST(a.n + a.v AS DOUBLE))
+                    / (CAST(b.c + 1 AS DOUBLE) / CAST(b.n + b.v AS DOUBLE)))
+                   AS kx
+        FROM grid a JOIN grid b
+          ON a.term = b.term AND a.source <> b.source
+    ),
+    folded AS (
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               list_reduce(list(kx ORDER BY term), (acc, x) -> acc + x) AS kl
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_terms,
+           ROUND(kl + 1e-9, 6) + 0.0 AS kl_nats
+    FROM folded
+"""
+
+
+@register("l69_source_kl_drift", oracle=_KL_SQL)
+def l69_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L69: cross-source vocabulary drift — pairwise KL divergence
+    between the Laplace-smoothed unigram distributions of every
+    source pair, the distribution-shift monitor a training-data
+    pipeline runs when mixing domains (a source whose KL against the
+    mix jumps is the one whose crawl changed under you; complements
+    l38's temperature mixing, which assumes the per-source
+    distributions are stable).
+
+    Cross-engine: counts and totals are exact integers; Laplace
+    smoothing (c+1)/(n+V) makes every probability a ratio of exact
+    integers, and each pair's KL is summed by a SEQUENTIAL FOLD over
+    the term-sorted contribution array (the t32 discipline) — a
+    parallel double SUM would drift with shuffle order at the 6th
+    decimal.
+
+    Scale shape: the corpus collapses to |sources| x |vocab| counts
+    (map-side combined); the dense (source, term) grid, the pair
+    join, and the folds all run on that bounded grid — at 100 TB the
+    grid grows with VOCABULARY (Heaps), not rows, and a df cut (the
+    l68 discipline) bounds it further if vocabulary explodes."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    cnt = t.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    vocab = cnt.select("term").distinct()
+    vsz = vocab.agg(F.count(F.lit(1)).alias("v"))
+    grid = (
+        totals.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsz))  # bcast: fixed (1-row vocab size)
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source", "n", "term", F.coalesce("c", F.lit(0)).alias("c"), "v"
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+        F.col("v").alias("va"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+        F.col("v").alias("vb"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("va")).cast(
+        "double"
+    )
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("vb")).cast(
+        "double"
+    )
+    contrib = (
+        a.join(b, "term")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("source_a", "source_b", "term", (pa * F.log(pa / pb)).alias("kx"))
+    )
+    folded = contrib.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("term", "kx"))),
+            lambda x: x["kx"],
+        ).alias("xs"),
+    )
+    kl = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: acc + x,
+    )
+    return folded.select(
+        "source_a",
+        "source_b",
+        "n_terms",
+        (F.round(kl + 1e-9, 6) + 0.0).alias("kl_nats"),
+    )

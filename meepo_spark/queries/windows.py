@@ -1466,3 +1466,94 @@ def w11_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_at_second_price"),
     )
+
+
+# --- w12: inter-order gap census (round 9) -------------------------------
+
+_GAP_SQL = """
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS next_date
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', o_orderdate, next_date) AS BIGINT)
+                   AS gap_days
+        FROM seq WHERE next_date IS NOT NULL
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(g.gap_days) AS DOUBLE) / COUNT(*) + 1e-9, 4) + 0.0
+               AS avg_gap_days,
+           CAST(MAX(g.gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(CASE WHEN g.gap_days > 180 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps_over_180d
+    FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("w12_order_gap_census", oracle=_GAP_SQL)
+def w12_order_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: inter-purchase gap census — per customer, the day gaps
+    between CONSECUTIVE orders (LEAD over each customer's order
+    history), aggregated per market segment: gap count, mean, max,
+    and the over-180-day churn-risk tail. The event-sequence window
+    shape (W2 grades lag/lead mechanics; this is the composite that
+    consumes the offsets): reorder cadence is what retention and
+    inventory models actually fit.
+
+    Scale shape: the LEAD window partitions on o_custkey — fact-scale
+    key cardinality, so the window parallelizes with the data (never
+    a tiny-key or global window); gaps are exact integer day counts
+    and the per-segment aggregate is map-side combined after a
+    broadcast dim join.
+
+    Cross-engine: day arithmetic only (o_orderdate is a midnight
+    timestamp, so Spark datediff and DuckDB date_diff('day') agree
+    exactly); the lone double is the rounded mean of exact integer
+    sums."""
+    from meepo_spark.operators.broadcast_gate import maybe_broadcast
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lead("o_orderdate").over(w).alias("next_date"),
+        )
+        .filter(F.col("next_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("next_date"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(
+            maybe_broadcast(c.select("c_custkey", "c_mktsegment")),
+            gaps["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (
+                F.round(
+                    F.sum("gap_days").cast("double") / F.count(F.lit(1)) + 1e-9, 4
+                )
+                + 0.0
+            ).alias("avg_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.sum(F.when(F.col("gap_days") > 180, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps_over_180d"),
+        )
+    )

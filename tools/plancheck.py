@@ -96,6 +96,8 @@ NESTED_LOOP_WAIVED = {
     "l68c_pruned_postings_topk",  # 1-row corpus-size crossJoin(broadcast)
     "v27_welch_ttest",  # 1-row-x-1-row arm-moment crossJoin(broadcast)
     "v28_cuped_adjustment",  # 1-row pooled-theta crossJoin(broadcast)
+    "l69_source_kl_drift",  # |sources|-row totals x vocab dense grid +
+    # 1-row vocab-size broadcast (bounded: sources are a fixed handful)
     "dq12_benford_digit_audit",  # 1-row digit-total crossJoin(broadcast)
     "v11_equidepth_histogram",  # per-flag (lo, hi, N) broadcast (5 rows)
     # round-3 additions, bounded-by-construction broadcasts:
