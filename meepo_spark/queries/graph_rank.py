@@ -912,3 +912,127 @@ def g32_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hop").isNotNull().alias("reachable"),
         )
     )
+
+
+# --- g33: harmonic centrality via multi-source BFS (round 9) -----------
+
+_HARMONIC_ORACLE = f"""
+WITH RECURSIVE edges AS MATERIALIZED (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+),
+walk(root, node, hop) AS (
+    SELECT n_nationkey, n_nationkey, 0 FROM nation
+    UNION
+    SELECT w.root, e.dst, w.hop + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hop < {_BFS_CAP}
+),
+mind AS (
+    SELECT root, node, MIN(hop) AS d FROM walk GROUP BY 1, 2
+),
+cent AS (
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(CAST(FLOOR(840 / d) AS BIGINT)) AS BIGINT) AS hsum
+    FROM mind WHERE d >= 1 GROUP BY node
+)
+SELECT n.n_name,
+       COALESCE(c.n_reached, 0) AS n_reached,
+       ROUND(COALESCE(CAST(c.hsum AS DOUBLE), 0) / CAST(840 AS DOUBLE)
+             + 1e-9, 6) + 0.0 AS harmonic
+FROM nation n LEFT JOIN cent c ON n.n_nationkey = c.node
+"""
+
+
+@register("g33_harmonic_centrality", oracle=_HARMONIC_ORACLE)
+def g33_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G33: harmonic centrality — for every nation, the sum of 1/d
+    over all nations that REACH it within the BFS cap (8 hops, the
+    g32 contract), computed by multi-source BFS: the frontier frame
+    is keyed (root, node), so all 25 single-source searches advance
+    in the SAME 8 joins against the cached edge list. Harmonic (not
+    closeness) because it handles disconnection natively — an
+    unreached pair contributes 0, no infinity to dodge.
+
+    Float discipline: hop distances are <= 8, so Σ 1/d is computed
+    as an EXACT INTEGER numerator over the common denominator 840
+    (= lcm 1..8): SUM(840 div d) is shuffle-order-immune where a
+    parallel double sum of 1/d terms would drift; ONE division at
+    the edge. FLOOR(840/d) is exact in double for d <= 8 and written
+    identically on both engines (with DuckDB's FLOOR->DOUBLE cast
+    trap handled).
+
+    Scale shape: the g10/g32 posture — fact reduced once to <=625
+    distinct edges (cached); the iterated state is <= |nations|^2
+    rows regardless of corpus size; per-iteration cost is
+    fact-independent; lineage cut every other round."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
+    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
+        .distinct()
+        .coalesce(1)
+        .cache()  # <=625 distinct edges; read 8x below
+    )
+    dist = nation.select(
+        F.col("n_nationkey").alias("root"),
+        F.col("n_nationkey").alias("node"),
+        F.lit(0).alias("hop"),
+    )
+    for it in range(1, _BFS_CAP + 1):
+        if it % 2 == 1:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("hop") == it - 1).select("root", "node")
+        new = (
+            frontier.join(edges, frontier["node"] == edges["esrc"])
+            .select("root", F.col("edst").alias("node"))
+            .distinct()
+        )
+        additions = new.join(dist, ["root", "node"], "left_anti").withColumn(
+            "hop", F.lit(it)
+        )
+        dist = dist.unionAll(additions)
+    cent = (
+        dist.filter(F.col("hop") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.floor(F.lit(840) / F.col("hop")).cast("long"))
+            .cast("long")
+            .alias("hsum"),
+        )
+    )
+    return (
+        nation.select(F.col("n_nationkey").alias("node"), "n_name")
+        .join(cent, "node", "left")
+        .select(
+            "n_name",
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+            (
+                F.round(
+                    F.coalesce(F.col("hsum").cast("double"), F.lit(0.0))
+                    / F.lit(840.0)
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("harmonic"),
+        )
+    )

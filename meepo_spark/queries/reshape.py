@@ -1584,3 +1584,115 @@ def v28_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("var_reduction_pct"),
     )
+
+
+# --- v29: sample-size / power analysis (round 9) -------------------------
+
+_POWER_SQL = f"""
+    WITH arms AS ({{REV}}),
+    mom AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(18,0))
+                        * CAST(cents AS DECIMAL(18,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM arms GROUP BY arm
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+               CAST(SUM(s) AS DOUBLE) AS ts,
+               CAST(SUM(ss) AS DOUBLE) AS tss,
+               CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+               CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+               MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS m0
+        FROM mom
+    ),
+    calc AS (
+        SELECT n0, n1, m0,
+               tss / nn - (ts / nn) * (ts / nn) AS var_pooled,
+               CAST(0.05 AS DOUBLE) * m0 AS mde_cents
+        FROM pooled
+    )
+    SELECT n0, n1,
+           ROUND(sqrt(var_pooled) / CAST(100 AS DOUBLE) + 1e-9, 4) + 0.0
+               AS pooled_sd_dollars,
+           ROUND(mde_cents / CAST(100 AS DOUBLE) + 1e-9, 4) + 0.0
+               AS mde_dollars,
+           CAST(CEIL(CAST(2 AS DOUBLE)
+                     * (CAST(1.959963985 AS DOUBLE)
+                        + CAST(0.8416212336 AS DOUBLE))
+                     * (CAST(1.959963985 AS DOUBLE)
+                        + CAST(0.8416212336 AS DOUBLE))
+                     * var_pooled / (mde_cents * mde_cents)) AS BIGINT)
+               AS n_required_per_arm
+    FROM calc
+"""
+
+
+@register(
+    "v29_power_analysis",
+    oracle=_POWER_SQL.format(REV=REV_ARMS_SQL),
+)
+def v29_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V29: the sample-size calculator every experiment review starts
+    with — given the observed per-user revenue variance (pooled
+    across arms) and a 5%-of-control-mean minimum detectable effect,
+    how many users per arm does a two-sided α=0.05, 80%-power t-test
+    need? n = 2(z_{{α/2}}+z_β)²σ²/Δ². Closes the v-family loop: v29
+    sizes the experiment, v28 shrinks σ², v16/v27 read it out, v26
+    corrects the family, v19 checks the randomizer (SRM).
+
+    Cross-engine: moments exact (the v27 DECIMAL(38,0) discipline,
+    shared REV_ARMS frame so the population can never drift from
+    v24/v25/v27/e20); z-constants are identical literals; CEIL of
+    the identical double chain lands on the same integer (a boundary
+    collision would need the chain to produce an exact integer —
+    measure-zero and fixture-pinned).
+
+    Scale shape: one per-user aggregate, one 2-row census, all float
+    work on one row."""
+    arms = user_revenue_arms(spark, sf_dir)
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")
+    mom = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(d18("cents") * d18("cents")).cast("decimal(38,0)").alias("ss"),
+    )
+    pooled = mom.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("s").cast("double").alias("ts"),
+        F.sum("ss").cast("double").alias("tss"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(
+            F.when(F.col("arm") == 0, F.col("s").cast("double") / F.col("n"))
+        ).alias("m0"),
+    )
+    calc = pooled.select(
+        "n0",
+        "n1",
+        "m0",
+        (
+            F.col("tss") / F.col("nn")
+            - (F.col("ts") / F.col("nn")) * (F.col("ts") / F.col("nn"))
+        ).alias("var_pooled"),
+        (F.lit(0.05) * F.col("m0")).alias("mde_cents"),
+    )
+    z = F.lit(1.959963985) + F.lit(0.8416212336)
+    return calc.select(
+        "n0",
+        "n1",
+        (
+            F.round(F.sqrt("var_pooled") / F.lit(100.0) + 1e-9, 4) + 0.0
+        ).alias("pooled_sd_dollars"),
+        (F.round(F.col("mde_cents") / F.lit(100.0) + 1e-9, 4) + 0.0).alias(
+            "mde_dollars"
+        ),
+        F.ceil(
+            F.lit(2.0) * z * z * F.col("var_pooled")
+            / (F.col("mde_cents") * F.col("mde_cents"))
+        )
+        .cast("long")
+        .alias("n_required_per_arm"),
+    )
