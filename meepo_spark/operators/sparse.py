@@ -52,10 +52,21 @@ def doc_terms(
     """(doc_id, term): unigrams + word n-grams of each requested size
     over the lowercased, empty-filtered token array. n-grams join
     tokens with a single space, so term class is recoverable from the
-    space count (the census relies on this)."""
-    ts = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    space count (the census relies on this).
+
+    The token array is staged as a REAL column before the n-gram
+    transform — the operators/fingerprint.py:100 lesson: a
+    higher-order-function lambda re-evaluates any INLINE subtree it
+    references once per element, so an inline ts would re-split and
+    re-filter the whole text n times per n-gram position (O(len²)+
+    per doc; measured 15.9 s vs 1.3 s for the l68b census at
+    sf0.1). As a materialized attribute each element_at is an O(1)
+    column read."""
+    staged = docs.withColumn(
+        "__dt_ts",
+        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")),
     )
+    ts = F.col("__dt_ts")
     parts: list[Column] = []
     for n in ngrams:
         if n == 1:
@@ -75,17 +86,18 @@ def doc_terms(
     allterms = parts[0]
     for p in parts[1:]:
         allterms = F.concat(allterms, p)
-    return docs.select(F.col(id_col).alias("doc_id"), allterms.alias("ts")).select(
-        "doc_id", F.explode("ts").alias("term")
-    )
+    return staged.select(
+        F.col(id_col).alias("doc_id"), allterms.alias("ts")
+    ).select("doc_id", F.explode("ts").alias("term"))
 
 
 def df_capped_tfidf(
-    terms: DataFrame,
+    terms: DataFrame | None = None,
     cap_num: int = 1,
     cap_den: int = 2,
     quant: int = 1000,
     posting_cap: int | None = None,
+    tf: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """TF-IDF postings over the df-capped vocabulary.
 
@@ -107,8 +119,15 @@ def df_capped_tfidf(
     only static broadcast. The posting-cap window partitions on the
     term (high cardinality) and is rank-limited, so Catalyst runs it
     as a Partial+Final WindowGroupLimit pair — per-partition top-R
-    before the shuffle, never a full sort of the posting file."""
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    before the shuffle, never a full sort of the posting file.
+
+    Pass ``tf`` (doc_id, term, tf) to reuse a precomputed — typically
+    session-cached — term-frequency frame instead of re-tokenizing
+    (the doc_cache.sparse_tf path); otherwise ``terms`` is
+    aggregated here. The tokenize+explode+tf chain is the dominant
+    build cost, so every consumer that can share it should."""
+    if tf is None:
+        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nn = tf.agg(F.count_distinct("doc_id").alias("n"))
     df_flag = df_.crossJoin(F.broadcast(nn)).select(  # bcast: fixed (1 row)

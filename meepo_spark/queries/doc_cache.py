@@ -65,14 +65,38 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SH_CACHE.get(spark, sf_dir, _build_shingled)
 
 
+_SPARSE_TF_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _build_sparse_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meepo_spark.operators.sparse import doc_terms
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        doc_terms(d)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def sparse_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf): the unigram+trigram term-frequency frame —
+    the tokenize+explode+aggregate pass is the dominant cost of every
+    sparse-index build, so it is cached once per (app, sf_dir) and
+    df/norm/posting derivations (all cheap aggregates over it) are
+    recomputed by each consumer: sparse_postings below, and l68b's
+    df-cut census (which needs the CUT side of the vocabulary that
+    the postings frame by definition no longer carries)."""
+    return _SPARSE_TF_CACHE.get(spark, sf_dir, _build_sparse_tf)
+
+
 _SPARSE_CACHE = SessionFrameCache(max_per_app=3)
 
 
 def _build_sparse_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meepo_spark.operators.sparse import df_capped_tfidf, doc_terms
+    from meepo_spark.operators.sparse import df_capped_tfidf
 
-    d = table(spark, sf_dir, "documents")
-    return df_capped_tfidf(doc_terms(d))["postings"]
+    return df_capped_tfidf(tf=sparse_tf(spark, sf_dir))["postings"]
 
 
 def sparse_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1943,10 +1943,10 @@ def l68b_df_cut_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tokenize + two map-side-combined aggregates; output
     bounded by |ngram classes| x 2 rows at any corpus size."""
-    from meepo_spark.operators.sparse import df_capped_tfidf, doc_terms
+    from meepo_spark.operators.sparse import df_capped_tfidf
+    from meepo_spark.queries.doc_cache import sparse_tf
 
-    d = table(spark, sf_dir, "documents")
-    idx = df_capped_tfidf(doc_terms(d))
+    idx = df_capped_tfidf(tf=sparse_tf(spark, sf_dir))
     return (
         idx["df"]
         .groupBy(
