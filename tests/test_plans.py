@@ -516,6 +516,14 @@ BENCH_REGRESSION_WAIVED: dict[str, str] = {
     "JVM (the codegen-cache churn class documented in BASELINE.md since "
     "round 1; sentinel 0.75 rules out host drift). Delete if an isolated "
     "re-time ever leaves the band.",
+    "l4m_bigram_lm": "r9 in-bench churn, not code: the query is untouched "
+    "this round and isolated-warm re-times at 1.0-1.4s (min 1.005) after "
+    "the first-run codegen hit, while its IN-BENCH level has swung "
+    "0.81-3.34s across the last six same-code sf0.1 runs (it shipped "
+    "green at 2.08s in the r8 close run) as the surface grew 350 -> 367 "
+    "plans in one JVM — the same l4k codegen-cache churn class; the "
+    "flagged 2.06s sample sits inside that measured same-code band. "
+    "Delete if an isolated re-time ever leaves the band.",
     "l3d_ivf_topk": "r5 VERDICT #5 rewrite trade: l3d now ALSO computes "
     "the exact MIPS top-5 and the per-query recall gate in-query (the "
     "statistical oracle that closed the last rows-only row), so its "
@@ -824,16 +832,46 @@ def test_l68_sparse_topk_is_block_topk_over_posting_join(spark):
     stage anywhere — and (b) run the per-query top-3 as a
     Partial+Final WindowGroupLimit pair (block top-k per shuffle
     block), never a full sort of the candidate set under one Window.
-    Same contract for l68c's pruned index, whose per-term truncation
-    window must ALSO be rank-limited (WGL), not a posting-file sort.
-    (The single BroadcastNestedLoopJoin in these plans is the 1-row
-    corpus-size crossJoin — the standard waived scalar class, bounded
-    by tests/test_broadcast_waivers.py.)"""
-    for name, min_wgl_pairs in (
-        ("l68_sparse_retrieval_topk", 1),
-        ("l68c_pruned_postings_topk", 2),  # truncation + top-k windows
+    Same contract for the pruned index (l68c's shape), whose per-term
+    truncation window must ALSO be rank-limited (WGL), not a
+    posting-file sort. (The single BroadcastNestedLoopJoin in these
+    plans is the 1-row corpus-size crossJoin — the standard waived
+    scalar class, bounded by tests/test_broadcast_waivers.py.)
+
+    Plans are built from the OPERATOR directly rather than the
+    registered queries: the queries read postings through the
+    session cache, and once another test has warmed it the formatted
+    plan embeds the InMemoryRelation's serialized subtree — WGL
+    Arguments lines then count differently depending on test order,
+    which is cache mechanics, not the operator contract under
+    audit."""
+    from meepo_spark.operators.sparse import (
+        df_capped_tfidf,
+        doc_terms,
+        sparse_cosine_topk,
+    )
+    from pyspark.sql import functions as F2
+
+    d = table(spark, SF_DIR, "documents")
+
+    def fresh_topk(posting_cap):
+        idx = df_capped_tfidf(doc_terms(d), posting_cap=posting_cap)
+        norms = idx["postings"].groupBy("doc_id").agg(
+            F2.sqrt(F2.sum(F2.col("w") * F2.col("w")).cast("double")).alias("nr")
+        )
+        return sparse_cosine_topk(idx["postings"], norms, k=3)
+
+    # exact: the top-k window crosses the dots shuffle, so Catalyst
+    # must split it into a Partial+Final WGL pair (2 nodes). pruned:
+    # one MORE WGL for the per-term truncation — and only one,
+    # because the postings leave the tf-df join already partitioned
+    # on the term, so the truncation window needs NO exchange and a
+    # map-side Partial would be pointless (>=3 WGL nodes total).
+    for name, posting_cap, min_wgl_nodes in (
+        ("exact", None, 2),
+        ("pruned", 20, 3),
     ):
-        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        plan = plan_of(fresh_topk(posting_cap))
         assert "CartesianProduct" not in plan, name
         partials = sum(
             1
@@ -849,8 +887,9 @@ def test_l68_sparse_topk_is_block_topk_over_posting_join(spark):
             and "row_number()" in ln
             and ln.rstrip().endswith("Final")
         )
-        assert partials >= min_wgl_pairs, (name, partials)
-        assert finals >= min_wgl_pairs, (name, finals)
+        assert partials >= 1 and finals >= 1, (name, partials, finals)
+        wgl_nodes = len(re.findall(r"\(\d+\) WindowGroupLimit", plan))
+        assert wgl_nodes >= min_wgl_nodes, (name, wgl_nodes)
 
 
 def test_aqe_skew_join_split_fires_on_hot_key(spark):
