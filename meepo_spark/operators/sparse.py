@@ -127,6 +127,8 @@ def df_capped_tfidf(
     aggregated here. The tokenize+explode+tf chain is the dominant
     build cost, so every consumer that can share it should."""
     if tf is None:
+        if terms is None:  # both optional in the signature, one required
+            raise ValueError("df_capped_tfidf: pass `terms` or a precomputed `tf`")
         tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nn = tf.agg(F.count_distinct("doc_id").alias("n"))

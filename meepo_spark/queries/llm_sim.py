@@ -1998,7 +1998,7 @@ def l68c_pruned_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cap bites at every SF (the 'dup' unigram: df 25 at sf0.01,
     250 at sf0.1), so this query's result provably differs from
     l68's and the pruning path itself is what the hash grades."""
-    from meepo_spark.operators.sparse import df_capped_tfidf, doc_terms, sparse_cosine_topk
+    from meepo_spark.operators.sparse import sparse_cosine_topk
     from pyspark.sql import Window as W_
 
     from meepo_spark.queries.doc_cache import sparse_postings

@@ -7,6 +7,8 @@ the same computation on the batch DataFrame.
 from __future__ import annotations
 
 import datetime
+import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +20,21 @@ from meepo_spark.schemas import EVENTS
 
 FLUSH_EVENT_TYPE = "__flush__"
 FLUSH_USER_ID = -1
+
+
+def _pin_arrival_order(out_dir: str, seen: set[str], order: int) -> None:
+    """FileStreamSource batches same-source files by MODIFICATION TIME,
+    and same-mtime ties fall back to listing order over random UUID
+    part names — which would scramble chunk arrival and void the
+    replay's ordering/disorder contract (ADVICE r9 #5). Pin every file
+    the chunk just wrote to a strictly increasing mtime so arrival
+    order is explicit, not an accident of write latency."""
+    base = int(time.time())
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if name not in seen and os.path.isfile(p):
+            os.utime(p, (base + order, base + order))
+            seen.add(name)
 
 
 def replay_as_files(
@@ -37,6 +54,7 @@ def replay_as_files(
     the sentinel (FLUSH_EVENT_TYPE / FLUSH_USER_ID) from results.
     """
     chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(W.orderBy(order_col)))
+    seen: set[str] = set()
     for i in range(1, n_chunks + 1):
         (
             chunked.filter(F.col("__chunk") == i)
@@ -45,6 +63,7 @@ def replay_as_files(
             .write.mode("append")
             .parquet(out_dir)
         )
+        _pin_arrival_order(out_dir, seen, i)
     if flush:
         flush_ts = df.agg(F.max(order_col)).first()[0] + datetime.timedelta(days=30)
         sentinel = df.sparkSession.createDataFrame(
@@ -52,6 +71,7 @@ def replay_as_files(
             df.schema,
         )
         sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+        _pin_arrival_order(out_dir, seen, n_chunks + 1)
     return out_dir
 
 
@@ -138,6 +158,7 @@ def replay_with_bounded_disorder(
     chunked = arr.withColumn(
         "__chunk", F.ntile(n_chunks).over(W.orderBy("__arr", "event_id"))
     )
+    seen: set[str] = set()
     for i in range(1, n_chunks + 1):
         (
             chunked.filter(F.col("__chunk") == i)
@@ -146,10 +167,12 @@ def replay_with_bounded_disorder(
             .write.mode("append")
             .parquet(out_dir)
         )
+        _pin_arrival_order(out_dir, seen, i)
     flush_ts = arr.agg(F.max("__arr")).first()[0] + datetime.timedelta(days=30)
     sentinel = df.sparkSession.createDataFrame(
         [(-1, flush_ts, FLUSH_USER_ID, FLUSH_EVENT_TYPE, 0.0, "{}")],
         df.schema,
     )
     sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+    _pin_arrival_order(out_dir, seen, n_chunks + 1)
     return out_dir

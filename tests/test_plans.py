@@ -993,6 +993,10 @@ def test_dq10_histogram_exchange_reused_not_rescanned(spark):
     df.collect()  # AQE materializes exchange reuse in the final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("ReusedExchange") >= 3, final[:2000]
+    # >=1 reuse is the regression signal (the count branch served from
+    # the histogram exchange); the exact reuse COUNT is an AQE
+    # heuristic detail a Spark minor bump may legitimately change
+    # (ADVICE r9 #4), so don't pin it
+    assert final.count("ReusedExchange") >= 1, final[:2000]
     n_scans = len(re.findall(r"Scan parquet\b", final))
     assert n_scans <= 2, (n_scans, final[:2000])

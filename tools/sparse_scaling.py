@@ -73,19 +73,19 @@ def main() -> int:
     n_base = base.count()
 
     def rep(i: int, disjoint: bool) -> DataFrame:
-        txt = (
-            F.array_join(
-                F.transform(
-                    F.split("text", " "), lambda t: F.concat(t, F.lit(f"_{i}"))
-                ),
-                " ",
+        if not disjoint:
+            return base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"), "text"
             )
-            if disjoint
-            else F.col("text")
-        )
-        return base.select(
+        # stage the token array before the suffixing transform — an
+        # inline split inside the HOF lambda re-splits the whole text
+        # per token (the doc_terms / fingerprint.py:100 trap)
+        return base.withColumn("__ts", F.split("text", " ")).select(
             (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
-            txt.alias("text"),
+            F.array_join(
+                F.transform(F.col("__ts"), lambda t: F.concat(t, F.lit(f"_{i}"))),
+                " ",
+            ).alias("text"),
         )
 
     def corpus(mult: int, disjoint: bool) -> DataFrame:
