@@ -109,6 +109,67 @@ def sparse_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SPARSE_CACHE.get(spark, sf_dir, _build_sparse_postings)
 
 
+_IVF_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _build_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from meepo_spark.functions.vectors import sq_dist
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy("sqd", "cid")
+    return (
+        pts.crossJoin(F.broadcast(cent))  # bcast: fixed (16 seed centroids)
+        .select(
+            "vec_id", "v", "cid", sq_dist(F.col("v"), F.col("cv")).alias("sqd")
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cell): the seeded IVF cell assignment (nearest of
+    the 16 lowest-id vectors, ties on cid — l3k's quantizer) over the
+    embeddings table, double-cast vectors included. The inverted-file
+    build is the corpus-sized pass of every IVF consumer (l3k's graded
+    mechanism check, l14b's dense hybrid branch), so it is cached once
+    per (app, sf_dir); probes/search over it are query-sized. The
+    16 seed centroids are recoverable as the rows with vec_id < 16
+    (a centroid's own nearest cell is itself at distance 0)."""
+    return _IVF_CACHE.get(spark, sf_dir, _build_ivf_assign)
+
+
+_BM25_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _build_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meepo_spark.operators.sparse import bm25_postings
+
+    return bm25_postings(tf=sparse_tf(spark, sf_dir))
+
+
+def bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf, w): the unigram Okapi BM25 posting file
+    (k1=1.2, b=0.75, milliunit-quantized — operators/sparse.py
+    bm25_postings) derived from the SAME cached sparse_tf frame the
+    TF-IDF index uses, so one tokenize pass serves both scorers
+    (VERDICT r9 #4). Consumers: l4n's fixed-query search, l68d's
+    multi-query retrieval, l14b's hybrid lexical branch. Caching the
+    WEIGHTED postings (not just tf) is what killed l4n's bimodal
+    rebuild: the dl/df/stats joins run once per (app, sf_dir)."""
+    return _BM25_CACHE.get(spark, sf_dir, _build_bm25_postings)
+
+
 # winnowing parameters shared by the l53/l54/l57/l18b family and the
 # cached pair frame below (llm_text re-exports these as _FP_K/_FP_W
 # for its generated oracles): k-token grams, w-gram window => the

@@ -1800,3 +1800,187 @@ def l52_shuffled_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_rate"),
         )
     )
+
+
+# --- l14b: hybrid retrieval over the graded indexes (round 10) ----------
+
+from meepo_spark.queries.llm_sim import _SPARSE_IDX_CTES
+
+_L14B_ORACLE = (
+    "WITH "
+    + _SPARSE_IDX_CTES
+    + """,
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nr
+        FROM w GROUP BY doc_id
+    ),
+    sd AS (
+        SELECT b.doc_id AS c_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        FROM w a JOIN w b ON a.term = b.term
+        WHERE a.doc_id = 0 AND b.doc_id <> 0
+        GROUP BY 1
+    ),
+    scos AS (
+        SELECT sd.c_id, CAST(sd.dot AS DOUBLE) / (qa.nr * qb.nr) AS c
+        FROM sd
+        JOIN nrm qa ON qa.doc_id = 0
+        JOIN nrm qb ON qb.doc_id = sd.c_id
+    ),
+    ra AS (
+        SELECT c_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY c DESC, c_id ASC) AS r
+        FROM scos
+    ),
+    pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM pts WHERE vec_id < 16),
+    assign AS (SELECT vec_id, cid AS cell FROM (
+                 SELECT p.vec_id, c.cid,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY p.vec_id
+                          ORDER BY list_sum(list_transform(list_zip(p.v, c.cv),
+                                   x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+                 FROM pts p CROSS JOIN cent c) WHERE rn = 1),
+    qd AS (SELECT v AS qv FROM pts WHERE vec_id = 0),
+    probes AS (SELECT cid AS cell FROM (
+                 SELECT c.cid,
+                        ROW_NUMBER() OVER (
+                          ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+                                   x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+                 FROM qd q CROSS JOIN cent c) WHERE rn <= 2),
+    dsc AS (
+        SELECT a.vec_id AS doc_id, list_dot_product(q.qv, p.v) AS dot
+        FROM assign a
+        JOIN probes pr ON a.cell = pr.cell
+        JOIN pts p ON p.vec_id = a.vec_id
+        CROSS JOIN qd q
+        WHERE a.vec_id <> 0
+    ),
+    rb AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id ASC) AS r
+        FROM dsc
+    ),
+    fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60 + a.r), 0)
+                     + COALESCE(1.0 / (60 + b.r), 0), 6) AS rrf,
+               a.r AS sparse_rank, b.r AS dense_rank
+        FROM (SELECT * FROM ra WHERE r <= 50) a
+        FULL OUTER JOIN (SELECT * FROM rb WHERE r <= 50) b
+          ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf,
+           CAST(sparse_rank AS BIGINT) AS sparse_rank,
+           CAST(dense_rank AS BIGINT)  AS dense_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 15
+"""
+)
+
+
+@register("l14b_hybrid_fused_retrieval", oracle=_L14B_ORACLE)
+def l14b_hybrid_fused_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14b: the full hybrid-search DAG as ONE graded pipeline
+    (VERDICT r9 #5) — the sparse branch retrieves doc 0's cosine
+    top-50 from the session-cached df-capped TF-IDF posting file
+    (l68's index, doc_cache.sparse_postings), the dense branch
+    retrieves vec 0's dot-product top-50 through the session-cached
+    seeded IVF inverted file (l3k's index, doc_cache.ivf_assign,
+    nprobe=2), and reciprocal-rank fusion (k=60) merges the two
+    shortlists. Where l14 graded the FUSION micro-shape over two
+    inline rankers, this grades the production composition: both
+    branches read the same cached indexes every other retrieval query
+    uses (plan-asserted: two InMemoryTableScans).
+
+    Scale shape: per query the sparse branch touches only the posting
+    lists of the query doc's kept terms and the dense branch only the
+    probed cells (~nprobe/k of the corpus); both shortlists are
+    bounded (50), so fusion is a 100-row full-outer join. All
+    corpus-sized work lives in the cached index builds. Exactness:
+    sparse dots are BIGINT sums of quantized weights; dense dots are
+    sequential float64 folds; RRF is integer-reciprocal arithmetic —
+    every rank and the fused score reproduce bit-wise in DuckDB."""
+    from meepo_spark.functions.vectors import dot as vdot
+    from meepo_spark.functions.vectors import sq_dist
+    from meepo_spark.queries.doc_cache import ivf_assign, sparse_postings
+
+    # --- sparse branch: doc 0 vs the TF-IDF posting file ---
+    w = sparse_postings(spark, sf_dir)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
+    )
+    qpost = w.filter(F.col("doc_id") == 0).select("term", F.col("w").alias("wq"))
+    dots = (
+        w.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qpost), "term")  # bcast: fixed (one doc's postings)
+        .groupBy(F.col("doc_id").alias("c_id"))
+        .agg(F.sum(F.col("wq") * F.col("w")).cast("long").alias("dot"))
+    )
+    qn = norms.filter(F.col("doc_id") == 0).select(F.col("nr").alias("nq"))
+    scos = (
+        dots.crossJoin(F.broadcast(qn))  # bcast: fixed (1-row query norm)
+        .join(norms.select(F.col("doc_id").alias("c_id"), F.col("nr").alias("nc")), "c_id")
+        .select("c_id", (F.col("dot").cast("double") / (F.col("nq") * F.col("nc"))).alias("c"))
+    )
+    # top-50 via TakeOrderedAndProject, then rank over the bounded
+    # 50-row frame (the l14 discipline: an unpartitioned rank window
+    # never gets a WindowGroupLimit)
+    ra = (
+        scos.orderBy(F.col("c").desc(), F.col("c_id").asc())
+        .limit(50)
+        .select(
+            F.col("c_id").alias("doc_id"),
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), F.col("c_id").asc()))
+            .alias("r"),
+        )
+    )
+
+    # --- dense branch: vec 0 through the seeded IVF inverted file ---
+    assign = ivf_assign(spark, sf_dir)
+    cent = assign.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    qd = assign.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probes = (
+        qd.crossJoin(F.broadcast(cent))  # bcast: fixed (16 seed centroids)
+        .select("qv", "cid", sq_dist(F.col("qv"), F.col("cv")).alias("sqd"))
+        .orderBy("sqd", "cid")
+        .limit(2)
+        .select("qv", F.col("cid").alias("cell"))
+    )
+    dsc = (
+        assign.join(F.broadcast(probes), "cell")  # bcast: fixed (nprobe rows)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            vdot(F.col("qv"), F.col("v")).alias("dot"),
+        )
+    )
+    rb = (
+        dsc.orderBy(F.col("dot").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("dot").desc(), F.col("doc_id").asc()))
+            .alias("r"),
+        )
+    )
+
+    fused = (
+        ra.withColumnRenamed("r", "sparse_rank")
+        .join(rb.withColumnRenamed("r", "dense_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("sparse_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("sparse_rank").cast("long").alias("sparse_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(15)

@@ -676,27 +676,17 @@ def l3k_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, which is the entire point of IVF. All floating math is
     sequential float64 folds, bit-matching DuckDB's list functions
     (the l3/l3h convention)."""
-    emb = table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    cent = pts.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-
     from meepo_spark.functions.vectors import dot as vdot
     from meepo_spark.functions.vectors import sq_dist
+    from meepo_spark.queries.doc_cache import ivf_assign
 
-    aw = Window.partitionBy("vec_id").orderBy("sqd", "cid")
-    assign = (
-        pts.crossJoin(F.broadcast(cent))  # bcast: fixed (k centroids)
-        .select("vec_id", "v", "cid", sq_dist(F.col("v"), F.col("cv")).alias("sqd"))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+    # session-cached inverted file (r10): assignment is the one
+    # corpus-sized pass, shared with l14b's dense hybrid branch
+    assign = ivf_assign(spark, sf_dir)
+    cent = assign.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    q = pts.filter(F.col("vec_id").between(30, 39)).select(
+    q = assign.filter(F.col("vec_id").between(30, 39)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     pw = Window.partitionBy("q_id").orderBy("sqd", "cid")
@@ -2019,4 +2009,86 @@ def l68c_pruned_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
         (F.round(F.col("cos") + 1e-9, 6) + 0.0).alias("cos_r"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --- l68d: multi-query BM25 retrieval over the shared index (r10) -------
+
+from meepo_spark.queries._bm25_sql import BM25_IDX_CTES as _BM25_CTES
+
+# (qid, terms): three query shapes — topical (q1), broad (q2), and one
+# leaning on the single selective term in the fixture's vocabulary
+# ('dup', df 25 vs ~380 for everything else), so idf actually ranks
+_L68D_QUERIES = [
+    (1, "query"), (1, "join"), (1, "vector"),
+    (2, "stream"), (2, "data"), (2, "merge"),
+    (3, "dup"), (3, "hash"),
+]
+
+_L68D_ORACLE = (
+    "WITH "
+    + _BM25_CTES
+    + """,
+    qt(qid, term) AS (VALUES """
+    + ", ".join(f"({q}, '{t}')" for q, t in _L68D_QUERIES)
+    + """),
+    scored AS (
+        SELECT CAST(qt.qid AS BIGINT) AS qid, w.doc_id,
+               CAST(SUM(w.w) AS BIGINT) AS score_mu,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM w JOIN qt USING (term)
+        GROUP BY 1, 2
+    )
+    SELECT qid, doc_id, score_mu, n_terms_hit, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT qid, doc_id, score_mu, n_terms_hit,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score_mu DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+)
+
+
+@register("l68d_bm25_multiquery_topk", oracle=_L68D_ORACLE)
+def l68d_bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68d: batched BM25 retrieval — a 3-query batch joined against
+    the session-cached BM25 posting index (doc_cache.bm25_index, the
+    same frame l4n and l14b's lexical branch read — VERDICT r9 #4's
+    'one index, every scorer' shape), scored as exact BIGINT milliunit
+    sums, per-query top-10.
+
+    Scale shape: the query batch is a literal broadcast, so candidate
+    work is O(postings of the queried terms) — never corpus-sized; the
+    per-query top-k is a rank-limited window on qid that the planner
+    runs as a Partial+Final WindowGroupLimit pair (block top-k before
+    the shuffle — plan-asserted in tests/test_plans.py). At 100 TB
+    with a million-query batch the same DAG holds: queries shuffle on
+    term against the posting file instead of broadcasting, and the
+    WindowGroupLimit bound keeps the top-k merge at k rows per
+    query."""
+    from meepo_spark.queries.doc_cache import bm25_index
+
+    qterms = spark.createDataFrame(_L68D_QUERIES, schema="qid LONG, term STRING")
+    w = bm25_index(spark, sf_dir)
+    scored = (
+        w.join(F.broadcast(qterms), "term")  # bcast: fixed (8-row query batch)
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("w").cast("long").alias("score_mu"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.col("score_mu").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "qid",
+            "doc_id",
+            "score_mu",
+            "n_terms_hit",
+            F.row_number().over(win).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
     )

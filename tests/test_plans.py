@@ -303,13 +303,50 @@ def test_g10_pagerank_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_l4n_bm25_broadcasts_stats_and_df(spark):
-    """L4n: BM25's term-df and corpus-stats sides are term-grain /
-    1-row — both must come back as broadcasts so the postings stream
-    is joined map-side."""
+def test_l4n_bm25_reads_cached_index_and_takeorders(spark):
+    """L4n (rewritten r10): the query must read the session-cached BM25
+    posting index — NOT rebuild tokenize->tf->stats per call (the
+    rebuild was the bimodal codegen-churn stage, VERDICT r9 #2) — and
+    its per-query work is filter + one agg + TakeOrderedAndProject.
+    Materialize the cache first so the plan shows the steady-state
+    per-query shape."""
+    from meepo_spark.queries.doc_cache import bm25_index
+
+    bm25_index(spark, SF_DIR).count()  # warm the session cache
     plan = plan_of(QUERIES["l4n_bm25_search"](spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+    # no corpus re-tokenize: the per-query plan must not re-scan the
+    # documents parquet at all
+    assert "documents" not in plan.split("InMemoryRelation")[0]
+
+
+def test_l68d_bm25_multiquery_is_block_topk(spark):
+    """L68d: the per-query top-10 over the BM25 posting join must run
+    as a rank-limited window on qid — a Partial+Final WindowGroupLimit
+    pair, never a global sort of the scored candidates."""
+    plan = plan_of(QUERIES["l68d_bm25_multiquery_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) >= 2, plan[:2000]
+
+
+def test_l14b_hybrid_reuses_both_session_caches(spark):
+    """L14b (VERDICT r9 #5): the hybrid pipeline's two branches must
+    read the session-cached indexes — the TF-IDF posting file
+    (sparse) and the IVF inverted file (dense) — so per-query work is
+    bounded by posting lists + probed cells. With both caches warm,
+    the plan shows >= 2 InMemoryTableScans and NO parquet scan of
+    documents (the corpus passes live in the cached builds;
+    embeddings may appear only through the cached relation's
+    serialized subtree)."""
+    from meepo_spark.queries.doc_cache import ivf_assign, sparse_postings
+
+    sparse_postings(spark, SF_DIR).count()
+    ivf_assign(spark, SF_DIR).count()
+    plan = plan_of(QUERIES["l14b_hybrid_fused_retrieval"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    pre_cache = plan.split("InMemoryRelation")[0]
+    assert "documents.parquet" not in pre_cache
 
 
 def test_j10_band_join_is_hash_not_nested_loop(spark):

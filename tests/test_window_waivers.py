@@ -76,6 +76,7 @@ WAIVER_BOUNDS: dict[str, int] = {
     "g14_triangle_count": 100,        # TakeOrdered(20)
     "g10_pagerank_trade": 700,        # <=25-node nation graph
     "l14_hybrid_retrieval": 100,      # two TakeOrdered(50) shortlists
+    "l14b_hybrid_fused_retrieval": 100,  # two TakeOrdered(50) shortlists
     # round-5:
     "a25_out_of_order_depth": 2000,   # 3 topics x (offset-range + day) buckets
     "l38_temperature_mixture": 10,    # 5-language share frame

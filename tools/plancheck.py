@@ -64,13 +64,15 @@ NESTED_LOOP_WAIVED = {
     "q22_dormant_customers",
     # round-2 scalar/probe broadcasts, bounded by construction:
     "g10_pagerank_trade",  # 1-row dangling-mass aggregate per iteration
-    "l4n_bm25_search",  # 1-row corpus-stats crossJoin(broadcast)
+    "l4n_bm25_search",  # 1-row corpus-stats crossJoin inside the cached index build
+    "l68d_bm25_multiquery_topk",  # same 1-row stats crossJoin (shared bm25 index build)
     "l51_packing_census",  # 1-row truncation-census crossJoin(broadcast)
     "o5_keyset_pagination",  # 1-row page-anchor crossJoin(broadcast)
     "v12_poisson_bootstrap",  # 1-row point-estimate crossJoin(broadcast)
     "l3i_pq_topk",  # 10-query broadcast probe side, same shape as l3
     "l13_dedup_threshold_curve",  # 5-row threshold-grid crossJoin(broadcast)
     "l14_hybrid_retrieval",  # 1-row corpus-stats + 1-row query-vector broadcasts
+    "l14b_hybrid_fused_retrieval",  # 1-row query-norm + nprobe-row probe broadcasts
     "l16_perplexity_filter",  # 1-row LM-total crossJoin(broadcast)
     "l17_epoch_shuffle",  # 3-row epoch-grid crossJoin(broadcast)
     "l18_dedup_signal_agreement",  # 200-id blocked pair generator, same shape as l2c
@@ -186,6 +188,7 @@ WINDOW_WAIVED = {
     "g14_triangle_count",      # rank over the TakeOrdered 20-row frame
     "g10_pagerank_trade",      # rank over the <=25-node nation graph
     "l14_hybrid_retrieval",    # ranks over the two 50-row shortlists
+    "l14b_hybrid_fused_retrieval",  # ranks over the two 50-row shortlists
     # round-5:
     "a25_out_of_order_depth",  # per-topic offsets over offset-range /
                                # calendar-date bucket aggregates
