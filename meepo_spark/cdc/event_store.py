@@ -599,14 +599,12 @@ class TypedTransactionalEventStore(TransactionalEventStore):
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
         )
 
-    def compact_txn(self) -> DataFrame:
-        """Typed compaction: latest non-delete image per (table, pk)
-        KEEPING row_t — written as the max-version superset struct the
-        merged typed log already carries — and the snapshot's manifest
-        records that version so typed_log keeps working after the swap."""
+    def _latest_typed(self) -> tuple[DataFrame, int]:
+        """Latest non-delete image per (table, pk) KEEPING row_t —
+        written as the max-version superset struct the merged typed
+        log already carries. Shared by both compaction layouts."""
         fv = self._file_versions()
         snap_version = max((v for _, v in fv), default=max(self.registry))
-        snap_dir = self._snapshot_dir()
         cols = [f.name for f in self.typed_schema(snap_version).fields]
         payload = [c for c in cols if c != "event_date"]
         latest = (
@@ -632,8 +630,116 @@ class TypedTransactionalEventStore(TransactionalEventStore):
             .withColumn("event_date", F.to_date("ts"))
             .select(*cols)
         )
+        return latest, snap_version
+
+    def compact_txn(self) -> DataFrame:
+        """Typed compaction: latest non-delete image per (table, pk)
+        KEEPING row_t, and the snapshot's manifest records the version
+        so typed_log keeps working after the swap."""
+        latest, snap_version = self._latest_typed()
+        snap_dir = self._snapshot_dir()
         latest.write.mode("overwrite").partitionBy("event_date").parquet(snap_dir)
         self.commits.compact(
             [snap_dir], {"snapshot": snap_dir, "registry_version": snap_version}
         )
         return self.typed_log()
+
+    def compact_txn_clustered(
+        self, target_bytes: int = 256 * 1024 * 1024
+    ) -> tuple[str, int]:
+        """File-grain OPTIMIZE of the typed snapshot (VERDICT r9 task
+        6): the same latest-image merge as `compact_txn`, laid out as
+        ceil(live_bytes / target_bytes) parquet files Morton-ordered
+        on (table, pk) — each output file covers a small rectangle of
+        the (table-rank, pk) space, so the two hot replay access
+        patterns — "rebuild table X" (table equality) and "point/range
+        look-up of a pk" — both skip files on footer min/max stats,
+        and file sizes land at the OPTIMIZE sweet spot regardless of
+        how fragmented the epochs were. Returns (snapshot_dir,
+        n_files).
+
+        Layout keys: the table rank is a DENSE driver-side enumeration
+        (CDC table sets are small and known — the manifest is already
+        driver state); the pk lane prefers the numeric value
+        (try_cast, min/max-bucketed → range predicates prune) and
+        falls back to a hash bucket for non-numeric pks (equality
+        still prunes). The numeric pk is PERSISTED as `pk_num` so
+        readers filter the exact column the layout clustered —
+        consistent with lakehouse OPTIMIZE materializing its
+        clustering key. typed_log reads under the pinned schema and
+        simply ignores the extra column.
+
+        At 100 TB: one bounds aggregate (1 row) + one range-partitioned
+        sort shuffle — the shuffle a compaction rewrite was paying
+        anyway; byte sizing comes from the manifest's live files, not
+        a count heuristic."""
+        import math
+        import os
+
+        from meepo_spark.operators.layout import ZBITS, _bucket, clustered_write
+
+        latest, snap_version = self._latest_typed()
+        live = self.commits._read()["files"]
+        live_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for d in live
+            for root, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        # compaction dedups to latest images — scale the byte estimate
+        # by the survivor ratio (two count aggs; compaction is a rare
+        # maintenance job) so files land near target even when the log
+        # is mostly superseded versions
+        log_rows = self.typed_log().count()
+        latest_rows = latest.count()
+        est = live_bytes * latest_rows / max(log_rows, 1)
+        n_files = max(1, math.ceil(est / target_bytes))
+        tables = sorted(
+            r[0] for r in latest.select("table").distinct().collect()
+        )  # bounded driver state: the CDC table set
+        # dense rank SCALED across the full bucket range — a raw 0..k
+        # rank only occupies log2(k) LOW bits, so the Morton key would
+        # be pk-dominated and table predicates would never skip files;
+        # spreading the k ranks over [0, 2^ZBITS) gives the table dim
+        # high interleave bits too (k never exceeds the 256 buckets in
+        # practice; beyond that ranks share buckets, degrading pruning
+        # for the colliding tables only, never correctness)
+        t_rank = F.lit(0)
+        for i, t in enumerate(tables):
+            scaled = (2 * i + 1) * (2**ZBITS) // (2 * len(tables))
+            t_rank = F.when(F.col("table") == t, F.lit(scaled)).otherwise(t_rank)
+        pk_num = F.col("pk").try_cast("long")
+        with_pk = latest.withColumn(
+            "pk_num",
+            F.coalesce(pk_num, F.pmod(F.xxhash64("pk"), F.lit(2**ZBITS)).cast("long")),
+        )
+        lo, hi = with_pk.agg(F.min("pk_num"), F.max("pk_num")).first()
+        if lo is None:  # empty store: degenerate but valid layout
+            lo, hi = 0, 1
+        snap_dir = self._snapshot_dir()
+        # table rank rides the SECOND interleave lane (whose bit i
+        # lands at position 2i+1 — including the TOP bit), so the file
+        # order is table-major: "rebuild table X" — the dominant
+        # replay pattern — skips on the very first split, while pk
+        # ranges still prune on the alternating bits
+        n_out = clustered_write(
+            with_pk,
+            _bucket(F.col("pk_num"), F.lit(lo), F.lit(hi)),
+            t_rank,
+            snap_dir,
+            n_files,
+        )
+        self.commits.compact(
+            [snap_dir],
+            {
+                "snapshot": snap_dir,
+                "registry_version": snap_version,
+                "layout": {
+                    "zorder": ["table", "pk_num"],
+                    "files": n_out,
+                    "target_bytes": target_bytes,
+                },
+            },
+        )
+        return snap_dir, n_out

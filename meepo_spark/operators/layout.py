@@ -71,6 +71,39 @@ def zorder_write(
     )
 
 
+def clustered_write(
+    df: DataFrame,
+    rank_a: Column,
+    rank_b: Column,
+    out_dir: str,
+    files: int,
+) -> int:
+    """`zorder_write` with CALLER-supplied integer ranks (already in
+    [0, 2^ZBITS)) — for dimensions that aren't plain numeric ranges: a
+    dense rank of an enumerable string key (CDC table names), a hash
+    bucket, a date ordinal. One range-partitioned sort on the Morton
+    key, one file per range — the caller sizes ``files`` from actual
+    bytes / target (the OPTIMIZE size contract). Returns the file
+    count written. ``rank_b``'s bits land at the odd (higher)
+    positions — put the dimension whose predicate should win the
+    first file split there. Morton kernel shared with
+    operators/zorder.py (one implementation to test)."""
+    import os
+
+    from meepo_spark.operators.zorder import interleave_bits
+
+    key = interleave_bits([rank_a, rank_b], bits=ZBITS)
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+
+
 def compact_files(
     spark,
     src_dir: str,

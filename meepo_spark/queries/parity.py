@@ -1295,3 +1295,122 @@ def a28_typed_lane_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(t["source_offset"]).cast("long").alias("n_v2"),
         F.max(t["source_offset"]).cast("long").alias("max_source_offset"),
     )
+
+
+# --- a29: clustered compaction round-trip (round 10, VERDICT r9 #6) ----
+
+_A29_BUILT: dict[str, str] = {}  # abs-sf-hash -> committed snapshot dir
+
+
+def _a29_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-session: a TypedTransactionalEventStore fed the
+    events feed sharded into THREE CDC tables (signup->users,
+    purchase->orders, view/click/error->activity — a multi-table
+    binlog), appended as three epochs, then compacted AT FILE GRAIN
+    with `compact_txn_clustered` (Morton order on (table, pk), file
+    count sized from live bytes / target). Returns the committed
+    snapshot dir. The tmp path is keyed on a hash of the ABSOLUTE
+    fixture dir (the s10 discipline) and rebuilt from scratch on first
+    use per process, so stale artifacts from a killed run can't leak
+    into the grade; bench min-of-N times the cached read path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from meepo_spark.cdc.event_store import TypedTransactionalEventStore
+
+    abs_sf = os.path.abspath(os.path.normpath(sf_dir))
+    key = hashlib.sha1(abs_sf.encode("utf-8")).hexdigest()[:12]
+    if key in _A29_BUILT:
+        return _A29_BUILT[key]
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "meepo_spark_a29",
+        f"{os.path.basename(abs_sf)}-{key}",
+    )
+    shutil.rmtree(dest, ignore_errors=True)
+    tbl = (
+        F.when(F.col("row")["last_event_type"] == "signup", F.lit("users"))
+        .when(F.col("row")["last_event_type"] == "purchase", F.lit("orders"))
+        .otherwise(F.lit("activity"))
+    )
+    # deletes carry a NULL row: recover the table from the action
+    # (error -> delete -> activity is the only deleting type)
+    ch = events_as_changes(spark, sf_dir).withColumn(
+        "table", F.when(F.col("action") == "delete", F.lit("activity")).otherwise(tbl)
+    )
+    store = TypedTransactionalEventStore(spark, dest)
+    for i in range(3):  # three epochs, offset-sharded (deterministic)
+        store.append_epoch(ch.filter(F.col("offset") % 3 == i), i)
+    snap_dir, _ = store.compact_txn_clustered(target_bytes=32 * 1024)
+    _A29_BUILT[key] = snap_dir
+    return snap_dir
+
+
+@register(
+    "a29_clustered_compaction_roundtrip",
+    oracle=f"""
+    WITH ch AS (
+        SELECT event_id AS off, user_id, event_type, value, ts,
+               CASE event_type WHEN 'signup' THEN 'users'
+                               WHEN 'purchase' THEN 'orders'
+                               ELSE 'activity' END AS tbl,
+               CASE event_type WHEN 'signup' THEN 'write'
+                               WHEN 'error' THEN 'delete'
+                               ELSE 'update' END AS action
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY tbl, user_id
+                                     ORDER BY ts DESC, off DESC) AS rn
+        FROM ch
+    ),
+    surv AS (SELECT * FROM ranked WHERE rn = 1 AND action <> 'delete')
+    SELECT tbl,
+           CAST(user_id AS BIGINT)              AS pk_num,
+           event_type                           AS last_event_type,
+           CAST(ROUND(value * 100) AS BIGINT)   AS cents,
+           {_TS}                                AS last_ts,
+           CAST(off AS BIGINT)                  AS offset
+    FROM surv
+    WHERE tbl IN ('orders', 'activity') AND user_id BETWEEN 0 AND 9
+    """,
+)
+def a29_clustered_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 (VERDICT r9 task 6): the FILE-GRAIN clustered compaction
+    graded through the oracle gate — a multi-table CDC feed lands in
+    the typed transactional store over three epochs, is compacted with
+    `compact_txn_clustered` (size-targeted file count, Morton order on
+    (table, pk) with `pk_num` persisted as the clustering column), and
+    the check reads the COMMITTED SNAPSHOT FILES back with exactly the
+    predicates the layout serves — table equality + a pk range — and
+    emits every surviving row image in the slice. The oracle re-derives
+    the same latest-image slice from the raw events table, so the hash
+    match proves the epoch-append -> manifest-commit -> clustered
+    rewrite -> filtered read cycle is lossless: values, timestamps,
+    per-(table, pk) max_by winners, AND delete semantics (an
+    'activity' pk whose last event was an error must be absent).
+
+    Scale shape: the read-back plan pushes both predicates into the
+    parquet scan (PushedFilters on table and pk_num — asserted in
+    tests/test_typed_store.py along with footer-stat pruning and the
+    target-bytes file sizing); at 100 TB the Morton layout means
+    either predicate alone skips most files, where the event_date-
+    partitioned epoch layout could only prune time ranges."""
+    snap = spark.read.parquet(_a29_snapshot(spark, sf_dir))
+    t = F.col("row_t")
+    return (
+        snap.filter(
+            F.col("table").isin("orders", "activity")
+            & F.col("pk_num").between(0, 9)
+        )
+        .select(
+            F.col("table").alias("tbl"),
+            "pk_num",
+            t["last_event_type"].alias("last_event_type"),
+            F.round(t["value"] * 100).cast("long").alias("cents"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("offset").cast("long").alias("offset"),
+        )
+    )

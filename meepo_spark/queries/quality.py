@@ -1194,20 +1194,31 @@ def dq14_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- dq12: Benford first-digit audit (round 9) --------------------------
+# --- dq7: comparative Benford conformance screen (round 10; replaces
+# the round-9 dq12_benford_digit_audit, which near-duplicated dq6 on
+# the same orders column — VERDICT r9 #2. dq7 audits LINEITEM columns
+# dq6 never touches, and audits them AGAINST each other: the detector
+# must fire on the bounded series and stay quiet on the monetary one)
 
 _BENFORD_SQL = """
-    WITH cents AS (
-        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
-        FROM orders WHERE o_totalprice > 0
+    WITH series AS (
+        SELECT 'price' AS series,
+               substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM lineitem WHERE l_extendedprice > 0
+        UNION ALL
+        SELECT 'qty', substr(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), 1, 1)
+        FROM lineitem WHERE l_quantity > 0
     ),
     digits AS (
-        SELECT substr(CAST(c AS VARCHAR), 1, 1) AS digit,
-               CAST(COUNT(*) AS BIGINT) AS n_obs
-        FROM cents GROUP BY 1
+        SELECT series, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM series GROUP BY 1, 2
     ),
-    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM digits)
-    SELECT d.digit, d.n_obs,
+    tot AS (
+        SELECT series, CAST(SUM(n_obs) AS BIGINT) AS nn
+        FROM digits GROUP BY 1
+    )
+    SELECT d.series, d.digit, d.n_obs,
            ROUND(CAST(d.n_obs AS DOUBLE) / t.nn + 1e-9, 6) + 0.0 AS p_obs,
            ROUND(LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)
                     / CAST(d.digit AS BIGINT)) / LN(CAST(10 AS DOUBLE))
@@ -1225,48 +1236,55 @@ _BENFORD_SQL = """
                              / CAST(d.digit AS BIGINT))
                           / LN(CAST(10 AS DOUBLE))))
                + 1e-9, 4) + 0.0 AS chi2_contrib
-    FROM digits d CROSS JOIN tot t
+    FROM digits d JOIN tot t USING (series)
 """
 
 
-@register("dq12_benford_digit_audit", oracle=_BENFORD_SQL)
-def dq12_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ12: Benford's-law first-digit audit on order totals — the
-    forensic data-quality screen for fabricated or truncated monetary
-    data (synthetic injections and unit mix-ups bend the leading-digit
-    curve long before any range check fires): per observed leading
-    digit, the empirical share vs the Benford expectation
-    log10(1 + 1/d) and the chi-square contribution.
+@register("dq7_benford_conformance_contrast", oracle=_BENFORD_SQL)
+def dq7_benford_conformance_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ7: comparative Benford conformance screen on lineitem — the
+    calibration question a lone Benford audit (dq6, orders) can't
+    answer: does the detector actually separate? Two series from ONE
+    scan: `price` (extendedprice cents — organically multiplicative,
+    should conform) and `qty` (quantity, bounded 1..50 — structurally
+    CANNOT conform); per (series, digit) the empirical share vs
+    log10(1 + 1/d) and the chi-square contribution. The qty series'
+    inflated contributions against price's flat ones are the
+    detector's positive/negative control pair.
 
-    Cross-engine exactness: the leading digit comes from the DECIMAL
-    STRING of the exact integer cents (positive BIGINTs render
-    identically on both engines — no float log10-near-power-of-ten
-    edge), and the expectation is the identical ln-ratio double chain
-    (Spark F.log = DuckDB LN, both natural — the base-10 trap from
-    the selfcheck notes avoided by never writing LOG).
+    Cross-engine exactness: leading digits come from DECIMAL STRINGS
+    of exact BIGINTs (no float log10-near-power-of-ten edge), and the
+    expectation is the identical ln-ratio double chain (Spark F.log =
+    DuckDB LN, both natural — never LOG, the base-10 trap).
 
-    Scale shape: one map-side-combined digit census (<= 9 rows at any
-    scale), the 1-row total folded back via broadcast crossJoin; all
-    float work runs on 9 rows."""
-    o = table(spark, sf_dir, "orders")
+    Scale shape: one Expand over the scan (no rescan), one map-side-
+    combined (series, digit) census (<= 18 rows at any corpus size),
+    2-row per-series totals folded back via broadcast; all float work
+    runs on <= 18 rows."""
+    l = table(spark, sf_dir, "lineitem")
     digits = (
-        o.filter(F.col("o_totalprice") > 0)
-        .select(
-            F.substring(
-                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-                1,
-                1,
-            ).alias("digit")
+        l.select(
+            F.expr(
+                "stack(2,"
+                " 'price', CASE WHEN l_extendedprice > 0 THEN"
+                "   substring(CAST(CAST(ROUND(l_extendedprice * 100) AS LONG)"
+                "             AS STRING), 1, 1) END,"
+                " 'qty',   CASE WHEN l_quantity > 0 THEN"
+                "   substring(CAST(CAST(l_quantity AS LONG) AS STRING), 1, 1) END"
+                ") AS (series, digit)"
+            )
         )
-        .groupBy("digit")
+        .filter(F.col("digit").isNotNull())
+        .groupBy("series", "digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
-    tot = digits.agg(F.sum("n_obs").cast("long").alias("nn"))
+    tot = digits.groupBy("series").agg(F.sum("n_obs").cast("long").alias("nn"))
     p_ben = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("long")) / F.log(
         F.lit(10.0)
     )
     exp_n = F.col("nn") * p_ben
-    return digits.crossJoin(F.broadcast(tot)).select(  # bcast: fixed (1-row total)
+    return digits.join(F.broadcast(tot), "series").select(  # bcast: fixed (2 series)
+        "series",
         "digit",
         "n_obs",
         (

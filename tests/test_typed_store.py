@@ -162,3 +162,99 @@ def test_streaming_into_typed_store_end_to_end(spark, tmp_path):
     # checkpoint loss: full redelivery is absorbed by the manifest
     run(str(tmp_path / "ckpt2"))
     assert store.typed_log().count() == total
+
+
+def test_clustered_compaction_layout_and_pruning(spark, tmp_path):
+    """compact_txn_clustered (VERDICT r9 task 6): the file-grain
+    OPTIMIZE pass. Asserts the three contracts a lakehouse OPTIMIZE
+    owes its readers: (1) size targeting — the returned file count
+    matches what landed on disk and collapses to 1 when the target
+    dwarfs the data; (2) Morton clustering — per-file pk_num footer
+    spans are materially tighter than unclustered (sum of spans well
+    under files x global span), and a table-equality probe can skip
+    files on string min/max alone; (3) the read-back plan pushes both
+    layout predicates into the parquet scan."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = (
+        F.when(F.col("row")["last_event_type"] == "signup", F.lit("users"))
+        .when(F.col("row")["last_event_type"] == "purchase", F.lit("orders"))
+        .otherwise(F.lit("activity"))
+    )
+    # respray pk = offset so the latest-image set is ~1000 rows (the
+    # fixture's 15 user pks collapse to ~45 latest images — too few
+    # for a multi-file layout to be judgeable)
+    ch = (
+        events_as_changes(spark, SF_DIR)
+        .withColumn(
+            "table",
+            F.when(F.col("action") == "delete", F.lit("activity")).otherwise(tbl),
+        )
+        .withColumn("pk", F.col("offset").cast("string"))
+    )
+    store = TypedTransactionalEventStore(spark, str(tmp_path / "zs"))
+    assert store.append_epoch(ch.filter(F.col("offset") % 2 == 0), 0)
+    assert store.append_epoch(ch.filter(F.col("offset") % 2 == 1), 1)
+    n_latest = (
+        ch.groupBy("table", "pk")
+        .agg(F.max_by("action", F.struct("ts", "offset")).alias("a"))
+        .filter(F.col("a") != "delete")
+        .count()
+    )
+
+    snap_dir, n_out = store.compact_txn_clustered(target_bytes=4 * 1024)
+    files = sorted(
+        os.path.join(snap_dir, f)
+        for f in os.listdir(snap_dir)
+        if f.endswith(".parquet")
+    )
+    assert len(files) == n_out >= 3, (n_out, files)
+
+    # (1b) a huge target collapses to one file (fresh store — the
+    # manifest swap already dropped the epochs from the first one)
+    store2 = TypedTransactionalEventStore(spark, str(tmp_path / "zs2"))
+    assert store2.append_epoch(ch, 0)
+    _, n_one = store2.compact_txn_clustered(target_bytes=10**9)
+    assert n_one == 1
+
+    # (2) footer stats: pk_num spans per file vs the global span
+    def ranges(col):
+        out = []
+        for f in files:
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            assert los, f"no footer stats for {col} in {f}"
+            out.append((min(los), max(his)))
+        return out
+
+    pk_r = ranges("pk_num")
+    glo = min(a for a, _ in pk_r)
+    ghi = max(b for _, b in pk_r)
+    span_sum = sum(b - a for a, b in pk_r)
+    assert span_sum < 0.7 * len(files) * (ghi - glo), (pk_r, glo, ghi)
+    # table-major layout: a table-equality probe must skip files —
+    # for each table, at least one file's [min, max] excludes it
+    tab_r = ranges("table")
+    for probe in ("activity", "orders", "users"):
+        assert any(b < probe or a > probe for a, b in tab_r), (probe, tab_r)
+
+    # (3) both predicates reach the scan; values survive the layout
+    back = spark.read.parquet(snap_dir)
+    q = back.filter((F.col("table") == "orders") & F.col("pk_num").between(0, 5))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "pk_num" in plan, plan[:1500]
+    assert back.count() == n_latest
+    # manifest records the layout, and typed_log still reads the
+    # snapshot (pk_num ignored under the pinned schema)
+    meta = store.commits._read()["compaction"]
+    assert meta["layout"]["zorder"] == ["table", "pk_num"]
+    assert store.typed_log().count() == n_latest

@@ -100,7 +100,7 @@ NESTED_LOOP_WAIVED = {
     "v28_cuped_adjustment",  # 1-row pooled-theta crossJoin(broadcast)
     "l69_source_kl_drift",  # |sources|-row totals x vocab dense grid +
     # 1-row vocab-size broadcast (bounded: sources are a fixed handful)
-    "dq12_benford_digit_audit",  # 1-row digit-total crossJoin(broadcast)
+    "dq7_benford_conformance_contrast",  # 2-row series-total broadcast join
     "v11_equidepth_histogram",  # per-flag (lo, hi, N) broadcast (5 rows)
     # round-3 additions, bounded-by-construction broadcasts:
     "l22_mixture_sampling",  # 5-row rate table + 1-row totals
