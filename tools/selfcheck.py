@@ -7,6 +7,16 @@ iterating so driver-side CORRECTNESS_r{N}.json holds no surprises.
 
 Usage:  python tools/selfcheck.py [sf_dir] [query ...]
         (default sf_dir: /root/testdata/sf0.01; default: all queries)
+
+``--sample N --seed R`` (VERDICT r9 task 7): check a seeded random
+N-query sample instead of the full surface — the rotating audit the
+close cycle runs at sf0.1, covering the driver gate's blind spot (its
+CORRECTNESS sample has been the same 50 relational names since round
+1, so nothing added after round 5 is ever driver-verified). The seed
+goes into the JSON artifact so the judge can re-draw the exact
+sample; rotate the seed per round (the close convention: seed =
+round number) and the expectation is full-surface coverage every
+ceil(|surface|/N) rounds.
 """
 
 from __future__ import annotations
@@ -57,6 +67,8 @@ def check(
     sf_dir: str,
     names: list[str] | None = None,
     json_path: str | None = None,
+    sample: int | None = None,
+    seed: int | None = None,
 ) -> int:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
@@ -68,6 +80,12 @@ def check(
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = names or sorted(qs)
+    if sample is not None:
+        import random
+
+        rng = random.Random(seed)
+        names = sorted(rng.sample(sorted(names), min(sample, len(names))))
+        print(f"sample: {len(names)} queries, seed={seed}")
     failed: list[str] = []
     report: dict[str, dict] = {}
     for name in names:
@@ -146,6 +164,8 @@ def check(
             "failed": failed,
             "queries": report,
         }
+        if sample is not None:
+            payload["sample"] = {"n": len(names), "seed": seed}
         with open(json_path, "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
@@ -155,14 +175,32 @@ def check(
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    json_path = None
-    if "--json" in args:
-        i = args.index("--json")
+
+    def _opt(flag: str):
+        if flag not in args:
+            return None
+        i = args.index(flag)
         if i + 1 >= len(args):
-            print("usage: selfcheck.py [sf_dir] [names...] --json PATH")
+            print(
+                "usage: selfcheck.py [sf_dir] [names...] [--json PATH] "
+                "[--sample N --seed R]"
+            )
             sys.exit(2)
-        json_path = args[i + 1]
-        args = args[:i] + args[i + 2 :]
+        v = args[i + 1]
+        del args[i : i + 2]
+        return v
+
+    json_path = _opt("--json")
+    sample = _opt("--sample")
+    seed = _opt("--seed")
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     rest = args[1:] if args and os.path.isdir(args[0]) else args
-    sys.exit(check(sf, rest or None, json_path=json_path))
+    sys.exit(
+        check(
+            sf,
+            rest or None,
+            json_path=json_path,
+            sample=int(sample) if sample is not None else None,
+            seed=int(seed) if seed is not None else None,
+        )
+    )
