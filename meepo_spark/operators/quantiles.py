@@ -132,7 +132,7 @@ def _fetch_values(base, pid, keys, key_fields, bucket_rows):
     )
     ph2 = (
         base.withColumn("__b", pid)
-        .join(F.broadcast(hot), [*keys, "__b"])  # bcast: O(|qs|) buckets/group
+        .join(F.broadcast(hot), [*keys, "__b"])  # bcast: fixed (O(|qs|) hot buckets/group, a LOCAL relation)
         .groupBy(*keys, "__b", "__v")
         .agg(F.sum("__w").alias("__c"))
         .toPandas()

@@ -456,10 +456,22 @@ def test_histogram_cdf_quantile_matches_percentile(spark, vals, dup):
             df, ["k"], "v", {"q1": 0.25, "q3": 0.75}
         ).collect()
     }
+    # the weighted path: the SAME call over the value-grain histogram
+    # (groupBy(v).count() as repeat weights) must be indistinguishable
+    # from the expanded multiset — the contract that lets a caller
+    # scan the fact once and run several passes over the histogram
+    hist = df.filter(F.col("v").isNotNull()).groupBy("k", "v").count()
+    got_w = {
+        r["k"]: (r["q1"], r["q3"], r["n"])
+        for r in exact_quantiles_cdf(
+            hist, ["k"], "v", {"q1": 0.25, "q3": 0.75}, weight="count"
+        ).collect()
+    }
     for k in ("a", "b"):
         assert got[k][2] == len(data), (k, got[k])
         assert got[k][0] == pytest.approx(ref[k][0], abs=1e-9), (k, data, ref)
         assert got[k][1] == pytest.approx(ref[k][1], abs=1e-9), (k, data, ref)
+        assert got_w[k] == got[k], (k, got_w[k], got[k])
 
 
 def _quantile_cont(sorted_vals, q):
