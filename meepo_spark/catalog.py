@@ -35,6 +35,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # table name -> sf_dir it was registered+ANALYZEd at (see enable_cbo)
 _CBO_TABLES: dict[str, str] = {}
 
+# (appId, sf_dir, name, cbo?) -> DataFrame — table() memo (opt r10):
+# spark.read.parquet re-reads the footer for schema inference on every
+# call, and a 370-query bench session calls table() thousands of
+# times. DataFrames are immutable plan objects, so handing back the
+# same object is semantics-free; keying on appId drops entries from
+# stopped sessions naturally.
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
+# appId -> sf_dir whose views are CURRENTLY registered (views are
+# global per session, so only the latest registration counts — a
+# different sf_dir must re-register)
+_VIEWS_DONE: dict[str, str] = {}
+
 
 def enable_cbo(spark: SparkSession, sf_dir: str, histograms: bool = False) -> list[str]:
     """Register the fixture parquet files as EXTERNAL catalog tables
@@ -106,6 +119,8 @@ def load_tables(
     """Read every fixture table under ``sf_dir``; optionally register
     each as a temp view (so ``spark.sql`` and the DataFrame API share
     one catalog)."""
+    app_id = spark.sparkContext.applicationId
+    already = _VIEWS_DONE.get(app_id) == sf_dir
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -113,8 +128,13 @@ def load_tables(
             continue
         df = table(spark, sf_dir, name)
         dfs[name] = df
-        if register_views:
+        # registration is idempotent; skip the per-query re-register
+        # once this (app, sf_dir) has its views (optimization r10 —
+        # the sql-family called this on every query)
+        if register_views and not already:
             df.createOrReplaceTempView(name)
+    if register_views:
+        _VIEWS_DONE[app_id] = sf_dir
     return dfs
 
 
@@ -145,6 +165,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver grades queries on ITS session — pin the conventions
     # every oracle comparison depends on, whatever session we're given
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cbo = _CBO_TABLES.get(name) == sf_dir
+    memo_key = (spark.sparkContext.applicationId, sf_dir, name, cbo)
+    hit = _DF_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -155,7 +180,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             # session TZ is pinned UTC above, so this is value-identity
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    if _CBO_TABLES.get(name) == sf_dir:
-        return spark.table(f"cbo.{name}")
-    return spark.read.parquet(path)
+    elif cbo:
+        df = spark.table(f"cbo.{name}")
+    else:
+        df = spark.read.parquet(path)
+    for k in [k for k in _DF_MEMO if k[0] != memo_key[0]]:
+        _DF_MEMO.pop(k)  # entries from stopped sessions
+    _DF_MEMO[memo_key] = df
+    return df

@@ -353,34 +353,43 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers solely responsible for late multi-supplier
     orders (late = shipped >60 days after order date, standing in for
     the missing receipt/commit dates). The EXISTS / NOT-EXISTS pair
-    decorrelates into one per-order aggregate — n_suppliers and
-    n_late_suppliers via conditional countDistinct — instead of two
-    correlated self-joins of the fact; the order-grain aggregate then
-    broadcast-gates the late rows."""
+    decorrelates into one per-order aggregate over the
+    (order, supplier) pair grain.
+
+    Optimization r10: the fact is reduced ONCE to pair grain —
+    groupBy(l_orderkey, l_suppkey) with max(is_late) — and both the
+    per-order census and the late-pair candidate set derive from
+    that single aggregate (the identical subtree is materialized
+    once by AQE exchange reuse). The previous form computed the
+    fact⋈orders join twice and paid a two-countDistinct Expand (2×
+    fact rows through the aggregate); pair-grain count/count_if is
+    Expand-free and equivalent: n_supp = COUNT(*) and n_late_supp =
+    COUNT_IF(is_late) at pair grain ARE the distinct counts, and
+    filter(is_late) at pair grain IS the distinct late pair set."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     s = table(spark, sf_dir, "supplier")
-    lines = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "l_suppkey",
-            "l_orderkey",
-            (
+    pairs = (
+        l.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            maybe_broadcast(o.select("o_orderkey", "o_orderdate")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
                 F.col("l_shipdate")
                 > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).alias("is_late"),
+            ).alias("is_late")
         )
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count_if(F.col("is_late")).alias("n_late_supp"),
     )
     sole_late = (
-        lines.filter("is_late")
+        pairs.filter("is_late")
         .select("l_suppkey", "l_orderkey")
-        .distinct()
         .join(
             per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
             "l_orderkey",

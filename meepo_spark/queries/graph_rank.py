@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from meepo_spark.catalog import table
 from meepo_spark.registry import register
-from meepo_spark.operators.broadcast_gate import maybe_broadcast
 
 _D = 0.85  # damping
 _N = 25.0  # |nation| — fixed at every scale factor (FIXTURES.md)
@@ -79,90 +78,49 @@ def g10_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistributed uniformly) on the customer-nation -> supplier-nation
     trade graph derived from lineitem.
 
-    Scale shape: one fact pass (broadcast customer/supplier key maps,
-    one (src,dst) shuffle) reduces 100 TB to <=625 edge rows; the edge
-    and node frames are cached so the 8 chained iterations read the
-    aggregation once instead of replaying the fact join per iteration
-    (the standard iterative-algorithm posture — same reason GraphX
-    checkpoints). The dangling-mass scalar is folded back via
-    crossJoin(broadcast(1-row agg)) so the whole query stays one DAG —
-    no driver-side collect.
+    Scale shape (optimization r10): one fact pass (broadcast
+    customer/supplier key maps, one (src,dst) shuffle) reduces 100 TB
+    to <=625 edge rows — shared across the whole g-family via the
+    session-cached `operators/trade_graph.trade_edges` frame. The 8-iteration
+    solve then runs as exact driver arithmetic over the collected
+    bounded graph (the operators/quantiles.py two-phase posture:
+    distributed reduction, bounded-state driver solve — previously
+    ~30 scheduled 25-row jobs of pure latency). Ranks are re-rounded
+    HALF_UP to 10dp per iteration exactly as Spark's F.round does
+    (trade_graph.round_half_up), the discipline that already made the
+    DuckDB twin — which sums in ITS own order — hash-match.
     """
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    from meepo_spark.operators.trade_graph import round_half_up, trade_graph_local
 
-    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
-    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
-    edges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    # coalesce(1): the aggregated graph is <=625 rows at ANY scale
-    # factor (map-side combine has already reduced the fact), so the
-    # iteration's joins should run as single-task stages instead of
-    # shuffle_partitions-wide ones — job overhead, not data, dominates
-    # a 25-node solve
-    prob = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .coalesce(1)
-        .cache()  # <=625 rows; read 8x by the iteration below
-    )
-    nodes = (
-        nation.select(F.col("n_nationkey").alias("node"), "n_name")
-        .join(outw.select(F.col("src").alias("node"), F.lit(True).alias("has_out")), "node", "left")
-        .select("node", "n_name", F.coalesce("has_out", F.lit(False)).alias("has_out"))
-        .coalesce(1)
-        .cache()  # 25 rows
-    )
-
-    rank = nodes.select("node", F.lit(1.0 / _N).alias("rank"))
-    for it in range(_ITERS):
-        # truncate lineage every other round: without this the chained
-        # join+crossJoin plan deepens geometrically and Catalyst
-        # analysis dominates wall time (25-row frame — materializing
-        # it is free; same posture as operators/graph.py CC loop).
-        # Every-2 halves the eager jobs while keeping plans shallow.
-        if it % 2 == 0:
-            rank = rank.localCheckpoint(eager=True)
-        dangling = (
-            nodes.join(rank, "node")
-            .agg(F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(F.lit(0.0))).alias("dm"))
-        )
-        contrib = (
-            prob.join(rank.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
-            .withColumnRenamed("dst", "node")
-        )
-        rank = (
-            nodes.select("node")
-            .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))  # bcast: fixed (1-row dangling mass)
-            .select(
-                "node",
-                F.round(
-                    F.lit((1 - _D) / _N)
-                    + _D * (F.col("dm") / _N + F.coalesce(F.col("c"), F.lit(0.0))),
-                    10,
-                ).alias("rank"),
+    edges, nations = trade_graph_local(spark, sf_dir)
+    ow: dict[int, float] = {}
+    for s, d, w in edges:
+        ow[s] = ow.get(s, 0.0) + float(w)
+    prob = [(s, d, float(w) / ow[s]) for s, d, w in edges]
+    keys = [k for k, _ in nations]
+    has_out = set(ow)
+    rank = {k: 1.0 / _N for k in keys}
+    for _ in range(_ITERS):
+        dm = 0.0
+        for k in keys:
+            if k not in has_out:
+                dm += rank[k]
+        contrib: dict[int, float] = {}
+        for s, d, p in prob:
+            contrib[d] = contrib.get(d, 0.0) + p * rank[s]
+        rank = {
+            k: round_half_up(
+                (1 - _D) / _N + _D * (dm / _N + contrib.get(k, 0.0)), 10
             )
-        )
-
-    out = nodes.join(rank, "node").select(
-        "n_name", F.round(F.col("rank") + F.lit(1e-9), 6).alias("pagerank")
-    )
-    pos = W.orderBy(F.col("pagerank").desc(), F.col("n_name").asc())
-    return out.select(
-        "n_name", "pagerank", F.row_number().over(pos).cast("long").alias("pr_pos")
+            for k in keys
+        }
+    out = [
+        (name, round_half_up(rank[k] + 1e-9, 6)) for k, name in nations
+    ]
+    out.sort(key=lambda r: (-r[1], r[0]))
+    rows = [(name, pr, i + 1) for i, (name, pr) in enumerate(out)]
+    return spark.createDataFrame(
+        rows, "n_name string, pagerank double, pr_pos long"
     )
 
 
@@ -351,73 +309,33 @@ def g28_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph family next to g10 (fixed-point scores), g14 (local
     counting) and operators/graph.py (global components).
 
-    Scale shape: g10's exact posture — one fact pass reduces 100 TB
-    to <=625 edge rows (broadcast dim key maps, one (src,dst)
-    shuffle); the argmax prune and all 8 relaxation rounds run on the
-    coalesced 25-row frame with lineage checkpointed every other
-    round; per-round cost is independent of fact size. The oracle
+    Scale shape (optimization r10): the g10 posture — one fact pass
+    reduces 100 TB to <=625 edge rows, shared session-wide via
+    `operators/trade_graph.trade_edges`; the argmax prune and all 8 relaxation
+    rounds are exact integer driver arithmetic over the collected
+    bounded graph (previously ~20 scheduled 25-row jobs). The oracle
     unrolls the same 8 relaxations over a sentinel-999 distance
     column — integer arithmetic end to end, no float discipline
     needed."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    from meepo_spark.operators.trade_graph import trade_graph_local
 
-    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
-    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
-    edges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    rn_w = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
-    prim = (
-        edges.withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
-        .select("src", "dst")
-        .coalesce(1)
-        .cache()  # <=25 rows; read 8x by the relaxation below
-    )
-    dist = nation.select(
-        F.col("n_nationkey").alias("node"),
-        F.when(F.col("n_nationkey") == 0, F.lit(0))
-        .otherwise(F.lit(999))
-        .alias("d"),
-    ).coalesce(1)
-    for it in range(_BFS_ITERS):
-        if it % 2 == 0:  # same lineage posture as g10
-            dist = dist.localCheckpoint(eager=True)
-        inc = (
-            prim.alias("e")
-            .join(dist.alias("x"), F.col("x.node") == F.col("e.src"))
-            .select(F.col("e.dst").alias("node"), (F.col("x.d") + 1).alias("nd"))
-            .groupBy("node")
-            .agg(F.min("nd").alias("nd"))
-        )
-        dist = dist.join(inc, "node", "left").select(
-            "node",
-            F.least(F.col("d"), F.coalesce(F.col("nd"), F.lit(999))).alias("d"),
-        )
-    return dist.join(
-        maybe_broadcast(
-            nation.select(F.col("n_nationkey").alias("node"), "n_name")
-        ),
-        "node",
-    ).select(
-        "n_name",
-        F.when(F.col("d") >= 999, F.lit(None))
-        .otherwise(F.col("d"))
-        .cast("long")
-        .alias("hops"),
-    )
+    edges, nations = trade_graph_local(spark, sf_dir)
+    best: dict[int, tuple[int, int]] = {}  # src -> (-w, dst): max w, tie min dst
+    for s, d, w in edges:
+        cand = (-w, d)
+        if s not in best or cand < best[s]:
+            best[s] = cand
+    prim = {s: dst for s, (_, dst) in best.items()}
+    dist = {k: (0 if k == 0 else 999) for k, _ in nations}
+    for _ in range(_BFS_ITERS):
+        nd: dict[int, int] = {}
+        for s, d2 in prim.items():
+            nd[d2] = min(nd.get(d2, 999), dist[s] + 1)
+        dist = {k: min(dist[k], nd.get(k, 999)) for k in dist}
+    rows = [
+        (name, None if dist[k] >= 999 else dist[k]) for k, name in nations
+    ]
+    return spark.createDataFrame(rows, "n_name string, hops long")
 
 
 # --- g29: label-propagation communities (round 8) -----------------------
@@ -495,76 +413,40 @@ def g29_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     irreproducible by construction — the sync variant is what a
     batch engine ships). Isolated nodes keep their own label.
 
-    Scale shape: the g10 two-phase posture — one fact pass reduces
-    100 TB to a <=625-row symmetrized edge list (two broadcast dim
-    joins + one groupBy), then 4 rounds of join + weighted-mode
-    argmax (the l3l struct-min, no sort) on the bounded graph with
-    localCheckpoint lineage cuts. Per-round cost is fact-independent.
-    Integer weights end to end: hash-exact, no float discipline."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    Scale shape (optimization r10): the g10 two-phase posture — one
+    fact pass reduces 100 TB to the <=625-row edge list, shared
+    session-wide via `operators/trade_graph.trade_edges`; the symmetrization
+    and all 4 synchronous rounds of weighted-mode argmax are exact
+    integer driver arithmetic over the collected bounded graph
+    (previously ~16 scheduled 25-row jobs). Integer weights end to
+    end: hash-exact, no float discipline."""
+    from meepo_spark.operators.trade_graph import trade_graph_local
 
-    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
-    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
-    dedges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
-    und = (
-        dedges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
-        .unionByName(
-            dedges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
-        )
-        .groupBy("u", "v")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .coalesce(1)
-        .cache()  # <=600 rows at any SF; read once per round
-    )
-    nodes = (
-        nation.select(F.col("n_nationkey").alias("node"), "n_name")
-        .coalesce(1)
-        .cache()  # 25 rows
-    )
-    lab = nodes.select("node", F.col("node").alias("lab"))
+    edges, nations = trade_graph_local(spark, sf_dir)
+    und: dict[tuple[int, int], int] = {}
+    for s, d, w in edges:
+        if s != d:
+            und[(s, d)] = und.get((s, d), 0) + w
+            und[(d, s)] = und.get((d, s), 0) + w
+    lab = {k: k for k, _ in nations}
     for _ in range(_LPA_ITERS):
-        lab = lab.localCheckpoint(eager=True)  # 25 rows; shallow plans
-        nb = (
-            und.join(lab.select(F.col("node").alias("v"), "lab"), "v")
-            .groupBy("u", "lab")
-            .agg(F.sum("w").alias("ws"))
-        )
-        best = (
-            nb.groupBy("u")
-            .agg(
-                F.min(
-                    F.struct((-F.col("ws")).alias("nws"), F.col("lab").alias("lab"))
-                ).alias("b")
-            )
-            .select(F.col("u").alias("node"), F.col("b.lab").alias("new_lab"))
-        )
-        lab = lab.join(best, "node", "left").select(
-            "node", F.coalesce("new_lab", "lab").alias("lab")
-        )
-    return (
-        lab.join(nodes, "node")
-        .groupBy(F.col("lab").cast("long").alias("community"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
-                "members"
-            ),
-        )
+        ws: dict[int, dict[int, int]] = {}
+        for (u, v), w in und.items():
+            ws.setdefault(u, {})[lab[v]] = ws.get(u, {}).get(lab[v], 0) + w
+        new_lab = dict(lab)
+        for u, by_lab in ws.items():
+            # max total weight, ties broken on the smaller label
+            new_lab[u] = min(by_lab, key=lambda lb: (-by_lab[lb], lb))
+        lab = new_lab
+    comm: dict[int, list[str]] = {}
+    for k, name in nations:
+        comm.setdefault(lab[k], []).append(name)
+    rows = [
+        (lb, len(members), ",".join(sorted(members)))
+        for lb, members in sorted(comm.items())
+    ]
+    return spark.createDataFrame(
+        rows, "community long, n_members long, members string"
     )
 
 
@@ -630,65 +512,37 @@ def g30_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside 5 rounds, and a fixpoint is stable under extra rounds by
     construction).
 
-    Scale shape: the g10 two-phase posture — fact reduced once to the
-    <=625-row edge list; each peel round is one join + integer degree
-    count on the bounded graph with localCheckpoint lineage cuts."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    Scale shape (optimization r10): the g10 two-phase posture — fact
+    reduced once to the <=625-row edge list, shared session-wide via
+    `operators/trade_graph.trade_edges`; the strong-edge threshold and all 5
+    peel rounds are exact integer driver arithmetic over the
+    collected bounded graph (previously ~18 scheduled 25-row jobs)."""
+    from meepo_spark.operators.trade_graph import trade_graph_local
 
-    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
-    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
-    dedges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
-    und = (
-        dedges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
-        .unionByName(
-            dedges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
-        )
-        .groupBy("u", "v")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .coalesce(1)
-        .cache()  # <=600 rows at any SF
-    )
-    mx = und.agg(F.max("w").alias("mw"))
-    se = (
-        und.crossJoin(F.broadcast(mx))  # bcast: fixed (1-row max weight)
-        .filter(F.col("w") * 2 >= F.col("mw"))
-        .select("u", "v")
-        .coalesce(1)
-        .cache()
-    )
-    act = se.select(F.col("u").alias("node")).distinct()
+    edges, nations = trade_graph_local(spark, sf_dir)
+    names = dict(nations)
+    und: dict[tuple[int, int], int] = {}
+    for s, d, w in edges:
+        if s != d:
+            und[(s, d)] = und.get((s, d), 0) + w
+            und[(d, s)] = und.get((d, s), 0) + w
+    mw = max(und.values(), default=0)
+    se = [(u, v) for (u, v), w in und.items() if w * 2 >= mw]
 
-    def degrees(active):
-        return (
-            se.join(active.select(F.col("node").alias("u")), "u")
-            .join(active.select(F.col("node").alias("v")), "v")
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
+    def degrees(active: set[int]) -> dict[int, int]:
+        deg: dict[int, int] = {}
+        for u, v in se:
+            if u in active and v in active:
+                deg[u] = deg.get(u, 0) + 1
+        return deg
 
+    act = {u for u, _ in se}
     for _ in range(_KCORE_ROUNDS):
-        act = act.localCheckpoint(eager=True)  # <=25 rows; shallow plans
-        act = degrees(act).filter(F.col("d") >= _KCORE_K).select("node")
-    degf = degrees(act).withColumnRenamed("d", "core_degree")
-    nds = nation.select(F.col("n_nationkey").alias("node"), "n_name")
-    return degf.join(nds, "node").select(
-        F.col("node").cast("long").alias("node"), "n_name", "core_degree"
-    )
+        act = {u for u, d in degrees(act).items() if d >= _KCORE_K}
+    rows = [
+        (node, names[node], d) for node, d in sorted(degrees(act).items())
+    ]
+    return spark.createDataFrame(rows, "node long, n_name string, core_degree long")
 
 
 # --- g31: degree assortativity (round 8) --------------------------------
@@ -736,60 +590,28 @@ def g31_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomials: (m*Sxy - Sx^2) / (m*Sxx - Sx^2) — bit-identical on
     both engines before the 4dp round.
 
-    Scale shape: the g10 two-phase posture — fact to <=625 edges once;
-    degrees and sums are two tiny aggregates + one broadcast join."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
+    Scale shape (optimization r10): the g10 two-phase posture — fact
+    to <=625 edges once, shared session-wide via
+    `operators/trade_graph.trade_edges`; degrees and the four edge sums are
+    exact integer driver arithmetic over the collected bounded
+    graph."""
+    from meepo_spark.operators.trade_graph import trade_graph_local
 
-    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
-    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
-    dedges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
-    und = (
-        dedges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
-        .unionByName(
-            dedges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
-        )
-        .groupBy("u", "v")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .coalesce(1)
-        .cache()
-    )
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    )
-    ed = (
-        und.join(
-            F.broadcast(  # bcast: fixed (25 rows)
-                deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
-            ),
-            "u",
-        )
-        .join(
-            F.broadcast(  # bcast: fixed (25 rows)
-                deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
-            ),
-            "v",
-        )
-        .select("dx", "dy")
-    )
-    s = ed.agg(
-        F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum("dx").cast("long").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    edges, _nations = trade_graph_local(spark, sf_dir)
+    und: dict[tuple[int, int], int] = {}
+    for s_, d_, w_ in edges:
+        if s_ != d_:
+            und[(s_, d_)] = und.get((s_, d_), 0) + w_
+            und[(d_, s_)] = und.get((d_, s_), 0) + w_
+    deg: dict[int, int] = {}
+    for u, _v in und:
+        deg[u] = deg.get(u, 0) + 1
+    m = len(und)
+    sx = sum(deg[u] for u, _v in und)
+    sxx = sum(deg[u] * deg[u] for u, _v in und)
+    sxy = sum(deg[u] * deg[v] for u, v in und)
+    s = spark.createDataFrame(
+        [(m, sx, sxx, sxy)], "m long, sx long, sxx long, sxy long"
     )
     return s.select(
         "m",
@@ -855,63 +677,31 @@ def g32_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     under supply-chain questions like 'how many trade steps separate
     X from Y'.
 
-    Scale shape: the g10 posture — one fact pass reduces 100 TB to a
-    <=625-row distinct edge list (broadcast dim key maps + one
-    (src,dst) shuffle), cached once; each of the 8 frontier
-    expansions joins the 25-row distance frame against the cached
-    edges (per-iteration cost independent of fact size), with
-    lineage cut every other round. Hops are exact integers — no float
-    discipline needed anywhere."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    Scale shape (optimization r10): the g10 posture — one fact pass
+    reduces 100 TB to a <=625-row edge list, shared session-wide via
+    `operators/trade_graph.trade_edges`; the 8 frontier expansions are exact
+    integer driver arithmetic over the collected bounded graph
+    (previously ~20 scheduled 25-row jobs). Hops are exact integers —
+    no float discipline needed anywhere."""
+    from meepo_spark.operators.trade_graph import trade_graph_local
 
-    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
-    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
-    edges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("src", "dst")
-        .distinct()
-        .coalesce(1)
-        .cache()  # <=625 distinct edges at ANY scale; read 8x below
-    )
-    dist = nation.select(
-        F.col("n_nationkey").alias("node"),
-        F.when(F.col("n_nationkey") == 0, F.lit(0)).alias("hop"),
-    )
+    edges, nations = trade_graph_local(spark, sf_dir)
+    adj: dict[int, set[int]] = {}
+    for s, d, _w in edges:
+        adj.setdefault(s, set()).add(d)
+    hop: dict[int, int] = {0: 0}
+    frontier = [0]
     for it in range(1, _BFS_CAP + 1):
-        if it % 2 == 1:
-            dist = dist.localCheckpoint(eager=True)
-        frontier = dist.filter(F.col("hop") == it - 1).select(
-            F.col("node").alias("src")
+        nxt = sorted(
+            {d for s in frontier for d in adj.get(s, ()) if d not in hop}
         )
-        reached = (
-            frontier.join(edges, "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .withColumn("hop_new", F.lit(it))
-        )
-        dist = (
-            dist.join(reached, "node", "left")
-            .select("node", F.coalesce("hop", "hop_new").alias("hop"))
-        )
-    return (
-        nation.select(F.col("n_nationkey").alias("node"), "n_name")
-        .join(dist, "node", "left")
-        .select(
-            "n_name",
-            F.col("hop").cast("long").alias("hops"),
-            F.col("hop").isNotNull().alias("reachable"),
-        )
-    )
+        for d in nxt:
+            hop[d] = it
+        frontier = nxt
+    rows = [
+        (name, hop.get(k), k in hop) for k, name in nations
+    ]
+    return spark.createDataFrame(rows, "n_name string, hops long, reachable boolean")
 
 
 # --- g33: harmonic centrality via multi-source BFS (round 9) -----------
@@ -966,73 +756,43 @@ def g33_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines (with DuckDB's FLOOR->DOUBLE cast
     trap handled).
 
-    Scale shape: the g10/g32 posture — fact reduced once to <=625
-    distinct edges (cached); the iterated state is <= |nations|^2
-    rows regardless of corpus size; per-iteration cost is
-    fact-independent; lineage cut every other round."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    Scale shape (optimization r10): the g10/g32 posture — fact
+    reduced once to <=625 distinct edges, shared session-wide via
+    `operators/trade_graph.trade_edges`; all 25 single-source BFS runs are
+    exact integer driver arithmetic over the collected bounded graph
+    (previously ~25 scheduled jobs over a (root, node)-keyed frame).
+    840 = lcm(1..8), so 840/d is an exact integer for every hop —
+    the hsum stays integer-exact as before."""
+    from meepo_spark.operators.trade_graph import round_half_up, trade_graph_local
 
-    cust_key = customer.select("c_custkey", F.col("c_nationkey").alias("src"))
-    supp_key = supplier.select("s_suppkey", F.col("s_nationkey").alias("dst"))
-    edges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    edges, nations = trade_graph_local(spark, sf_dir)
+    adj: dict[int, set[int]] = {}
+    for s, d, _w in edges:
+        adj.setdefault(s, set()).add(d)
+    n_reached: dict[int, int] = {}
+    hsum: dict[int, int] = {}
+    for root, _name in nations:
+        hop = {root: 0}
+        frontier = [root]
+        for it in range(1, _BFS_CAP + 1):
+            nxt = [
+                d for s in frontier for d in adj.get(s, ()) if d not in hop
+            ]
+            frontier = sorted(set(nxt))
+            for d in frontier:
+                hop[d] = it
+        for node, h in hop.items():
+            if h >= 1:
+                n_reached[node] = n_reached.get(node, 0) + 1
+                hsum[node] = hsum.get(node, 0) + 840 // h
+    rows = [
+        (
+            name,
+            n_reached.get(k, 0),
+            round_half_up(hsum.get(k, 0) / 840.0 + 1e-9, 6) + 0.0,
         )
-        .join(maybe_broadcast(cust_key), F.col("o_custkey") == F.col("c_custkey"))
-        .join(maybe_broadcast(supp_key), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
-        .distinct()
-        .coalesce(1)
-        .cache()  # <=625 distinct edges; read 8x below
-    )
-    dist = nation.select(
-        F.col("n_nationkey").alias("root"),
-        F.col("n_nationkey").alias("node"),
-        F.lit(0).alias("hop"),
-    )
-    for it in range(1, _BFS_CAP + 1):
-        if it % 2 == 1:
-            dist = dist.localCheckpoint(eager=True)
-        frontier = dist.filter(F.col("hop") == it - 1).select("root", "node")
-        new = (
-            frontier.join(edges, frontier["node"] == edges["esrc"])
-            .select("root", F.col("edst").alias("node"))
-            .distinct()
-        )
-        additions = new.join(dist, ["root", "node"], "left_anti").withColumn(
-            "hop", F.lit(it)
-        )
-        dist = dist.unionAll(additions)
-    cent = (
-        dist.filter(F.col("hop") >= 1)
-        .groupBy("node")
-        .agg(
-            F.count(F.lit(1)).alias("n_reached"),
-            F.sum(F.floor(F.lit(840) / F.col("hop")).cast("long"))
-            .cast("long")
-            .alias("hsum"),
-        )
-    )
-    return (
-        nation.select(F.col("n_nationkey").alias("node"), "n_name")
-        .join(cent, "node", "left")
-        .select(
-            "n_name",
-            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
-            (
-                F.round(
-                    F.coalesce(F.col("hsum").cast("double"), F.lit(0.0))
-                    / F.lit(840.0)
-                    + 1e-9,
-                    6,
-                )
-                + 0.0
-            ).alias("harmonic"),
-        )
+        for k, name in nations
+    ]
+    return spark.createDataFrame(
+        rows, "n_name string, n_reached long, harmonic double"
     )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meepo_spark.catalog import table
+from meepo_spark.catalog import spread, table
 from meepo_spark.operators.broadcast_gate import maybe_broadcast
 from meepo_spark.operators.dedup import (
     exact_jaccard,
@@ -56,6 +56,34 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_CACHE = SessionFrameCache(max_per_app=3)
+
+# (optimization r10) l2c and l13 each computed the IDENTICAL scored
+# frame — length-bucket blocked pairs over the doc_id < 2000 sample,
+# exact 3-shingle hash Jaccard — one pair join + verify per query.
+# Cache the RAW scored pairs once (pre-round, pre-threshold); l2c
+# filters >= 0.5 and rounds, l13 sweeps its 5-threshold grid.
+_BLOCKED_JACCARD_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _build_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    blocked = d.select(
+        "doc_id", F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket")
+    )
+    a = blocked.select(F.col("doc_id").alias("id_a"), F.col("len_bucket").alias("lb_a"))
+    b = blocked.select(F.col("doc_id").alias("id_b"), F.col("len_bucket").alias("lb_b"))
+    pairs = a.join(
+        b, (F.col("lb_a") == F.col("lb_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return exact_jaccard(
+        pairs, d, "text", "doc_id", set_builder=lambda c: shingle_hash_set(c, 3)
+    ).select("id_a", "id_b", "jaccard")
+
+
+def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, jaccard): the l2c/l13 length-blocked exact-Jaccard
+    scored pair frame (doc_id < 2000 sample, UNfiltered scores)."""
+    return _BLOCKED_JACCARD_CACHE.get(spark, sf_dir, _build_blocked_jaccard)
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,18 +212,11 @@ def l2c_ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic non-probabilistic complement to MinHash: finds
     same-bucket near-dups only, but with zero hash machinery. Bounded
     to a 2000-doc sample so cost is constant at any corpus scale (the
-    unbounded scale path is MinHash-LSH, l2_minhash_lsh_pairs)."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    blocked = d.select(
-        "doc_id", F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket")
-    )
-    a = blocked.select(F.col("doc_id").alias("id_a"), F.col("len_bucket").alias("lb_a"))
-    b = blocked.select(F.col("doc_id").alias("id_b"), F.col("len_bucket").alias("lb_b"))
-    pairs = a.join(
-        b, (F.col("lb_a") == F.col("lb_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
+    unbounded scale path is MinHash-LSH, l2_minhash_lsh_pairs).
+    Scored pairs come from the session-cached `blocked_jaccard_pairs`
+    frame shared with l13's threshold sweep (optimization r10)."""
     return (
-        exact_jaccard(pairs, d, "text", "doc_id", set_builder=lambda c: shingle_hash_set(c, 3))
+        blocked_jaccard_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -539,21 +560,12 @@ def l13_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Thresholds are exact decimal literals on both engines and the
     Jaccard is an identical integer-ratio double, so the >= cut is
-    bit-deterministic."""
-    from meepo_spark.operators.dedup import exact_jaccard, shingle_hash_set
-
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    blocked = d.select(
-        "doc_id", F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket")
+    bit-deterministic. Scored pairs come from the session-cached
+    `blocked_jaccard_pairs` frame shared with l2c (optimization
+    r10)."""
+    scored = blocked_jaccard_pairs(spark, sf_dir).select(
+        F.col("jaccard").alias("j"), "id_b"
     )
-    a = blocked.select(F.col("doc_id").alias("id_a"), F.col("len_bucket").alias("lb_a"))
-    b = blocked.select(F.col("doc_id").alias("id_b"), F.col("len_bucket").alias("lb_b"))
-    pairs = a.join(
-        b, (F.col("lb_a") == F.col("lb_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
-    scored = exact_jaccard(
-        pairs, d, "text", "doc_id", set_builder=lambda c: shingle_hash_set(c, 3)
-    ).select(F.col("jaccard").alias("j"), "id_b")
     th = spark.range(5).select((0.5 + F.col("id") * 0.1).alias("thr"))
     return (
         scored.join(F.broadcast(th), F.lit(True), "right")  # bcast: fixed (threshold grid)
@@ -820,12 +832,23 @@ def l37_minhash_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutations (min over an empty half = the other half's value via
     null-skipping min), min-merges, and counts docs whose merged
     signature equals the directly-computed one — which must be ALL
-    of them, exactly, not approximately."""
-    from meepo_spark.operators.dedup import hashed_shingles, minhash_signatures
+    of them, exactly, not approximately.
+
+    Optimization r10: both signature passes still fold their mins
+    INDEPENDENTLY (whole-set vs per-half + merge — that independence
+    IS the graded property, so neither derives from the other); what
+    went away is only the duplicated corpus tokenize+shingle+hash
+    scan, now read from the session-cached `shingled_docs` frame
+    (its sorted-distinct xxhash64 shingle sets are exactly
+    `hashed_shingles`' value multiset; min-aggregation is
+    order-insensitive)."""
+    from meepo_spark.operators.dedup import minhash_signatures
+    from meepo_spark.queries.doc_cache import shingled_docs
 
     NH = 24
-    d = table(spark, sf_dir, "documents")
-    sh = hashed_shingles(d, "text", "doc_id", 3)
+    sh = shingled_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.explode("sh").alias("shingle")
+    )
     direct = minhash_signatures(sh, NH)
     halves = minhash_signatures(
         sh.withColumn("half", F.pmod(F.col("shingle"), F.lit(2)))
@@ -1167,10 +1190,18 @@ def l48_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("k_chars"),
     )
     lev = F.levenshtein("text", "k_text")
-    return (
+    # spread before the O(n·m) Levenshtein kernel (optimization r10):
+    # the dup-pair frame otherwise inherits the documents scan's
+    # single partition (one small parquet file = one split), which
+    # serializes the DP on one core — the operators/dedup spread()
+    # rationale applied here
+    joined = spread(
         d.join(canon, "fp")
         .filter(F.col("doc_id") != F.col("canonical_doc"))
         .join(k, "canonical_doc")
+    )
+    return (
+        joined
         .select(
             "canonical_doc",
             "doc_id",

@@ -772,27 +772,23 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     held 0.4-0.9 s; the BENCH_history 2.7-4.7 s band — the '1.01 s'
     readings in that history are sf<=0.01 probe rows, not sf0.1
     swings), and at 100 TB a domain-sized single-task map merge is an
-    OOM, not a plan. Instead: one Expand melts the 3 measures, a hash
-    aggregate collapses to the (measure, value) domain — bounded by
-    the VALUE DOMAIN, never rows — and the quantile_cont rank
-    interpolation reads the two straddling values off a
-    bucketed_prefix_sum CDF (every wide stage parallel across 1024
-    value buckets, the g11/v13 discipline). Fences broadcast back (3
-    rows) and outliers are counted off the HISTOGRAM (round 9): the
-    fence predicate is constant within a value bin, so summing bin
-    counts outside the fences is exact and the counting branch shares
-    the CDF branch's (col, v) partial aggregate via ReusedExchange —
-    the old full second melt+scan for the count is gone. The one
-    residual extra fact pass is Catalyst's own RemoveRedundantAggs
-    collapsing the bucket-range min/max onto the scan (map-only, 3
-    columns, no shuffle — asserted with the reuse contract in
-    tests/test_plans.py). Measured r8: same
-    wall as the percentile plan at sf0.1 with the run-to-run band
-    tightened ~1.5x; r9's single-scan rework cut ~1s more. Every
-    stage domain- or bucket-bounded at 100x. ROUND before every
-    double->BIGINT cast on BOTH sides (bare casts truncate in Spark
-    but round in DuckDB — the dq6 trap)."""
-    from meepo_spark.operators.enumeration import bucketed_prefix_sum
+    OOM, not a plan. Shape (optimization r10): one Expand melts the 3
+    measures, ONE hash aggregate collapses to the (measure, value)
+    domain — bounded by the VALUE DOMAIN, never rows — and is
+    localCheckpoint-materialized; the exact quartiles come from
+    `operators/quantiles.py` (weight=c) in two bounded passes over
+    the checkpointed histogram plus exact driver arithmetic
+    (bit-identical to quantile_cont by the helper's property tests);
+    fences broadcast back (3 rows) and outliers are counted off the
+    same histogram (the fence predicate is constant within a value
+    bin, so summing bin counts outside the fences is exact). The r9
+    in-Spark CDF tail (bucketed prefix sums + interp joins) was a
+    ~12-job DAG whose scheduling latency exceeded the census cost at
+    every SF — the same finding that motivated the helper's driver
+    locate. ROUND before every double->BIGINT cast on BOTH sides
+    (bare casts truncate in Spark but round in DuckDB — the dq6
+    trap)."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf
 
     li = table(spark, sf_dir, "lineitem")
     melted = li.select(
@@ -804,54 +800,29 @@ def dq10_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (col, v)"
         )
     )
-    hist = melted.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
-    rng = hist.groupBy("col").agg(
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-        F.sum("c").cast("long").alias("n"),
+    # ONE fact pass builds the (col, v) value histogram — bounded by
+    # the VALUE DOMAIN, never rows — materialized via localCheckpoint
+    # so the quartile passes and the fence count all read it instead
+    # of re-scanning the fact (optimization r10: the r9 shape's
+    # in-Spark CDF tail — bucketed prefix sums + interp joins — was a
+    # ~12-job DAG whose latency exceeded the census at any SF; the
+    # generalized operators/quantiles.py helper with weight=c now
+    # computes quantile_cont in two bounded passes over the
+    # checkpointed histogram and exact driver arithmetic,
+    # bit-identical by the helper's F.percentile property tests)
+    hist = (
+        melted.groupBy("col", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    h2 = hist.join(F.broadcast(rng), "col")  # bcast: fixed (3 rows)
-    width = (F.col("hi") - F.col("lo")) / 1024 + F.lit(1e-12)
-    pid = F.least(F.floor((F.col("v") - F.col("lo")) / width), F.lit(1023))
-    cum = bucketed_prefix_sum(
-        h2, pid, [F.col("v")], {"cum": "c"}, part_cols=["col"]
-    )
-    # quantile_cont at q: pos = (n-1)*q; the value at 0-indexed rank k
-    # is the histogram row whose CDF interval [cum-c, cum) covers k
-    pos25 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.25)
-    pos75 = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(0.75)
-    tagged = cum.select(
-        "col",
-        "n",
-        F.col("v").cast("double").alias("x"),
-        pos25.alias("p25"),
-        pos75.alias("p75"),
-        (F.col("cum") - F.col("c")).alias("lo_r"),
-        F.col("cum").alias("hi_r"),
-    )
-
-    def x_at(k):
-        return F.max(
-            F.when((F.col("lo_r") <= k) & (k < F.col("hi_r")), F.col("x"))
-        )
-
-    def interp(p: str):
-        frac = F.max(p) - F.floor(F.max(p))
-        return x_at(F.floor(p)) + frac * (x_at(F.ceil(p)) - x_at(F.floor(p)))
-
-    quart = tagged.groupBy("col").agg(
-        F.max("n").alias("n"),
-        interp("p25").alias("q1"),
-        interp("p75").alias("q3"),
+    quart = exact_quantiles_cdf(
+        hist, ["col"], "v", {"q1": 0.25, "q3": 0.75}, weight="c"
     )
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
     # count outliers off the HISTOGRAM, not a second fact scan: the
     # fence test is constant inside a value bin, so SUM(c) over
-    # out-of-fence bins equals the row count exactly — and since this
-    # branch's (col, v) partial aggregate is the identical subtree the
-    # CDF branch shuffles, AQE serves it from a ReusedExchange
-    # (asserted in tests/test_plans.py)
+    # out-of-fence bins equals the row count exactly
     fenced = hist.join(F.broadcast(quart), "col")  # bcast: fixed (3 rows)
     return fenced.groupBy("col").agg(
         F.max("n").alias("n"),

@@ -1357,39 +1357,48 @@ def g27_approx_percentile_tolerance(spark: SparkSession, sf_dir: str) -> DataFra
     v4 integer-cents discipline). GK is deterministic (no RNG), so
     the booleans are stable run to run.
 
-    Scale shape: ONE aggregation pass computes sketch + exact + count
-    together (no distinct → no Expand, unlike the g3 trap); the GK
-    sketch partial-aggregates map-side at O(1/ε · log εn) per
-    partition — at 100 TB the exact columns drop and the sketch IS
-    the answer; this query exists to hash-pin the sketch against the
-    exact value map while both fit."""
+    Scale shape (optimization r10): the GK sketch + count is ONE
+    aggregation pass (map-side partial at O(1/ε · log εn)); the
+    exact probe values now come from `operators/quantiles.py`'s
+    two-phase bucket-refined census instead of `F.percentile` — the
+    per-task value→count map whose single-reducer merge the repo's
+    own dq10 analysis calls an OOM at 100 TB on near-unique cents
+    (VERDICT r9 #3's last surviving instance). The helper bit-matches
+    F.percentile (property-tested), so the hash-pinned exact columns
+    and in-band booleans are unchanged; the ≤|flags|-row exact frame
+    broadcast-joins the sketch aggregate."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf
+
     li = table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     base = li.select("l_returnflag", cents.alias("cents"))
     qs = [0.50, 0.95, 0.99]
     eps = 0.005
     probe = [x for q in qs for x in (q, q - eps, q + eps)]
+    ex = exact_quantiles_cdf(
+        base,
+        ["l_returnflag"],
+        "cents",
+        {f"ex{i}": p for i, p in enumerate(probe)},
+    ).drop("n")
     agg = base.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(
             "cents", F.array(*[F.lit(q) for q in qs]), F.lit(10000)
         ).alias("apx"),
-        F.percentile("cents", F.array(*[F.lit(p) for p in probe])).alias(
-            "ex"
-        ),
-    )
+    ).join(F.broadcast(ex), "l_returnflag")  # bcast: fixed (<=|flags| rows)
     cols = [F.col("l_returnflag"), F.col("n")]
     for i, q in enumerate(qs):
         tag = f"p{int(q * 100)}"
         cols.append(
-            F.round(F.col("ex")[3 * i] / 100.0, 2).alias(f"{tag}_exact")
+            F.round(F.col(f"ex{3 * i}") / 100.0, 2).alias(f"{tag}_exact")
         )
     for i, q in enumerate(qs):
         tag = f"p{int(q * 100)}"
         cols.append(
             (
-                (F.col("apx")[i] >= F.col("ex")[3 * i + 1])
-                & (F.col("apx")[i] <= F.col("ex")[3 * i + 2])
+                (F.col("apx")[i] >= F.col(f"ex{3 * i + 1}"))
+                & (F.col("apx")[i] <= F.col(f"ex{3 * i + 2}"))
             ).alias(f"{tag}_in_band")
         )
     return agg.select(*cols).orderBy("l_returnflag")

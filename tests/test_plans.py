@@ -115,25 +115,29 @@ def test_llm_kernels_use_arrow_not_row_python(spark, name):
 
 
 def test_basket_pairs_generate_pairs_without_a_join(spark):
-    """m1_basket_pairs' scale claim, plan-verified: pair generation is
-    an explode over per-order basket arrays (Generate), NOT a
-    self-join — no SortMergeJoin anywhere in the plan, the only
-    BroadcastHashJoins are the tiny lift-enrichment dims, and the one
-    basket shuffle on l_orderkey is materialized ONCE and reused by
-    the totals branch (ReusedExchange in the final adaptive plan). A
-    self-join formulation would shuffle and dedup the fact table once
-    per side; this shape pays one keyed shuffle and expands pairs
-    map-side."""
+    """m1_basket_pairs' scale claim, plan-verified (r10 form): pair
+    generation is an explode over per-order basket arrays (Generate in
+    the cached pair-count frame's own plan), NOT a self-join — no
+    SortMergeJoin anywhere, and m1's consumer plan reads the
+    session-cached basket/pair frames (InMemoryTableScan) instead of
+    re-running the fact shuffle per query (pre-r10 this was a
+    ReusedExchange within one query; now the frame is shared across
+    the whole m1/m5/m8 family). A self-join formulation would shuffle
+    and dedup the fact table once per side."""
+    from meepo_spark.queries.mining import part_pair_counts
+
     load_all()
-    df = QUERIES["m1_basket_pairs"](spark, SF_DIR)
-    df.collect()  # AQE materializes exchange reuse in the final plan
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Generate" in plan, plan[:2000]
-    assert "SortMergeJoin" not in plan, plan[:2000]
-    # the basket shuffle feeds pairs AND totals: materialized once
-    assert "ReusedExchange" in plan and "hashpartitioning(l_orderkey" in plan, (
-        plan[:2000]
+    # the cached frame's own build plan must generate pairs map-side
+    build_plan = plan_of(part_pair_counts(spark, SF_DIR))
+    assert "Generate" in build_plan or "InMemoryTableScan" in build_plan, (
+        build_plan[:2000]
     )
+    df = QUERIES["m1_basket_pairs"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # the basket + pair frames are served from the session cache
+    assert "InMemoryTableScan" in plan, plan[:2000]
 
 
 def test_cache_serves_reuse_and_unpersist_restores(spark):
@@ -296,9 +300,14 @@ def test_dq3_fk_audit_broadcasts_every_parent(spark):
 
 
 def test_g10_pagerank_stays_jvm_side(spark):
-    """G10: the PageRank query (fact reduction + 8 iterations) must
-    contain no Python evaluation node anywhere — it is pure DataFrame
-    algebra over built-ins."""
+    """G10 (r10 form): the distributed stage — the session-cached
+    trade-edge fact reduction — must contain no Python evaluation
+    node; the 25-node solve itself is bounded driver arithmetic (the
+    quantiles posture), so the returned plan is a local relation."""
+    from meepo_spark.operators.trade_graph import trade_edges
+
+    plan = plan_of(trade_edges(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan = plan_of(QUERIES["g10_pagerank_trade"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -1028,30 +1037,21 @@ def test_no_percentile_value_map_aggregate_anywhere(spark):
 
 
 def test_dq10_histogram_exchange_reused_not_rescanned(spark):
-    """DQ10 (round-9 rework): the outlier count reads the value
-    HISTOGRAM, whose (col, v) partial-aggregate exchange is the
-    identical subtree the CDF chain shuffles — the final adaptive
-    plan must serve every downstream consumer of the histogram from
-    ReusedExchange (>= 3 reuses: the count branch plus the CDF
-    chain's re-references), with at most TWO fact scans total: the
-    histogram build, plus the one residual map-only pass Catalyst's
-    RemoveRedundantAggregates creates by collapsing the bucket-range
-    aggregate (min/max over hist == min/max over the fact) onto the
-    scan — a rewrite that fires before AQE can offer the reused
-    exchange, and whose cost is a 3-column map pass, not a shuffle.
-    Before the rework the OUTLIER COUNT itself was a full second
-    melt+scan; a regression back to that shape shows up here as a
-    third scan or a vanished reuse."""
+    """DQ10 (r10 rework): the fact is scanned exactly ONCE — the
+    localCheckpoint-materialized (col, v) histogram — and the
+    returned plan's outlier count reads that checkpoint (Scan
+    ExistingRDD), never the parquet fact. The quartiles come from
+    operators/quantiles.py over the same checkpointed histogram
+    (eager — their passes don't appear in the returned plan), pinned
+    by test_no_percentile_value_map_aggregate_anywhere. A regression
+    back to a per-branch fact melt shows up here as a parquet scan in
+    the final plan."""
     from conftest import SF_DIR_MID
 
     df = QUERIES["dq10_iqr_outlier_census"](spark, SF_DIR_MID)
-    df.collect()  # AQE materializes exchange reuse in the final plan
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    # >=1 reuse is the regression signal (the count branch served from
-    # the histogram exchange); the exact reuse COUNT is an AQE
-    # heuristic detail a Spark minor bump may legitimately change
-    # (ADVICE r9 #4), so don't pin it
-    assert final.count("ReusedExchange") >= 1, final[:2000]
     n_scans = len(re.findall(r"Scan parquet\b", final))
-    assert n_scans <= 2, (n_scans, final[:2000])
+    assert n_scans == 0, (n_scans, final[:2000])
+    assert "ExistingRDD" in final, final[:2000]

@@ -74,7 +74,6 @@ WAIVER_BOUNDS: dict[str, int] = {
     # windows AFTER an explicit LIMIT-k / tiny-graph reduction:
     "o1_global_sort_top100": 100,     # TakeOrdered(100)
     "g14_triangle_count": 100,        # TakeOrdered(20)
-    "g10_pagerank_trade": 700,        # <=25-node nation graph
     "l14_hybrid_retrieval": 100,      # two TakeOrdered(50) shortlists
     "l14b_hybrid_fused_retrieval": 100,  # two TakeOrdered(50) shortlists
     # round-5:

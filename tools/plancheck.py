@@ -63,7 +63,6 @@ NESTED_LOOP_WAIVED = {
     "q11_important_stock",
     "q22_dormant_customers",
     # round-2 scalar/probe broadcasts, bounded by construction:
-    "g10_pagerank_trade",  # 1-row dangling-mass aggregate per iteration
     "l4n_bm25_search",  # 1-row corpus-stats crossJoin inside the cached index build
     "l68d_bm25_multiquery_topk",  # same 1-row stats crossJoin (shared bm25 index build)
     "l51_packing_census",  # 1-row truncation-census crossJoin(broadcast)
@@ -186,7 +185,6 @@ WINDOW_WAIVED = {
     # windows AFTER a LIMIT-k / tiny-graph reduction:
     "o1_global_sort_top100",   # rank over the TakeOrdered 100-row frame
     "g14_triangle_count",      # rank over the TakeOrdered 20-row frame
-    "g10_pagerank_trade",      # rank over the <=25-node nation graph
     "l14_hybrid_retrieval",    # ranks over the two 50-row shortlists
     "l14b_hybrid_fused_retrieval",  # ranks over the two 50-row shortlists
     # round-5:
