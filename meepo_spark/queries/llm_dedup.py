@@ -628,11 +628,22 @@ def l19_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Nothing is all-pairs: cost is O(total tokens) rows through
     two exchanges, which survives 100 TB. The oracle recomputes the
     identical md5 windows in DuckDB, so the hash match covers the
-    tokenization, the windowing, and both rollups."""
+    tokenization, the windowing, and both rollups.
+
+    Optimization r10: the token array was previously the inline
+    `F.split` subtree referenced inside the window lambda — the HOF
+    re-evaluation trap (operators/fingerprint.py:100, the l68b
+    lesson): CollapseProject inlines the split into every lambda
+    invocation, re-splitting the text once per gram position —
+    O(len²) per document. Reading `toks` off the session-cached
+    tokenized frame makes it a materialized column (same
+    split(lower(text), ' ') definition), evaluated once per row."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.col("text")), " ")
+    from meepo_spark.queries.doc_cache import tokenized_docs
+
+    d = tokenized_docs(spark, sf_dir)
+    w = F.col("toks")
     grams_col = F.when(
         F.size(w) >= 8,
         F.transform(
@@ -707,11 +718,13 @@ def l24_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is a projection on the joined lens rows; the verdict
     is a 1-row fold of exact integers."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # optimization r10: the sample shingle frame feeds three branches
+    # (lens + both postings sides) — materialize once
     sh = d.select(
         "doc_id",
         F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
         shingle_hash_set(F.col("text"), 3).alias("sh"),
-    )
+    ).localCheckpoint()
     lens = sh.select("doc_id", F.size("sh").alias("ln"), "len_bucket")
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
     a = tok.select(F.col("doc_id").alias("id_a"), "s")
@@ -1295,7 +1308,12 @@ def l49_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meepo_spark.operators.dedup import shingle_set
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
-    sd = d.select("doc_id", shingle_set(F.col("text"), 3).alias("sh"))
+    # optimization r10: the sample shingle frame feeds FOUR branches
+    # (sig agg, both sides of the intersection self-join, sizes) —
+    # materialize the tokenize+shingle once instead of per branch
+    sd = d.select(
+        "doc_id", shingle_set(F.col("text"), 3).alias("sh")
+    ).localCheckpoint()
     ex = sd.select("doc_id", F.explode("sh").alias("s"))
     sz = sd.select("doc_id", F.size("sh").alias("n"))
 

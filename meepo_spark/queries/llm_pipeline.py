@@ -1294,13 +1294,24 @@ def l33_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fid"
         ),
     )
-    ct = bg.filter(F.col("lang") == "en").groupBy("fid").agg(
-        F.count(F.lit(1)).alias("c_t")
+    # optimization r10: ct/cr/tot/per_doc_f each re-ran the bigram
+    # explode (4 corpus passes). ONE doc-grain partial aggregate is
+    # materialized instead, and the three censuses are exact integer
+    # re-aggregations of it (sum of partial counts = the full count).
+    per_doc_f = (
+        bg.groupBy("doc_id", "lang", "source", "fid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    cr = bg.groupBy("fid").agg(F.count(F.lit(1)).alias("c_r"))
-    tot = bg.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t"),
-        F.count(F.lit(1)).alias("r"),
+    ct = (
+        per_doc_f.filter(F.col("lang") == "en")
+        .groupBy("fid")
+        .agg(F.sum("c").cast("long").alias("c_t"))
+    )
+    cr = per_doc_f.groupBy("fid").agg(F.sum("c").cast("long").alias("c_r"))
+    tot = per_doc_f.agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("t"),
+        F.sum("c").alias("r"),
     )
     lr = (
         cr.join(ct, "fid", "left")
@@ -1312,9 +1323,6 @@ def l33_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.log((F.col("c_r") + 1) * 1.0 / (F.col("r") + 1024))
             ).alias("lr"),
         )
-    )
-    per_doc_f = bg.groupBy("doc_id", "source", "fid").agg(
-        F.count(F.lit(1)).alias("c")
     )
     per_doc = (
         per_doc_f.join(F.broadcast(lr), "fid")  # bcast: fixed (1024 hashed fids)

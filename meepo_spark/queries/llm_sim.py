@@ -795,8 +795,22 @@ def l3l_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch full vectors for the exact re-rank. `test_plans.py`
     asserts the shortlist window's input carries no vector column."""
     from meepo_spark.functions.vectors import dot as vdot
+    from meepo_spark.operators.trade_graph import bounded_rows
 
     pts, q, shortlist = _pq_seeded_shortlist(spark, sf_dir)
+    # optimization r10: the ADC shortlist is BOUNDED (|q| × 20 rows)
+    # but as a broadcast subtree it dragged the whole encode+ADC DAG
+    # into the rerank plan's broadcast build and re-planning —
+    # measured 3.8 s of the query's 5.3 s isolated wall. Materialize
+    # it (and the |q|-row query-vector frame) as LOCAL relations via
+    # the audited bounded collect; doubles survive the py4j
+    # round-trip bit-exactly, so scores are unchanged.
+    shortlist = spark.createDataFrame(
+        bounded_rows(shortlist, 500, "l3l ADC shortlist"), shortlist.schema
+    )
+    q = spark.createDataFrame(
+        bounded_rows(q, 100, "l3l query vectors"), q.schema
+    )
     rerank = (
         pts.select(F.col("vec_id").alias("c_id"), "v")
         .join(F.broadcast(shortlist), "c_id")  # bcast: fixed (q x 20 shortlist)
@@ -1999,6 +2013,11 @@ def l68c_pruned_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.select("doc_id", "term", "w", F.row_number().over(pw).alias("pr"))
         .filter(F.col("pr") <= 20)
         .drop("pr")
+        # optimization r10: the pruned index feeds the norms agg AND
+        # both sides of the posting join — materialize the truncation
+        # window once instead of once per consumer (production shape:
+        # a pruned index is a written artifact)
+        .localCheckpoint()
     )
     norms = wp.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")

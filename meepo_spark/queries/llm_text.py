@@ -1156,6 +1156,26 @@ def _bpe_kernel_census_oracle_sql(k: int) -> str:
 
 
 _MERGE_TABLE_CACHE = SessionFrameCache(max_per_app=3)
+_WORD_COUNTS_CACHE = SessionFrameCache(max_per_app=3)
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wc): the corpus word-count vocabulary frame
+    (optimization r10) — the BPE family's shared input: merge-table
+    training, l62's kernel application, and l66's compression curve
+    each re-ran the identical tokenize+explode+agg pass; one
+    session-cached build now serves them all."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        return (
+            d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
+
+    return _WORD_COUNTS_CACHE.get(spark, sf_dir, build)
 
 
 def _trained_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,14 +1188,7 @@ def _trained_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meepo_spark.operators.bpe import bpe_merge_table
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        d = table(spark, sf_dir, "documents")
-        words = (
-            d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-            .filter(F.col("word") != "")
-            .groupBy("word")
-            .agg(F.count(F.lit(1)).alias("wc"))
-        )
-        return bpe_merge_table(words, _BPE_K)
+        return bpe_merge_table(_word_counts(spark, sf_dir), _BPE_K)
 
     return _MERGE_TABLE_CACHE.get(spark, sf_dir, build)
 
@@ -1270,15 +1283,10 @@ def l62_bpe_kernel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     fired."""
     from meepo_spark.operators.bpe import bpe_apply
 
-    d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
     seg = bpe_apply(
-        words, _trained_merge_table(spark, sf_dir), compile_threshold=0
+        _word_counts(spark, sf_dir),
+        _trained_merge_table(spark, sf_dir),
+        compile_threshold=0,
     )
     tok = seg.select(F.explode("syms").alias("token"), "wc")
     return (
@@ -1671,13 +1679,7 @@ def l66_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     two 4dp ratio roundings."""
     from meepo_spark.operators.bpe import bpe_apply
 
-    d = table(spark, sf_dir, "documents")
-    wl = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
+    wl = _word_counts(spark, sf_dir)
     merges = _trained_merge_table(spark, sf_dir)
     outs = []
     for p in _CURVE_PREFIXES:

@@ -306,6 +306,11 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"),
         )
         .distinct()
+        # optimization r10: the distinct tuple set feeds THREE
+        # branches (non-null ranks, null-bucket ranks, per-flag
+        # sizes) — materialize the one distinct shuffle instead of
+        # re-scanning + re-deduping the fact per branch
+        .localCheckpoint()
     )
     tiebreak = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
     # Both non-null orderings share the cents bucketing, so ONE count
@@ -320,18 +325,30 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = nn.groupBy("l_returnflag", "__b").agg(
         F.count(F.lit(1)).alias("__n")
     )
-    off_a = (
-        W.partitionBy("l_returnflag").orderBy(F.col("__b").asc())
-        .rowsBetween(W.unboundedPreceding, -1)
+    # optimization r10: the per-(flag, cents-bucket) count frame is
+    # DOMAIN-bounded (10 discount cents × |flags| ≤ 30 rows at any
+    # SF), so the asc/desc running offsets are exact integer driver
+    # arithmetic instead of two window stages (the trade_graph
+    # bounded-solve posture); the offsets rejoin as a broadcast
+    # LOCAL relation
+    from meepo_spark.operators.trade_graph import bounded_rows
+
+    cnt_rows = sorted(
+        (r["l_returnflag"], int(r["__b"]), int(r["__n"]))
+        for r in bounded_rows(counts, 1000, "o6 discount-cents counts")
     )
-    off_d = (
-        W.partitionBy("l_returnflag").orderBy(F.col("__b").desc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "l_returnflag", "__b",
-        F.coalesce(F.sum("__n").over(off_a), F.lit(0)).alias("__offa"),
-        F.coalesce(F.sum("__n").over(off_d), F.lit(0)).alias("__offd"),
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for fl, b, n in cnt_rows:
+        by_flag.setdefault(fl, []).append((b, n))
+    off_rows = []
+    for fl, bs in by_flag.items():
+        tot = sum(n for _, n in bs)
+        run = 0
+        for b, n in bs:  # ascending __b
+            off_rows.append((fl, b, run, tot - run - n))
+            run += n
+    offsets = spark.createDataFrame(
+        off_rows, "l_returnflag string, __b int, __offa long, __offd long"
     )
     in_part = W.partitionBy("l_returnflag", "__b")
     ra_w = in_part.orderBy(F.col("disc").asc(), *tiebreak)
