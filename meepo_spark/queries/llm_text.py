@@ -1167,8 +1167,17 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-cached build now serves them all."""
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meepo_spark.catalog import spread
+
         d = table(spark, sf_dir, "documents")
-        return (
+        return spread(
+            # spread BEFORE persisting (optimization r10 wave 3): the
+            # tiny aggregate otherwise materializes AQE-coalesced to
+            # ONE cached partition, which serializes every downstream
+            # Arrow kernel (l62's tokenizer replay, l66's curve) on a
+            # single Python worker — the l48 lesson applied to the
+            # cached frame. At a real 30-50k vocabulary the kernel
+            # wants this parallelism anyway.
             d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
             .filter(F.col("word") != "")
             .groupBy("word")

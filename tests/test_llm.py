@@ -427,3 +427,67 @@ def test_snm_bucketed_rank_equals_global_rank(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_l3l_kernel_shortlist_bitmatches_pure_python_replay(spark, sf_dir):
+    """Optimization r10 wave 3: l3l's encode→LUT→ADC moved from one
+    giant Catalyst HOF projection into a numpy mapInPandas kernel.
+    The kernel's CONTRACT is bit-exact float64 arithmetic in the same
+    association order (sequential k-loops, argmin lowest-index ties),
+    so the shortlist must equal — to the bit, not a tolerance — an
+    independent pure-Python replay (plain floats, no numpy) of the
+    PQ definition over the same fixture."""
+    from meepo_spark.queries.llm_sim import _pq_seeded_shortlist
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+    M, KSUB, SUB = 8, 4, 8
+    seeds = [vecs[i] for i in sorted(v for v in vecs if v < KSUB)]
+    q_ids = sorted(v for v in vecs if 40 <= v <= 49)
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def sub(v, j):
+        return v[j * SUB : (j + 1) * SUB]
+
+    codes = {}
+    for vid, v in vecs.items():
+        cs = []
+        for j in range(M):
+            best = min(
+                (sqd(sub(v, j), sub(seeds[c], j)), c) for c in range(KSUB)
+            )
+            cs.append(best[1])
+        codes[vid] = cs
+    expected = {}
+    for qid in q_ids:
+        lut = [
+            sdot(sub(vecs[qid], j), sub(seeds[c], j))
+            for j in range(M)
+            for c in range(KSUB)
+        ]
+        scored = []
+        for cid, cs in codes.items():
+            if cid == qid:
+                continue
+            acc = 0.0
+            for j in range(M):
+                acc = acc + lut[j * KSUB + cs[j]]
+            scored.append((cid, acc))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for cid, adc in scored[:20]:
+            expected[(qid, cid)] = adc
+
+    _, _, shortlist = _pq_seeded_shortlist(spark, sf_dir)
+    got = {(int(r.q_id), int(r.c_id)): r.adc for r in shortlist.collect()}
+    assert got == expected  # dict equality: same pairs, bit-equal adc
