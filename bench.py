@@ -10,10 +10,14 @@ driver captured only a tail, recording ``parsed: null``):
 
 - Prints exactly ONE compact JSON line as the LAST stdout line:
   ``{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
-  "queries": {<worst-5 name: sec>}, "families": {<prefix: subtotal>},
-  "n_queries": N, "median": m, "outliers": {...}, "detail": "BENCH.json"}``
-- Writes the FULL per-query timing map to ``BENCH.json`` next to this
-  file, so nothing is lost to the compact line.
+  "queries": {<name: sec> for EVERY query}, "worst5": {...},
+  "families": {<prefix: subtotal>}, "n_queries": N, "median": m,
+  "outliers": {...}, "detail": "BENCH.json"}``. The full map rode in
+  BENCH.json only through round 10; VERDICT r10 #1 measured that the
+  driver's PERF comparison reads ONLY the printed line, so the full
+  per-query map now ships inline (~12 KB).
+- Writes the same FULL timing map to ``BENCH.json`` next to this
+  file (plus a history row in BENCH_history.jsonl).
 
 Flat-profile guard: ``outliers`` lists any query slower than
 ``max(3 x median, 1.5 s)`` — regressions surface as a visible field
@@ -255,8 +259,16 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_history.jsonl"), "a") as fh:
         fh.write(json.dumps(hist) + "\n")
 
+    # VERDICT r10 #1: the worst-5 truncation blinded the driver's
+    # per-query PERF comparison (n_common: 0, null geomean, phantom
+    # "dropped_from_bench" rows, empty scaling map). The printed line
+    # now carries the FULL queries map (~12 KB — the driver captures
+    # it fine; the round-2 parsed-null failure was a ~10 KB line with
+    # no separators, and the capture limit has long since been proven
+    # above this size by the r10 tail evidence). worst5 stays as its
+    # own field for human readers.
     compact = dict(full)
-    compact["queries"] = worst5  # keep the printed line well under driver capture
+    compact["worst5"] = worst5
     compact["detail"] = "BENCH.json"
     print(json.dumps(compact))
 
