@@ -248,6 +248,93 @@ def exact_quantiles_cdf(
     return spark.createDataFrame(out_rows, out_schema)
 
 
+def exact_quantiles_disc(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    qs: Mapping[str, float],
+    bucket_width: float = 1024.0,
+    weight: str | Column | None = None,
+) -> DataFrame:
+    """Exact per-group DISCRETE quantiles (percentile_disc /
+    quantile_disc lower-bound convention: the smallest value whose
+    cumulative distribution reaches q) over ``col``, same two-pass
+    census+refine shape and width contract as `exact_quantiles_cdf`.
+
+    Rank rule: percentile_disc picks the order statistic at 0-based
+    rank ⌈q·n⌉ − 1, with q·n evaluated as a DOUBLE product exactly as
+    the Spark/DuckDB aggregates do (so e.g. 0.9·10 → 9.0000000000000
+    02 rounds UP to the 10th value on every engine) — property-tested
+    against Spark's `percentile_disc` on random multisets in
+    tests/test_properties.py. No interpolation: each output is an
+    exact input value, returned as DOUBLE (exact for integer measures
+    below 2^53; cast at the consumer).
+
+    Why it exists (optimization r11, VERDICT r10 #3): percentile_disc
+    carries the same per-task value→count map merged on one reducer
+    per group as `F.percentile` — a user-grain domain (e16's
+    microsecond delays) makes that map unbounded at 100 TB."""
+    keys = list(keys)
+    spark = df.sparkSession
+    base, pid, census = _prep(df, keys, col, weight, bucket_width)
+    key_fields = [base.schema[k] for k in keys]
+
+    def _ranks(n: int) -> dict[str, int]:
+        # 0-based rank of each q's order statistic; q*n as a double
+        # product, matching the aggregate's arithmetic
+        return {
+            name: min(max(math.ceil(float(q) * n) - 1, 0), n - 1)
+            for name, q in qs.items()
+        }
+
+    hot_rows: list[tuple] = []
+    n_map: dict[tuple, int] = {}
+    cbmap: dict[tuple, int] = {}
+    for g, sub in _groups(census, keys):
+        bc = sub["__bc"].to_numpy()
+        bs = sub["__b"].to_numpy()
+        cb = np.concatenate(([0], np.cumsum(bc)[:-1]))
+        n = int(bc.sum())
+        need = sorted(set(_ranks(n).values()))
+        idx = np.searchsorted(cb, need, side="right") - 1
+        for i in sorted(set(idx.tolist())):
+            hot_rows.append((*g, int(bs[i])))
+            cbmap[(*g, int(bs[i]))] = int(cb[i])
+        n_map[g] = n
+
+    ph2 = _fetch_values(base, pid, keys, key_fields, hot_rows)
+
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("n", T.LongType())]
+        + [T.StructField(name, T.DoubleType()) for name in qs]
+    )
+    out_rows: list[tuple] = []
+    for g, sub in _groups(ph2, keys):
+        n = n_map[g]
+        lo_r: list[int] = []
+        hi_r: list[int] = []
+        xs: list[float] = []
+        cur_b, cum = None, 0
+        for b, v, cnt in zip(
+            sub["__b"].to_numpy(), sub["__v"].to_numpy(), sub["__c"].to_numpy()
+        ):
+            if b != cur_b:
+                cur_b, cum = b, cbmap[(*g, int(b))]
+            lo_r.append(cum)
+            cum += int(cnt)
+            hi_r.append(cum)
+            xs.append(float(v))
+        lo_a, hi_a, xs_a = np.asarray(lo_r), np.asarray(hi_r), np.asarray(xs)
+        rk = _ranks(n)
+        vals = [
+            _interp_at(float(rk[name]), xs_a, lo_a, hi_a) for name in qs
+        ]
+        out_rows.append((*g, n, *vals))
+
+    return spark.createDataFrame(out_rows, out_schema)
+
+
 def exact_median_mad(
     df: DataFrame,
     keys: Sequence[str],

@@ -356,16 +356,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates into one per-order aggregate over the
     (order, supplier) pair grain.
 
-    Optimization r10: the fact is reduced ONCE to pair grain —
-    groupBy(l_orderkey, l_suppkey) with max(is_late) — and both the
-    per-order census and the late-pair candidate set derive from
-    that single aggregate (the identical subtree is materialized
-    once by AQE exchange reuse). The previous form computed the
-    fact⋈orders join twice and paid a two-countDistinct Expand (2×
-    fact rows through the aggregate); pair-grain count/count_if is
-    Expand-free and equivalent: n_supp = COUNT(*) and n_late_supp =
-    COUNT_IF(is_late) at pair grain ARE the distinct counts, and
-    filter(is_late) at pair grain IS the distinct late pair set."""
+    Optimization r10 reduced the fact ONCE to pair grain —
+    groupBy(l_orderkey, l_suppkey) with max(is_late) — with the
+    per-order census and the late-pair set both derived from it.
+    Optimization r11: the intended AQE exchange reuse between those
+    two consumers never fired (column pruning diverges the subtrees:
+    the census side drops l_suppkey, the candidate side keeps it —
+    the before-plan ran the fact⋈orders chain twice, 10 parquet
+    scans). The census is now a WINDOW aggregate over l_orderkey on
+    the pair frame itself — n_supp = COUNT(*) OVER (PARTITION BY
+    l_orderkey) and n_late_supp = SUM(is_late) OVER (...) at pair
+    grain ARE the distinct counts — so ONE fact pass feeds one pair
+    aggregate feeds one bounded window (partitions = suppliers per
+    order, ~4), no self-join, no semi-join, no duplicate subtree."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     s = table(spark, sf_dir, "supplier")
@@ -383,18 +386,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    per_order = pairs.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.count_if(F.col("is_late")).alias("n_late_supp"),
-    )
+    ow = W.partitionBy("l_orderkey")
     sole_late = (
-        pairs.filter("is_late")
-        .select("l_suppkey", "l_orderkey")
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-            "left_semi",
+        pairs.select(
+            "l_suppkey",
+            "is_late",
+            F.count(F.lit(1)).over(ow).alias("n_supp"),
+            F.sum(F.col("is_late").cast("int")).over(ow).alias("n_late_supp"),
         )
+        .filter(
+            F.col("is_late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_suppkey")
     )
     return (
         sole_late.join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -515,33 +520,38 @@ def e20_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame
     heavy-tail readout for revenue metrics.
 
     Scale shape: one per-user aggregate (shuffle keyed on user), then
-    ONE grouped exact-percentile aggregate over the 2-arm frame
-    (integer cents, the v4 value-map discipline — no global sort, no
-    window); the 2-row quantile frame self-joins arm 0 × arm 1 at
-    driver-trivial size. QTE differences round AFTER subtraction with
-    the -0.0 normalization (a zero effect must not hash as '-0')."""
-    rev = user_revenue_arms(spark, sf_dir)
-    q = rev.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.percentile(
-            "cents", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
-        ).alias("qs"),
+    exact per-arm quartiles via the census+refine operator
+    (optimization r11, VERDICT r10 #3 — `F.percentile`'s per-arm
+    value→count map over user-grain cents was the weakly-bounded
+    value-map shape retired everywhere this round); the 2-row
+    quantile frame self-joins arm 0 × arm 1 at driver-trivial size.
+    QTE differences round AFTER subtraction with the -0.0
+    normalization (a zero effect must not hash as '-0')."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf
+
+    rev = user_revenue_arms(spark, sf_dir).localCheckpoint()
+    q = exact_quantiles_cdf(
+        rev, ["arm"], "cents", {"q25": 0.25, "q50": 0.50, "q75": 0.75}
     )
     a = q.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("n_control"), F.col("qs").alias("qa")
+        F.col("n").alias("n_control"),
+        F.col("q25").alias("a25"), F.col("q50").alias("a50"),
+        F.col("q75").alias("a75"),
     )
     b = q.filter(F.col("arm") == 1).select(
-        F.col("n_users").alias("n_treatment"), F.col("qs").alias("qb")
+        F.col("n").alias("n_treatment"),
+        F.col("q25").alias("b25"), F.col("q50").alias("b50"),
+        F.col("q75").alias("b75"),
     )
     return a.crossJoin(F.broadcast(b)).select(  # bcast: fixed (1-row arm frame)
         "n_control",
         "n_treatment",
-        F.round(F.col("qa")[0] / 100.0, 2).alias("c_p25"),
-        F.round(F.col("qa")[1] / 100.0, 2).alias("c_p50"),
-        F.round(F.col("qa")[2] / 100.0, 2).alias("c_p75"),
-        (F.round((F.col("qb")[0] - F.col("qa")[0]) / 100.0, 2) + 0.0).alias("qte_p25"),
-        (F.round((F.col("qb")[1] - F.col("qa")[1]) / 100.0, 2) + 0.0).alias("qte_p50"),
-        (F.round((F.col("qb")[2] - F.col("qa")[2]) / 100.0, 2) + 0.0).alias("qte_p75"),
+        F.round(F.col("a25") / 100.0, 2).alias("c_p25"),
+        F.round(F.col("a50") / 100.0, 2).alias("c_p50"),
+        F.round(F.col("a75") / 100.0, 2).alias("c_p75"),
+        (F.round((F.col("b25") - F.col("a25")) / 100.0, 2) + 0.0).alias("qte_p25"),
+        (F.round((F.col("b50") - F.col("a50")) / 100.0, 2) + 0.0).alias("qte_p50"),
+        (F.round((F.col("b75") - F.col("a75")) / 100.0, 2) + 0.0).alias("qte_p75"),
     )
 
 

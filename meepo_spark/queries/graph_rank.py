@@ -225,13 +225,19 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst", F.array_intersect("nu", "nv").alias("ws"))
         .where(F.size("ws") > 0)
-        .localCheckpoint()  # read 3x by the vertex census below
     )
-    verts = (
-        base.select(F.col("src").alias("p"), F.size("ws").alias("n"))
-        .unionAll(base.select(F.col("dst").alias("p"), F.size("ws").alias("n")))
-        .unionAll(base.select(F.explode("ws").alias("p"), F.lit(1).alias("n")))
+    # optimization r11: one explode emits every vertex contribution of
+    # an edge's triangles — (src, |ws|), (dst, |ws|), and (w, 1) per
+    # wedge apex — so the intersect output is consumed ONCE instead of
+    # the r10 shape's checkpoint + 3-way union (a materialization plus
+    # 3 reads of it). Contributions are identical multisets; the
+    # census aggregate below is unchanged.
+    contrib = F.concat(
+        F.array(F.struct(F.col("src").alias("p"), F.size("ws").alias("n"))),
+        F.array(F.struct(F.col("dst").alias("p"), F.size("ws").alias("n"))),
+        F.transform("ws", lambda w: F.struct(w.alias("p"), F.lit(1).alias("n"))),
     )
+    verts = base.select(F.explode(contrib).alias("c")).select("c.p", "c.n")
     # top-20 via TakeOrderedAndProject (per-partition top-k + merge),
     # THEN the rank window over the bounded 20-row frame — never a
     # global window over the |V|-row census (r3 plancheck fix).

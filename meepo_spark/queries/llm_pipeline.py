@@ -378,16 +378,29 @@ def l4k_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas, ≤600 rows out per partition), and the exact pass
     shuffles only rows matching the broadcast candidate set. At 100 TB
     the shuffle is bounded by k·partitions, not the vocabulary.
+
+    Optimization r11: the term stream derives from the session-cached
+    tokenized frame via `bigrams_from_toks` — the former
+    `bigrams(text)` transform re-split the text once per element
+    access (the l19 HOF re-evaluation trap), and it ran THREE times
+    (sketch pass, exact pass, stream total) over three separate
+    parquet scans. Now the stream is built twice off the cached
+    `toks` column and the total comes free from the sketch pass's
+    partition-count rows.
     """
     from meepo_spark.catalog import spread
-    from meepo_spark.operators.sketches import bigrams, heavy_hitters_exact
+    from meepo_spark.operators.sketches import (
+        bigrams_from_toks,
+        heavy_hitters_exact,
+    )
+    from meepo_spark.queries.doc_cache import tokenized_docs
 
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     # spread the (small) document rows, THEN explode inside each
     # partition — repartitioning the exploded term stream itself would
     # be exactly the full-stream shuffle the sketch exists to avoid
-    terms = spread(d.select("text")).select(
-        F.explode(bigrams(F.col("text"))).alias("term")
+    terms = spread(d.select("toks")).select(
+        F.explode(bigrams_from_toks(F.col("toks"))).alias("term")
     )
     return heavy_hitters_exact(terms, "term", 600)
 

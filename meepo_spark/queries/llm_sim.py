@@ -1024,20 +1024,26 @@ def l27_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only corpus-sized work is the one relevance scan
     (broadcast query vector, TakeOrdered top-12 — exactly l3's
-    kernel); the shortlist then collapses to a SINGLE ROW of cand
-    structs and the whole greedy runs as unrolled array expressions
-    over it — zero further scans, joins, or shuffles. (A first cut
-    chained five tiny DataFrames instead; each step's lineage
-    re-expanded all prior steps and the 500-row query took 16 s of
-    pure planning/rescheduling — constant-size iterative state
-    belongs in one row, with `_materialize` explode-barriers keeping
-    CollapseProject from inlining each step into the next.) Cosines
-    are sequential DOUBLE folds (bit-match list_cosine_similarity),
-    so argmax-with-id-tie picks identical ids on both engines."""
-    from functools import reduce
+    kernel). The shortlist is a BOUNDED 12-row frame by construction,
+    so the greedy tail is exact driver arithmetic over the audited
+    `bounded_rows` collect (the trade_graph/l3l discipline) — zero
+    further scans, joins, shuffles, or Catalyst expression trees.
+    (History: a first cut chained five tiny DataFrames — 16 s of
+    planning; r10's form unrolled the greedy into one ~5-step
+    projection chain of array HOFs over a 1-row frame, which still
+    paid 0.5–1 s of analysis+codegen per invocation, the l4k/l3l
+    churn class. The driver solve replicates the float64 arithmetic
+    bit-for-bit: sequential dot folds in element order, Math.sqrt and
+    IEEE division are correctly rounded in both runtimes, greatest =
+    max over finite doubles, and F.round's shortest-repr HALF_UP is
+    `round_half_up` — property-tested in tests/test_trade_graph.py.)
+    Cosines are sequential DOUBLE folds (bit-match
+    list_cosine_similarity), so argmax-with-id-tie picks identical
+    ids on both engines."""
+    import math
 
     from meepo_spark.functions.vectors import cosine_with_norms, norm
-    from meepo_spark.operators.dedup import _materialize
+    from meepo_spark.operators.trade_graph import bounded_rows, round_half_up
 
     LAM = 0.7
     emb = table(spark, sf_dir, "embeddings")
@@ -1058,64 +1064,48 @@ def l27_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel").desc(), F.col("c_id").asc())
         .limit(12)
     )
-    row = cand.groupBy().agg(
-        F.array_sort(
-            F.collect_list(F.struct("c_id", "rel", "v", norm(F.col("v")).alias("n")))
-        ).alias("cands")
+    # (c_id, rel, v): 12 rows at ANY scale — TakeOrderedAndProject
+    # merges per-partition top-12s, one parallel job
+    shortlist = sorted(
+        (int(r["c_id"]), float(r["rel"]), [float(x) for x in r["v"]])
+        for r in bounded_rows(cand, 12, "l27 MMR shortlist")
     )
 
-    def cos_cc(a, b):
-        d = F.aggregate(
-            F.zip_with(a["v"], b["v"], lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return d / (a["n"] * b["n"])
+    def _norm(v: list) -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
 
-    chosen: list = []  # materialized sel1..sel5 struct columns
-    df = row
+    def _cos(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a[2], b[2]):
+            acc = acc + x * y
+        return acc / (a[3] * b[3])
+
+    cands = [(cid, rel, v, _norm(v)) for cid, rel, v in shortlist]
+    chosen: list = []
+    out_rows: list[tuple] = []
     for rank in range(1, 6):
-        def mmr_of(c, sel=tuple(chosen)):
-            if not sel:
-                return F.lit(LAM) * c["rel"]
-            pen = F.greatest(*[cos_cc(c, s["cand"]) for s in sel]) if len(sel) > 1 \
-                else cos_cc(c, sel[0]["cand"])
-            return F.lit(LAM) * c["rel"] - F.lit(1 - LAM) * pen
-
-        remaining = F.filter(
-            F.col("cands"),
-            lambda c: reduce(
-                lambda acc, s: acc & (c["c_id"] != s["cand"]["c_id"]),
-                chosen,
-                F.lit(True),
-            ),
+        best = None
+        for c in cands:
+            if any(c[0] == s[0] for s in chosen):
+                continue
+            if not chosen:
+                mmr = LAM * c[1]
+            else:
+                pen = max(_cos(c, s) for s in chosen)
+                mmr = LAM * c[1] - (1 - LAM) * pen
+            key = (-mmr, c[0])
+            if best is None or key < best[0]:
+                best = (key, c)
+        chosen.append(best[1])
+        out_rows.append(
+            (rank, best[1][0], round_half_up(-best[0][0] + 1e-9, 6) + 0.0)
         )
-        best = F.array_min(
-            F.transform(
-                remaining,
-                lambda c: F.struct(
-                    (-mmr_of(c)).alias("nm"), c["c_id"].alias("c_id"), c.alias("cand")
-                ),
-            )
-        )
-        df = _materialize(df, f"sel{rank}", best)
-        chosen.append(F.col(f"sel{rank}"))
-
-    out_rows = F.array(
-        *[
-            F.struct(
-                F.lit(rank).cast("long").alias("rank"),
-                F.col(f"sel{rank}")["c_id"].alias("c_id"),
-                (F.round(-F.col(f"sel{rank}")["nm"] + 1e-9, 6) + 0.0).alias("mmr_r"),
-            )
-            for rank in range(1, 6)
-        ]
-    )
-    return (
-        df.select(F.explode(out_rows).alias("r"))
-        .select("r.rank", "r.c_id", "r.mmr_r")
-        .orderBy("rank")
-    )
+    return spark.createDataFrame(
+        out_rows, "rank long, c_id long, mmr_r double"
+    ).orderBy("rank")
 
 
 @register(
@@ -1806,10 +1796,16 @@ def l67_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w"),
         )
+        # optimization r11: w feeds the norms agg, the query side, and
+        # the candidate side of the posting join — the before-plan
+        # re-ran the tokenize+tf+df chain 24 times (155 nodes).
+        # Materialize the index once: a TF-IDF posting file IS a
+        # written artifact in production (the l68c discipline).
+        .localCheckpoint()
     )
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
-    )
+    ).localCheckpoint()  # doc-grain, read by both norm joins
     qa = w.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("q_id"), "term", F.col("w").alias("wq")
     )

@@ -274,6 +274,15 @@ def m3_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "monetary"
             ),
         )
+        # optimization r11: each bucketed_ntile branch references cm
+        # three times (range agg, bucket assign, bucket counts) and the
+        # final join once more — the before-plan re-ran the orders
+        # scan+aggregate 26 TIMES (AQE exchange reuse does not fire
+        # across the differently-projected subtrees). Materialize the
+        # customer-grain aggregate ONCE; at 100 TB it is a standard
+        # |customers|-row intermediate (the l68c pruned-index class),
+        # and the fact is scanned exactly once.
+        .localCheckpoint()
     )
 
     from meepo_spark.operators.enumeration import bucketed_ntile

@@ -428,18 +428,21 @@ def v10_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs before a scale-sensitive model sees the data.
 
     Determinism: percentiles interpolate over integer cents (exact in
-    IEEE doubles, same discipline as v4); the bounds are a 5-row
-    aggregate joined back broadcast, so the fact is scanned twice only
-    logically — at 100 TB you'd cache the scan or accept two passes,
-    never sort the whole fact (quantile via interpolation, not full
-    sort)."""
+    IEEE doubles, same discipline as v4). Optimization r11 (VERDICT
+    r10 #3): `F.percentile`'s per-segment value→count map over
+    near-unique customer-grain cents was the weakly-bounded shape
+    retired everywhere this round — the bounds now come from the
+    census+refine operator over the checkpointed 2-column projection
+    (the narrow scan is materialized once and every pass reads it),
+    and remain a 5-row relation joined back broadcast."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf
+
     c = table(spark, sf_dir, "customer").select(
         "c_mktsegment", F.round(F.col("c_acctbal") * 100).cast("long").alias("c")
-    )
-    bounds = c.groupBy("c_mktsegment").agg(
-        F.percentile(F.col("c"), F.lit(0.05)).alias("lo"),
-        F.percentile(F.col("c"), F.lit(0.95)).alias("hi"),
-    )
+    ).localCheckpoint()
+    bounds = exact_quantiles_cdf(
+        c, ["c_mktsegment"], "c", {"lo": 0.05, "hi": 0.95}
+    ).select("c_mktsegment", "lo", "hi")
     j = c.join(F.broadcast(bounds), "c_mktsegment")  # bcast: fixed (5 mktsegments)
     clamped = F.greatest(F.least(F.col("c") * 1.0, F.col("hi")), F.col("lo"))
     return j.groupBy("c_mktsegment").agg(

@@ -502,47 +502,66 @@ def e3_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (r3, per VERDICT r2 #4): event_type has ~5 values, so
     a window partitioned only by type is a near-global sort in
-    disguise. The two-level composition: (1) per-(type, hour-bucket)
-    delta sums — a tiny aggregate, |types| x |hours| rows; (2) running
-    offsets per type over those buckets (bounded window over the tiny
-    frame); (3) broadcast the offsets back and run the within-bucket
-    running sum — each WindowExec partition is one (type, hour), so
-    partition count scales with the time span, not the type
-    cardinality. Offsets make the within-bucket prefix sums exactly
-    the global ones. Still the O(n log n) sweep-line answer to
-    interval overlap that a self-join would make O(n^2)."""
+    disguise. The two-level composition: (1) the within-bucket running
+    sum over (type, hour-bucket) windows — each WindowExec partition
+    is one (type, hour), so partition count scales with the time span,
+    not the type cardinality; (2) the per-bucket MAX prefix and delta
+    sum reduce in the SAME partitioning (no new exchange); (3) running
+    offsets per type over the tiny bucket frame, and max(live) =
+    max over buckets of (offset + bucket max prefix) — exact because
+    hour(t) is monotone with the sort key (o7 rule), so per-bucket
+    order + cross-bucket offsets = global order. Still the O(n log n)
+    sweep-line answer that a self-join would make O(n^2).
+
+    Optimization r11: the r3 form ran the bucket-sum aggregate and the
+    within-bucket window as SEPARATE consumers of the delta stream
+    (plus a broadcast join back), and built deltas as a UNION of two
+    scans — 4 parquet scans, 4 exchanges. Deltas now explode from ONE
+    scan, and the per-bucket maxima reduce out of the window pass
+    itself: 1 scan, 1 fact-sized exchange, bucket-grain everything
+    after."""
     e = table(spark, sf_dir, "events")
-    sess = e.select("event_type", F.col("ts").alias("t0"),
-                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"))
-    deltas = sess.select("event_type", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionByName(
-        sess.select("event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
-    )
-    # Bucket = hour(t): an expression of the sort key (o7 rule), monotone
-    # with t, so per-bucket order + cross-bucket offsets = global order.
+    deltas = e.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("d"),
+    ).select("event_type", "d.t", "d.delta")
     b = deltas.withColumn("__b", F.date_trunc("hour", F.col("t")))
-    counts = b.groupBy("event_type", "__b").agg(
-        F.sum("delta").alias("__bsum")
-    )
-    off_w = (
-        W.partitionBy("event_type").orderBy("__b")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "event_type", "__b",
-        F.coalesce(F.sum("__bsum").over(off_w), F.lit(0)).alias("__off"),
-    )
     in_w = (
         W.partitionBy("event_type", "__b")
         .orderBy(F.col("t").asc(), F.col("delta").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    running = b.join(F.broadcast(offsets), ["event_type", "__b"]).select(  # bcast: bucket
-        "event_type",
-        (F.sum("delta").over(in_w) + F.col("__off")).alias("live"),
+    per_bucket = (
+        b.select(
+            "event_type", "__b", "delta",
+            F.sum("delta").over(in_w).alias("__run"),
+        )
+        .groupBy("event_type", "__b")
+        .agg(
+            F.max("__run").alias("__bmax"),
+            F.sum("delta").alias("__bsum"),
+            F.count(F.lit(1)).alias("__n"),
+        )
     )
-    return running.groupBy("event_type").agg(
-        F.max("live").alias("max_concurrent"),
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    off_w = (
+        W.partitionBy("event_type").orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    peaks = per_bucket.select(
+        "event_type", "__n",
+        (F.coalesce(F.sum("__bsum").over(off_w), F.lit(0)) + F.col("__bmax")).alias("__peak"),
+    )
+    return peaks.groupBy("event_type").agg(
+        F.max("__peak").alias("max_concurrent"),
+        (F.sum("__n") / 2).cast("long").alias("n_sessions"),
     )
 
 
@@ -1141,10 +1160,24 @@ def e9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     convert) that e1's step counts don't carry.
 
     Scale shape: one per-user conditional-MIN aggregate (map-side
-    combine, no joins), then a global percentile over INTEGER seconds
+    combine, no joins), then exact quantile_cont over INTEGER seconds
     — exact interpolation over integers is bit-stable across engines
-    (the v4 rule), and the percentile aggregate's state is bounded by
-    the distinct-lag-value domain, not the user count."""
+    (the v4 rule).
+
+    Optimization r11 (VERDICT r10 #3/#4): this was the last
+    weakly-bounded `F.percentile` value-map aggregate — its per-task
+    value→count map merges on ONE final reducer, and the lag-seconds
+    domain can reach ~1e8 distinct values at 100 TB (not provably
+    bounded like w6's quantity or t30's calendar days). The lag
+    histogram is now ONE domain-bounded aggregate (map-side combine),
+    localCheckpoint'd, and count/min/max plus the two quantiles come
+    from `operators/quantiles.py` over it — the dq10 shape. The tail
+    assembles driver-side via the audited bounded collects, so the
+    all-null empty-input row survives (aggregate-over-empty
+    semantics)."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf
+    from meepo_spark.operators.trade_graph import bounded_rows, round_half_up
+
     e = table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
@@ -1157,12 +1190,31 @@ def e9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")).alias("lag_s")
     )
-    return lags.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.min("lag_s").alias("min_lag_s"),
-        F.round(F.percentile("lag_s", F.lit(0.50)), 1).alias("p50_lag_s"),
-        F.round(F.percentile("lag_s", F.lit(0.90)), 1).alias("p90_lag_s"),
-        F.max("lag_s").alias("max_lag_s"),
+    hist = (
+        lags.groupBy("lag_s").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    [mm] = bounded_rows(
+        hist.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+            F.min("lag_s").alias("lo"),
+            F.max("lag_s").alias("hi"),
+        ),
+        1,
+        "e9 lag min/max",
+    )
+    qrows = bounded_rows(
+        exact_quantiles_cdf(
+            hist, [], "lag_s", {"p50": 0.50, "p90": 0.90}, weight="c"
+        ),
+        1,
+        "e9 lag quantiles",
+    )
+    p50 = round_half_up(qrows[0]["p50"], 1) if qrows else None
+    p90 = round_half_up(qrows[0]["p90"], 1) if qrows else None
+    return spark.createDataFrame(
+        [(int(mm["n"]), mm["lo"], p50, p90, mm["hi"])],
+        "n_converted long, min_lag_s long, p50_lag_s double, "
+        "p90_lag_s double, max_lag_s long",
     )
 
 
@@ -1958,9 +2010,16 @@ def e16_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two hash aggregates on user_id and one equi-join on
     the same key (co-partitioned — no extra exchange after the first
-    shuffle); the percentile runs per cohort over user-grain rows
-    (|users|, 10× smaller than the fact) partitioned by cohort, which
-    grows with the calendar, not the data."""
+    shuffle). Optimization r11 (VERDICT r10 #3): percentile_disc's
+    per-task value→count map merged one reducer per cohort over
+    near-unique microsecond delays — user-grain state, the same
+    weakly-bounded class as e9's lag percentile. The user-grain
+    (cohort, delay) frame is materialized once and the discrete
+    quantiles come from `exact_quantiles_disc` (operators/quantiles
+    .py, census+refine over 2^30-us ≈ 18-min buckets — calendar ×
+    ~600 census rows); count/max reduce off the same checkpoint."""
+    from meepo_spark.operators.quantiles import exact_quantiles_disc
+
     e = table(spark, sf_dir, "events")
     fv = (
         e.filter(F.col("event_type") == "view")
@@ -1977,16 +2036,24 @@ def e16_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fp.select(
         F.date_format(F.date_trunc("week", "fv"), "yyyy-MM-dd").alias("cohort_week"),
         (F.unix_micros("fp") - F.unix_micros("fv")).alias("delay_us"),
+    ).localCheckpoint()
+    qf = exact_quantiles_disc(
+        d,
+        ["cohort_week"],
+        "delay_us",
+        {"p50": 0.50, "p90": 0.90},
+        bucket_width=float(2**30),
     )
-    return d.groupBy("cohort_week").agg(
+    cm = d.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us)")
-        .cast("long")
-        .alias("p50_delay_us"),
-        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us)")
-        .cast("long")
-        .alias("p90_delay_us"),
         F.max("delay_us").alias("max_delay_us"),
+    )
+    return cm.join(F.broadcast(qf), "cohort_week").select(  # bcast: fixed (calendar-week grain local relation)
+        "cohort_week",
+        "n_converted",
+        F.col("p50").cast("long").alias("p50_delay_us"),
+        F.col("p90").cast("long").alias("p90_delay_us"),
+        "max_delay_us",
     )
 
 

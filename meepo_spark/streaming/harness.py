@@ -66,13 +66,23 @@ def replay_as_files(
         _pin_arrival_order(out_dir, seen, i)
     if flush:
         flush_ts = df.agg(F.max(order_col)).first()[0] + datetime.timedelta(days=30)
-        sentinel = df.sparkSession.createDataFrame(
-            [(-1, flush_ts, FLUSH_USER_ID, FLUSH_EVENT_TYPE, 0.0, "{}")],
+        sentinel = _one_row_df(
+            df.sparkSession,
+            (-1, flush_ts, FLUSH_USER_ID, FLUSH_EVENT_TYPE, 0.0, "{}"),
             df.schema,
         )
-        sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+        sentinel.write.mode("append").parquet(out_dir)
         _pin_arrival_order(out_dir, seen, n_chunks + 1)
     return out_dir
+
+
+def _one_row_df(spark: SparkSession, row: tuple, schema) -> DataFrame:
+    """One-row single-partition local frame. NOT
+    createDataFrame(...).coalesce(1): a parallelized local relation
+    gets defaultParallelism slices and coalescing them costs ~150 ms
+    PER PARENT SLICE per action (~4.7 s at local[32] — measured,
+    optimization r11); parallelize(..., 1) skips the pathology."""
+    return spark.createDataFrame(spark.sparkContext.parallelize([row], 1), schema)
 
 
 def drop_flush(df: DataFrame) -> DataFrame:
@@ -113,7 +123,39 @@ def run_streaming(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # A stateful operator holding a PROCESSING-TIME timer keeps an
+    # availableNow query alive after every file is committed: it spins
+    # "no new data but cleaning up state" micro-batches back-to-back
+    # waiting for wall-clock timers (the t6 sessionizer's 60 s
+    # tail-session timer — measured as a full 300 s awaitTermination
+    # timeout per test run, optimization r11). Watermark queries
+    # legitimately need one or two such wrap-up batches (the final
+    # append-mode emission happens when the watermark advances past
+    # the flush sentinel) and then terminate on their own; only a
+    # timer-holding query LOOPS them. Detect the loop — many
+    # consecutive zero-input batches with no data available — and
+    # stop: every file is committed by then, so the sink holds the
+    # complete data-driven output (tests of the timer path assert
+    # prefix-consistency, not tail-session emission).
+    deadline = time.time() + 300
+    cleanup_batches = 0
+    last_bid = -1
+    while q.isActive and time.time() < deadline:
+        st = q.status
+        lp = q.lastProgress
+        if not st["isDataAvailable"] and lp is not None:
+            bid, n_in = lp["batchId"], lp["numInputRows"]
+            if bid != last_bid and n_in == 0:
+                cleanup_batches += 1
+                if cleanup_batches >= 8:
+                    break
+            last_bid = bid
+        else:
+            cleanup_batches = 0
+        time.sleep(0.25)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(60)
     return spark.table(name)
 
 
@@ -169,10 +211,11 @@ def replay_with_bounded_disorder(
         )
         _pin_arrival_order(out_dir, seen, i)
     flush_ts = arr.agg(F.max("__arr")).first()[0] + datetime.timedelta(days=30)
-    sentinel = df.sparkSession.createDataFrame(
-        [(-1, flush_ts, FLUSH_USER_ID, FLUSH_EVENT_TYPE, 0.0, "{}")],
+    sentinel = _one_row_df(
+        df.sparkSession,
+        (-1, flush_ts, FLUSH_USER_ID, FLUSH_EVENT_TYPE, 0.0, "{}"),
         df.schema,
     )
-    sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+    sentinel.write.mode("append").parquet(out_dir)
     _pin_arrival_order(out_dir, seen, n_chunks + 1)
     return out_dir

@@ -83,11 +83,22 @@ MIN_MEASURED = 40
 
 @pytest.fixture(scope="module")
 def measurements(spark):
-    out: dict[str, list[int]] = {}
-    for name in sorted(NESTED_LOOP_WAIVED):
-        if name in QUERIES:
-            out[name] = bnlj_broadcast_rows(QUERIES[name](spark, WAIVER_SF_DIR))
-    return out
+    # The 54 measured executions are independent; run them through a
+    # small thread pool so the next query's tasks back-fill executors
+    # freed by the current one's tail (guide §2.6) — sequential, this
+    # fixture alone cost 188 s of the suite's 25 min (optimization
+    # r11). Queries sharing a session-cached frame may accumulate a
+    # shared exchange's SQLMetric in any order; the bounds above carry
+    # that headroom already (see the l3c note).
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [n for n in sorted(NESTED_LOOP_WAIVED) if n in QUERIES]
+
+    def measure(name: str) -> tuple[str, list[int]]:
+        return name, bnlj_broadcast_rows(QUERIES[name](spark, WAIVER_SF_DIR))
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        return dict(pool.map(measure, names))
 
 
 def test_audit_measures_a_majority_of_waived_plans(measurements):

@@ -1145,21 +1145,62 @@ def test_ds_composites_expand_once_never_rescan(spark):
     assert "partial_" in q24 and "partial_" in q25
 
 
+# Exact-percentile AGGREGATES with a documented BOUNDED value-map
+# (the only legitimate survivors of the r9-r11 purge; everything else
+# must go through operators/quantiles.py or percentile_approx).
+# Window-function uses (percentile(...).over(w)) evaluate per frame,
+# never as a merged aggregate state — they are excluded by detection,
+# not by this list.
+PERCENTILE_AGG_BOUNDED = {
+    # l_quantity domain is 1..50 integers: the value map holds <= 50
+    # entries per (task, flag) and the final merge is ~200 entries
+    "g7_stats": "l_quantity domain <= 50 distinct values",
+    # residuals/deviations are DAY-grain (one per interior calendar
+    # day per type): the per-type value map is <= calendar-days
+    # entries at any data scale (grows with time span, not rows)
+    "t30_seasonal_anomaly": "day-grain residuals: <= calendar days per type",
+    # the percentile runs over the 16-row replicate-mean frame
+    # (n_reps is a literal constant; the fact pass is the weighted
+    # moment aggregate, never the percentile's input)
+    "v12_poisson_bootstrap": "input is the 16-row replicate-mean frame",
+    # rounded l_quantity domain is 1..50 integers (same bound as g7);
+    # the query demonstrates the percentile_disc surface itself
+    "v20_mode_percentile_disc": "rounded l_quantity domain <= 50 values",
+}
+
+
 def test_no_percentile_value_map_aggregate_anywhere(spark):
-    """VERDICT r9 #1: the `percentile` aggregate's partial state is a
-    per-task value->count map merged on ONE final task — a 100 TB OOM
-    on near-unique measures. After the r10 rework (v4/g12 re-pointed
-    at operators/quantiles.py) NO graded query may plan one; quantile
-    needs go through the histogram + bucketed-CDF chain or the
-    percentile_approx sketch (g7's contract). Sweep the three former
-    offenders plus the dq10 precedent explicitly."""
-    for name in (
-        "v4_exact_percentiles",
-        "g12_mad",
-        "dq10_iqr_outlier_census",
-    ):
+    """VERDICT r9 #1 / r10 #3: the `percentile` (and percentile_disc)
+    aggregate's partial state is a per-task value->count map merged on
+    ONE final task per group — a 100 TB OOM on near-unique measures.
+    After the r10 rework (v4/g12) and the r11 purge (e9's lag seconds,
+    e16's delay microseconds, t30 re-checked) NO graded query may plan
+    one outside the documented bounded-domain allowlist; quantile
+    needs go through the histogram + bucketed-CDF/disc chain
+    (operators/quantiles.py) or the percentile_approx sketch (g27's
+    contract). Sweeps EVERY graded query (the r10 version checked 3
+    names despite its name — VERDICT r10 #3)."""
+    import re as _re
+
+    # aggregate-context percentile: "percentile(x, ...)" appearing in
+    # a HashAggregate/ObjectHashAggregate/SortAggregate functions
+    # list. Window uses render inside a Window node's spec with an
+    # OVER-style frame and are not aggregate state merges.
+    pat = _re.compile(r"percentile(_disc)?\(")
+    for name in sorted(QUERIES):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
-        assert "percentile(" not in plan, (name, plan[:1200])
+        hits = []
+        for block in plan.split("\n\n"):
+            head = block.splitlines()[0] if block.splitlines() else ""
+            if "Aggregate" in head and pat.search(block):
+                hits.append(head)
+        if name in PERCENTILE_AGG_BOUNDED:
+            continue  # bound documented above; presence is legal
+        assert not hits, (
+            f"{name}: exact percentile value-map aggregate in plan "
+            f"({hits}) — re-point at operators/quantiles.py or "
+            "document a domain bound in PERCENTILE_AGG_BOUNDED"
+        )
         assert "percentile_cont" not in plan, name
 
 

@@ -41,7 +41,7 @@ def test_ewma_closed_form_matches_pandas_recursion(spark, xs):
     regime where the closed form claims exactness."""
     alpha = 0.3
     rows = [(i + 1, float(round(x, 2))) for i, x in enumerate(xs)]
-    df = spark.createDataFrame(rows, "rn int, x double").coalesce(1)
+    df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), "rn int, x double")
     from pyspark.sql import Window as W
 
     w = W.orderBy("rn").rowsBetween(-29, W.currentRow)
@@ -472,6 +472,46 @@ def test_histogram_cdf_quantile_matches_percentile(spark, vals, dup):
         assert got[k][0] == pytest.approx(ref[k][0], abs=1e-9), (k, data, ref)
         assert got[k][1] == pytest.approx(ref[k][1], abs=1e-9), (k, data, ref)
         assert got_w[k] == got[k], (k, got_w[k], got[k])
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=2, max_size=60),
+    dup=st.integers(min_value=1, max_value=5),
+    width=st.sampled_from([8.0, 1024.0]),
+)
+def test_histogram_disc_quantile_matches_percentile_disc(spark, vals, dup, width):
+    """operators/quantiles.py `exact_quantiles_disc` (optimization
+    r11, VERDICT r10 #3): the census+refine shape must reproduce
+    Spark's `percentile_disc` (the DuckDB quantile_disc lower-bound
+    convention) exactly on ANY integer multiset — including sizes
+    where q·n is an exact integer (dup sweeps n across multiples of
+    2 and 5, the 0.5/0.9 boundary cases) and mixed NULLs (skipped by
+    both paths)."""
+    from meepo_spark.operators.quantiles import exact_quantiles_disc
+
+    data = vals * dup
+    rows = [("a", int(v)) for v in data] + [("b", int(v) * 3 - 7) for v in data]
+    rows += [("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    ref = {
+        r["k"]: (float(r["p5"]), float(r["p9"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p5"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").alias("p9"),
+        )
+        .collect()
+    }
+    got = {
+        r["k"]: (r["p5"], r["p9"], r["n"])
+        for r in exact_quantiles_disc(
+            df, ["k"], "v", {"p5": 0.5, "p9": 0.9}, bucket_width=width
+        ).collect()
+    }
+    for k in ("a", "b"):
+        assert got[k][2] == len(data), (k, got[k])
+        assert (got[k][0], got[k][1]) == ref[k], (k, data, ref[k], got[k])
 
 
 def _quantile_cont(sorted_vals, q):

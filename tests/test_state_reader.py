@@ -14,9 +14,9 @@ from meepo_spark.streaming.state_reader import read_state, read_state_metadata
 
 
 def _write_batch(spark, path, rows):
-    spark.createDataFrame(rows, "id long, k string, v long").coalesce(1).write.mode(
-        "append"
-    ).json(path)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "id long, k string, v long"
+    ).write.mode("append").json(path)
 
 
 def _run_round(spark, src, ck, name):

@@ -868,8 +868,8 @@ def test_l10s_incremental_dedup_rejection_paths(spark, tmp_path):
         (5, "completely different unrelated content words here now", "en", "web", 52),
     ]
     src = str(tmp_path / "src")
-    spark.createDataFrame(rows1, DOCUMENTS).coalesce(1).write.mode("append").parquet(src)
-    spark.createDataFrame(rows2, DOCUMENTS).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows1, 1), DOCUMENTS).write.mode("append").parquet(src)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows2, 1), DOCUMENTS).write.mode("append").parquet(src)
     corpus_hashes = spark.createDataFrame([(t_corpus,)], "t string").select(
         F.md5("t").alias("h")
     )
