@@ -165,6 +165,7 @@ def exact_quantiles_cdf(
     qs: Mapping[str, float],
     bucket_width: float = 1024.0,
     weight: str | Column | None = None,
+    extrema: bool = False,
 ) -> DataFrame:
     """Exact per-group quantile_cont over ``col`` (integer-valued or
     exactly-representable doubles), NULLs skipped (`F.percentile`
@@ -178,6 +179,13 @@ def exact_quantiles_cdf(
     query needs SEVERAL quantile passes over the same measure. Ranks
     stay exact integers; results are identical to the unweighted call
     on the expanded multiset (property-tested).
+
+    ``extrema`` (optimization r11) additionally returns the exact
+    per-group ``lo``/``hi`` (DOUBLE — min/max of the measure): the
+    lowest and highest census buckets join the hot set, so a consumer
+    needing count+min+max+quantiles (e9/e16's report row) gets them
+    from the SAME census+refine passes instead of one more aggregate
+    job over the input.
 
     Both passes (census + refine) run EAGERLY at call time; the
     returned DataFrame is a group-grain LOCAL relation. See the
@@ -209,7 +217,10 @@ def exact_quantiles_cdf(
         )
         # rank r lives in the rightmost bucket whose CDF offset <= r
         idx = np.searchsorted(cb, need, side="right") - 1
-        for i in sorted(set(idx.tolist())):
+        want = set(idx.tolist())
+        if extrema:
+            want.update((0, len(bs) - 1))  # exact min/max buckets
+        for i in sorted(want):
             hot_rows.append((*g, int(bs[i])))
             cbmap[(*g, int(bs[i]))] = int(cb[i])
         n_map[g] = n
@@ -220,6 +231,11 @@ def exact_quantiles_cdf(
         key_fields
         + [T.StructField("n", T.LongType())]
         + [T.StructField(name, T.DoubleType()) for name in qs]
+        + (
+            [T.StructField("lo", T.DoubleType()), T.StructField("hi", T.DoubleType())]
+            if extrema
+            else []
+        )
     )
     out_rows: list[tuple] = []
     for g, sub in _groups(ph2, keys):
@@ -243,8 +259,133 @@ def exact_quantiles_cdf(
         vals = [
             _interp_at((n - 1) * float(q), xs_a, lo_a, hi_a) for q in qs.values()
         ]
+        if extrema:
+            # the fetched set provably contains the group's lowest and
+            # highest buckets; ph2 is sorted by (__b, __v) within g
+            vals += [float(xs_a[0]), float(xs_a[-1])]
         out_rows.append((*g, n, *vals))
 
+    return spark.createDataFrame(out_rows, out_schema)
+
+
+def exact_quantiles_cdf_multi(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    measures: Mapping[str, Column],
+    qs: Mapping[str, float],
+    bucket_width: float = 1024.0,
+) -> DataFrame:
+    """`exact_quantiles_cdf` for SEVERAL measures over the same value
+    column in ONE census pass + ONE refine pass: ``measures`` maps a
+    measure name to an integer WEIGHT expression (1/0 for "row belongs
+    to this measure's multiset"), and the output carries one row per
+    (keys…, m) with the same ``n`` + quantile columns as the single
+    call. Value rows whose weight is 0 for a measure are skipped for
+    that measure exactly like NULLs in the single call.
+
+    Why (optimization r11): v4's (all, discounted) pair ran through a
+    stack() melt — an Expand DOUBLING every fact row through both the
+    census and refine aggregates. Two weight columns make both passes
+    single-width; results are identical to per-measure single calls
+    (property-tested)."""
+    keys = list(keys)
+    spark = df.sparkSession
+    c = F.col(col) if isinstance(col, str) else col
+    mnames = list(measures)
+    base = df.select(
+        *keys,
+        c.alias("__v"),
+        *[w.cast("long").alias(f"__w_{m}") for m, w in measures.items()],
+    ).filter(F.col("__v").isNotNull())
+    pid = F.floor(F.col("__v") / F.lit(float(bucket_width)))
+    census = (
+        base.groupBy(*keys, pid.alias("__b"))
+        .agg(*[F.sum(f"__w_{m}").alias(f"__bc_{m}") for m in mnames])
+        .toPandas()
+    )
+    key_fields = [base.schema[k] for k in keys]
+
+    hot: dict[tuple, set] = {}  # key-group -> needed buckets (union over m)
+    meta: dict[tuple, dict] = {}  # (g, m) -> {n, cb_of}
+    for g, sub in _groups(census, keys):
+        bs = sub["__b"].to_numpy()
+        want: set[int] = set()
+        for m in mnames:
+            bc = sub[f"__bc_{m}"].to_numpy()
+            cb = np.concatenate(([0], np.cumsum(bc)[:-1]))
+            n = int(bc.sum())
+            if n == 0:
+                continue  # measure empty in this group: no output row
+            need = sorted(
+                {
+                    int(r)
+                    for q in qs.values()
+                    for r in (
+                        math.floor((n - 1) * float(q)),
+                        math.ceil((n - 1) * float(q)),
+                    )
+                }
+            )
+            idx = np.searchsorted(cb, need, side="right") - 1
+            want.update(int(bs[i]) for i in set(idx.tolist()))
+            meta[(g, m)] = {
+                "n": n,
+                "cb_of": {int(b): int(o) for b, o in zip(bs, cb)},
+            }
+        if want:
+            hot[g] = want
+    fetch_rows = [(*g, b) for g, bs_ in hot.items() for b in sorted(bs_)]
+
+    spark_hot = spark.createDataFrame(
+        fetch_rows,
+        T.StructType(key_fields + [T.StructField("__b", T.LongType())]),
+    )
+    ph2 = (
+        base.withColumn("__b", pid)
+        .join(F.broadcast(spark_hot), [*keys, "__b"])  # bcast: fixed (O(|qs|·|measures|) hot buckets/group)
+        .groupBy(*keys, "__b", "__v")
+        .agg(*[F.sum(f"__w_{m}").alias(f"__c_{m}") for m in mnames])
+        .toPandas()
+    )
+    if len(ph2):
+        ph2 = ph2.sort_values([*keys, "__b", "__v"] if keys else ["__b", "__v"])
+
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("m", T.StringType()), T.StructField("n", T.LongType())]
+        + [T.StructField(name, T.DoubleType()) for name in qs]
+    )
+    out_rows: list[tuple] = []
+    for g, sub in _groups(ph2, keys):
+        for m in mnames:
+            if (g, m) not in meta:
+                continue
+            mt = meta[(g, m)]
+            n, cb_of = mt["n"], mt["cb_of"]
+            lo_r: list[int] = []
+            hi_r: list[int] = []
+            xs: list[float] = []
+            cur_b, cum = None, 0
+            for b, v, cnt in zip(
+                sub["__b"].to_numpy(),
+                sub["__v"].to_numpy(),
+                sub[f"__c_{m}"].to_numpy(),
+            ):
+                if b != cur_b:
+                    cur_b, cum = b, cb_of[int(b)]
+                if int(cnt) == 0:
+                    continue  # value absent from this measure's multiset
+                lo_r.append(cum)
+                cum += int(cnt)
+                hi_r.append(cum)
+                xs.append(float(v))
+            lo_a, hi_a, xs_a = np.asarray(lo_r), np.asarray(hi_r), np.asarray(xs)
+            vals = [
+                _interp_at((n - 1) * float(q), xs_a, lo_a, hi_a)
+                for q in qs.values()
+            ]
+            out_rows.append((*g, m, n, *vals))
     return spark.createDataFrame(out_rows, out_schema)
 
 
@@ -255,6 +396,7 @@ def exact_quantiles_disc(
     qs: Mapping[str, float],
     bucket_width: float = 1024.0,
     weight: str | Column | None = None,
+    extrema: bool = False,
 ) -> DataFrame:
     """Exact per-group DISCRETE quantiles (percentile_disc /
     quantile_disc lower-bound convention: the smallest value whose
@@ -297,7 +439,10 @@ def exact_quantiles_disc(
         n = int(bc.sum())
         need = sorted(set(_ranks(n).values()))
         idx = np.searchsorted(cb, need, side="right") - 1
-        for i in sorted(set(idx.tolist())):
+        want = set(idx.tolist())
+        if extrema:
+            want.update((0, len(bs) - 1))  # exact min/max buckets
+        for i in sorted(want):
             hot_rows.append((*g, int(bs[i])))
             cbmap[(*g, int(bs[i]))] = int(cb[i])
         n_map[g] = n
@@ -308,6 +453,11 @@ def exact_quantiles_disc(
         key_fields
         + [T.StructField("n", T.LongType())]
         + [T.StructField(name, T.DoubleType()) for name in qs]
+        + (
+            [T.StructField("lo", T.DoubleType()), T.StructField("hi", T.DoubleType())]
+            if extrema
+            else []
+        )
     )
     out_rows: list[tuple] = []
     for g, sub in _groups(ph2, keys):
@@ -330,6 +480,8 @@ def exact_quantiles_disc(
         vals = [
             _interp_at(float(rk[name]), xs_a, lo_a, hi_a) for name in qs
         ]
+        if extrema:
+            vals += [float(xs_a[0]), float(xs_a[-1])]
         out_rows.append((*g, n, *vals))
 
     return spark.createDataFrame(out_rows, out_schema)

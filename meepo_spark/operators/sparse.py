@@ -275,9 +275,16 @@ def sparse_cosine_topk(
         .groupBy("q_id", "c_id")
         .agg(F.sum(F.col("wq") * F.col("wc")).cast("long").alias("dot"))
     )
+    # optimization r11: the norm lookups are doc-grain and DATA-GROWING
+    # — size-gate the broadcast (maybe_broadcast) instead of letting
+    # the planner sort-merge the candidate frame twice (the l68/l67
+    # before-plans paid two SMJ exchanges of the scored pairs for two
+    # |docs|-row lookups).
+    from meepo_spark.operators.broadcast_gate import maybe_broadcast
+
     cos = (
-        dots.join(norms.select(F.col("doc_id").alias("q_id"), F.col("nr").alias("nq")), "q_id")
-        .join(norms.select(F.col("doc_id").alias("c_id"), F.col("nr").alias("nc")), "c_id")
+        dots.join(maybe_broadcast(norms.select(F.col("doc_id").alias("q_id"), F.col("nr").alias("nq"))), "q_id")
+        .join(maybe_broadcast(norms.select(F.col("doc_id").alias("c_id"), F.col("nr").alias("nc"))), "c_id")
         .select(
             "q_id",
             "c_id",

@@ -147,28 +147,25 @@ def v4_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     REWORKED r10 (VERDICT r9 #1/#3): no `F.percentile` — its per-task
     value→count map merges on ONE final task, the documented 100 TB
-    OOM shape on near-unique cents. Instead one Expand melts the
-    (all, discounted) measures, and `exact_quantiles_cdf`
-    (operators/quantiles.py) reads all four quantiles off a bucketed
-    histogram CDF — every wide stage domain- or bucket-bounded. The
-    6-row quantile frame pivots back to the report shape."""
-    from meepo_spark.operators.quantiles import exact_quantiles_cdf
+    OOM shape on near-unique cents. r11: the r10 form melted the
+    (all, discounted) measures through a stack() Expand that DOUBLED
+    every fact row through both the census and the refine aggregate;
+    `exact_quantiles_cdf_multi` reads both measures as weight columns
+    in ONE single-width census pass + ONE refine pass — every wide
+    stage domain- or bucket-bounded. The 6-row quantile frame pivots
+    back to the report shape."""
+    from meepo_spark.operators.quantiles import exact_quantiles_cdf_multi
 
     l = table(spark, sf_dir, "lineitem")
-    melted = l.select(
-        "l_returnflag",
-        F.expr(
-            "stack(2,"
-            " 'all',  CAST(ROUND(l_extendedprice * 100) AS LONG),"
-            " 'disc', CASE WHEN l_discount > 0.05"
-            "         THEN CAST(ROUND(l_extendedprice * 100) AS LONG) END"
-            ") AS (m, cents)"
-        ),
-    )
-    qf = exact_quantiles_cdf(
-        melted,
-        ["l_returnflag", "m"],
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qf = exact_quantiles_cdf_multi(
+        l.select("l_returnflag", cents.alias("cents"), "l_discount"),
+        ["l_returnflag"],
         "cents",
+        {
+            "all": F.lit(1),
+            "disc": (F.col("l_discount") > 0.05).cast("int"),
+        },
         {"q25": 0.25, "q50": 0.50, "q75": 0.75},
     )
 

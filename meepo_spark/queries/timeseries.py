@@ -1193,26 +1193,27 @@ def e9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (
         lags.groupBy("lag_s").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     )
-    [mm] = bounded_rows(
-        hist.agg(
-            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
-            F.min("lag_s").alias("lo"),
-            F.max("lag_s").alias("hi"),
-        ),
-        1,
-        "e9 lag min/max",
-    )
     qrows = bounded_rows(
         exact_quantiles_cdf(
-            hist, [], "lag_s", {"p50": 0.50, "p90": 0.90}, weight="c"
+            hist, [], "lag_s", {"p50": 0.50, "p90": 0.90},
+            weight="c", extrema=True,
         ),
         1,
         "e9 lag quantiles",
     )
-    p50 = round_half_up(qrows[0]["p50"], 1) if qrows else None
-    p90 = round_half_up(qrows[0]["p90"], 1) if qrows else None
+    if qrows:
+        [q] = qrows
+        row = (
+            int(q["n"]),
+            int(q["lo"]),
+            round_half_up(q["p50"], 1),
+            round_half_up(q["p90"], 1),
+            int(q["hi"]),
+        )
+    else:  # no conversions: the aggregate-over-empty all-null row
+        row = (0, None, None, None, None)
     return spark.createDataFrame(
-        [(int(mm["n"]), mm["lo"], p50, p90, mm["hi"])],
+        [row],
         "n_converted long, min_lag_s long, p50_lag_s double, "
         "p90_lag_s double, max_lag_s long",
     )
@@ -2043,17 +2044,14 @@ def e16_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delay_us",
         {"p50": 0.50, "p90": 0.90},
         bucket_width=float(2**30),
+        extrema=True,
     )
-    cm = d.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.max("delay_us").alias("max_delay_us"),
-    )
-    return cm.join(F.broadcast(qf), "cohort_week").select(  # bcast: fixed (calendar-week grain local relation)
+    return qf.select(  # calendar-week-grain local relation
         "cohort_week",
-        "n_converted",
+        F.col("n").alias("n_converted"),
         F.col("p50").cast("long").alias("p50_delay_us"),
         F.col("p90").cast("long").alias("p90_delay_us"),
-        "max_delay_us",
+        F.col("hi").cast("long").alias("max_delay_us"),
     )
 
 

@@ -531,8 +531,16 @@ def g11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("qty"),
     )
-    per_value = l.groupBy("l_returnflag", "cents").agg(
-        F.sum("qty").alias("w")
+    per_value = (
+        l.groupBy("l_returnflag", "cents")
+        .agg(F.sum("qty").alias("w"))
+        # optimization r11: bucketed_prefix_sum references its input
+        # three ways (bucket sums, the local-cumsum join side, the
+        # totals pass) — the before-plan re-ran the fact scan+distinct
+        # aggregate 6 times. Materialize the value-grain reduction
+        # once; it saturates at the cents domain (the dq10 posture),
+        # never the fact.
+        .localCheckpoint()
     )
     marked = bucketed_prefix_sum(
         per_value,

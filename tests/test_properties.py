@@ -474,6 +474,49 @@ def test_histogram_cdf_quantile_matches_percentile(spark, vals, dup):
         assert got_w[k] == got[k], (k, got_w[k], got[k])
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=-2_000, max_value=2_000), min_size=3, max_size=50),
+    width=st.sampled_from([8.0, 1024.0]),
+)
+def test_multi_measure_quantiles_match_single_calls(spark, vals, width):
+    """`exact_quantiles_cdf_multi` (optimization r11 — v4's one-pass
+    two-measure form) must equal per-measure `exact_quantiles_cdf`
+    calls on the weight-filtered multisets, including measures that
+    are EMPTY in a group (no output row) and 0-weight values
+    interleaved with hot buckets."""
+    from meepo_spark.operators.quantiles import (
+        exact_quantiles_cdf,
+        exact_quantiles_cdf_multi,
+    )
+
+    rows = [("a", int(v)) for v in vals] + [("b", int(v) * 2 + 1) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v long")
+    measures = {
+        "all": F.lit(1),
+        "pos": (F.col("v") > 0).cast("int"),
+    }
+    got = {
+        (r["k"], r["m"]): (r["n"], r["q25"], r["q75"])
+        for r in exact_quantiles_cdf_multi(
+            df, ["k"], "v", measures, {"q25": 0.25, "q75": 0.75}, bucket_width=width
+        ).collect()
+    }
+    for m, pred in (("all", None), ("pos", F.col("v") > 0)):
+        sub = df if pred is None else df.filter(pred)
+        want = {
+            (r["k"], m): (r["n"], r["q25"], r["q75"])
+            for r in exact_quantiles_cdf(
+                sub, ["k"], "v", {"q25": 0.25, "q75": 0.75}, bucket_width=width
+            ).collect()
+        }
+        for key, val in want.items():
+            assert got.get(key) == val, (key, val, got.get(key))
+        # and no phantom rows for empty measures
+        for key in [k for k in got if k[1] == m]:
+            assert key in want, key
+
+
 @settings(**SETTINGS)
 @given(
     vals=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=2, max_size=60),
