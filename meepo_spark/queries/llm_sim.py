@@ -2066,7 +2066,10 @@ def l68c_pruned_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norms = wp.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
-    )
+    ).localCheckpoint()  # doc-grain; also keeps the size-gate probe
+    # (maybe_broadcast inside sparse_cosine_topk) a cheap RDD read —
+    # a checkpoint-derived plan hashes fresh per invocation, so the
+    # probe memo cannot hit and would otherwise re-run the norms agg
     top = sparse_cosine_topk(wp, norms, k=3)
     return top.select(
         "q_id",

@@ -51,7 +51,7 @@ def parity_results(spark, duck, sf_dir):
 
     parallel = [n for n in sorted(QUERIES) if not n.startswith(("a", "s"))]
     serial = [n for n in sorted(QUERIES) if n.startswith(("a", "s"))]
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=10) as pool:
         list(pool.map(run, parallel))
     for name in serial:
         run(name)

@@ -517,7 +517,7 @@ def test_multi_measure_quantiles_match_single_calls(spark, vals, width):
             assert key in want, key
 
 
-@settings(**SETTINGS)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     vals=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=2, max_size=60),
     dup=st.integers(min_value=1, max_value=5),
