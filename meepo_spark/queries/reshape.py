@@ -155,17 +155,16 @@ def v4_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage domain- or bucket-bounded. The 6-row quantile frame pivots
     back to the report shape."""
     from meepo_spark.operators.quantiles import exact_quantiles_cdf_multi
+    from meepo_spark.queries.fact_hist import lineitem_cents_hist
 
-    l = table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # r11 (second pass): both measures read the shared session-cached
+    # (flag, cents) histogram as count weights — zero fact passes in
+    # this query once any cents-histogram consumer has run.
     qf = exact_quantiles_cdf_multi(
-        l.select("l_returnflag", cents.alias("cents"), "l_discount"),
+        lineitem_cents_hist(spark, sf_dir),
         ["l_returnflag"],
         "cents",
-        {
-            "all": F.lit(1),
-            "disc": (F.col("l_discount") > 0.05).cast("int"),
-        },
+        {"all": F.col("n"), "disc": F.col("n_disc")},
         {"q25": 0.25, "q50": 0.50, "q75": 0.75},
     )
 

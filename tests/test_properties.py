@@ -603,3 +603,14 @@ def test_exact_median_mad_matches_reference(spark, vals, dup, width):
         assert got[k][0] == len(data), (k, got[k])
         assert got[k][1] == pytest.approx(m, abs=1e-9), (k, data, m, got[k])
         assert got[k][2] == pytest.approx(mad, abs=1e-9), (k, data, mad, got[k])
+    # the weighted path (r11: g12 reads the shared value-grain
+    # histogram through it) must be indistinguishable from the
+    # expanded multiset
+    hist = df.filter(F.col("v").isNotNull()).groupBy("k", "v").count()
+    got_w = {
+        r["k"]: (r["n"], r["m"], r["mad"])
+        for r in exact_median_mad(
+            hist, ["k"], "v", bucket_width=width, weight="count"
+        ).collect()
+    }
+    assert got_w == got, (got_w, got)
